@@ -1,0 +1,64 @@
+"""Render configuration and derived projection constants.
+
+The reference hardcodes a 1024x768 screen (game.rs:28-29) and derives the
+projection constants from it (renderer/constants.rs:3-17).  Here the screen
+size is a runtime parameter; the north-star config is 320x200.
+"""
+
+from dataclasses import dataclass, field
+
+
+# Doom ran on 320x200 pixels displayed on 4:3 monitors (320x240 square
+# pixels); the renderer projects on a virtually wider screen and squeezes
+# x back (reference renderer/constants.rs:7-14).
+ASPECT_RATIO_CORRECTION: float = 200.0 / 240.0
+
+# Eye height above the floor in map units (reference renderer/constants.rs:3).
+PLAYER_EYE_HEIGHT: float = 41.0
+
+# Simulation tick rate (reference game.rs:32).
+CLOCK_HZ: int = 35
+
+# Sky texture dims + "90 degrees of view = one texture width"
+# (reference renderer/visplanes.rs:50-57).
+SKY_TEXTURE_WIDTH: int = 256
+SKY_TEXTURE_HEIGHT: int = 128
+
+FLAT_SIZE: int = 64  # flats are 64x64 tiles (reference graphics/flats.rs:9)
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Screen geometry + span-pool capacities for one compiled renderer.
+
+    All shapes downstream are static functions of this config, as required
+    by XLA's trace-once compilation model.
+    """
+
+    width: int = 320
+    height: int = 200
+    # Fixed capacity of the per-column span pool the wall scan emits.
+    # Doom-scale maps rarely exceed ~20 overlapping spans per column.
+    span_capacity: int = 32
+    # Fixed capacity for deferred draw items (two-sided mids + sprites)
+    # considered per frame in the painter's pass.
+    max_visible_mobjs: int = 64
+
+    @property
+    def camera_focus_x(self) -> float:
+        return self.width / 2.0
+
+    @property
+    def camera_focus_y(self) -> float:
+        return self.height / 2.0
+
+    @property
+    def game_screen_width(self) -> float:
+        return self.width / ASPECT_RATIO_CORRECTION
+
+    @property
+    def game_camera_focus_x(self) -> float:
+        return self.game_screen_width / 2.0
+
+
+DEFAULT_CONFIG = RenderConfig()
