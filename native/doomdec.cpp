@@ -25,9 +25,10 @@ int doomdec_picture(const uint8_t* raw, size_t raw_len, int w, int h,
         uint32_t off;
         std::memcpy(&off, raw + 8 + 4 * (size_t)x, 4);
         while (true) {
-            if (off + 1 >= raw_len) return 2;
+            if (off >= raw_len) return 2;
             uint8_t y_offset = raw[off];
             if (y_offset == 0xff) break;
+            if (off + 2 > raw_len) return 2;
             uint8_t length = raw[off + 1];
             if (off + 3 + (size_t)length > raw_len) return 3;
             for (int i = 0; i < length; ++i) {
