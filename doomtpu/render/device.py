@@ -1,0 +1,248 @@
+"""Device-resident level data for the JAX renderer.
+
+One `DeviceLevel` per loaded map: every camera-independent quantity the
+vectorized renderer needs, precomputed on host and uploaded once
+(SURVEY §7.1-2: flattened map tables + texture atlases + static piece
+metadata).  The renderer treats these as constants under jit.
+
+Piece model: every seg expands to 4 potential draw pieces, indexed
+
+    0 primary — solid wall (draws + occludes) or portal occlusion pass
+    1 two-sided middle (deferred, masked)
+    2 lower portal wall
+    3 upper portal wall
+
+mirroring the reference's process_sidedef call sequence
+(renderer/segs.rs:493-589).  item id = seg*4 + piece, packed into span
+records; the packing caps segs at 2047 per map for now.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doomtpu.assets.bundle import LevelAssets
+from doomtpu.config import RenderConfig
+from doomtpu.info.tables import InfoTables
+from doomtpu.level.tables import MapTables
+
+MAX_SEGS = 2048  # 13-bit item ids hold seg*4+piece (see span packing)
+
+
+def _j(x, dtype=None):
+    return jnp.asarray(x, dtype=dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceLevel:
+    # --- seg geometry ------------------------------------------------
+    seg_v1: jnp.ndarray        # [G,2] f32
+    seg_v2: jnp.ndarray        # [G,2] f32
+    seg_offset: jnp.ndarray    # [G] i32 (distance along linedef)
+    seg_sub: jnp.ndarray       # [G] i32
+    seg_front_side: jnp.ndarray    # [G] i32 (-1 = none)
+    seg_front_sector: jnp.ndarray  # [G] i32 (-1)
+    seg_back_sector: jnp.ndarray   # [G] i32 (-1)
+    seg_two_sided: jnp.ndarray     # [G] bool
+    seg_unpeg_top: jnp.ndarray     # [G] bool
+    seg_unpeg_bottom: jnp.ndarray  # [G] bool
+    seg_xoff: jnp.ndarray      # [G] i32  sidedef x offset (as i16)
+    seg_yoff: jnp.ndarray      # [G] i32
+    seg_mid_tex: jnp.ndarray   # [G] i32 (-1 = none)
+    seg_low_tex: jnp.ndarray   # [G] i32
+    seg_up_tex: jnp.ndarray    # [G] i32
+    seg_draw_ceiling: jnp.ndarray  # [G] bool (sky-hack, static per seg)
+    seg_sky_hack: jnp.ndarray      # [G] bool
+
+    # --- BSP traversal -------------------------------------------------
+    node_xy: jnp.ndarray       # [N,2] f32
+    node_dxy: jnp.ndarray      # [N,2] f32
+    sub_path_nodes: jnp.ndarray  # [SS,D] i32
+    sub_path_left: jnp.ndarray   # [SS,D] i32 (1 = left child)
+    sub_depth: jnp.ndarray       # [SS] i32
+    sub_sector: jnp.ndarray      # [SS] i32
+    node_child: jnp.ndarray      # [N,2] i32 (raw, bit15 = subsector)
+
+    # --- sector static attributes ---------------------------------------
+    sector_floor_h: jnp.ndarray   # [SEC] i32
+    sector_ceil_h: jnp.ndarray    # [SEC] i32
+    sector_light0: jnp.ndarray    # [SEC] i32 (initial light)
+    sector_floor_flat: jnp.ndarray  # [SEC] i32
+    sector_ceil_flat: jnp.ndarray   # [SEC] i32
+
+    # --- assets ----------------------------------------------------------
+    palette: jnp.ndarray       # [256,3] f32
+    flat_pixels: jnp.ndarray   # [F,64,64] i32
+    flat_is_sky: jnp.ndarray   # [F] bool
+    flat_anim_base: jnp.ndarray  # [F] i32
+    flat_anim_len: jnp.ndarray   # [F] i32
+    tex_pixels: jnp.ndarray    # [T,TH,TW] i32
+    tex_mask: jnp.ndarray      # [T,TH,TW] bool
+    tex_w: jnp.ndarray         # [T] i32
+    tex_h: jnp.ndarray         # [T] i32
+    sky_tex: jnp.ndarray       # scalar i32
+    spr_pixels: jnp.ndarray    # [P,PH,PW] i32
+    spr_mask: jnp.ndarray      # [P,PH,PW] bool
+    spr_w: jnp.ndarray         # [P] i32
+    spr_h: jnp.ndarray         # [P] i32
+    spr_top: jnp.ndarray       # [P] i32
+    spr_table: jnp.ndarray     # [NSPR, MAXFRAME, 8] i32
+
+    # --- info tables ---------------------------------------------------
+    state_sprite: jnp.ndarray      # [NS] i32
+    state_frame: jnp.ndarray       # [NS] i32
+    state_full_bright: jnp.ndarray # [NS] bool
+    state_tics: jnp.ndarray        # [NS] i32
+    state_next: jnp.ndarray        # [NS] i32
+
+    # --- map objects (static placement; state lives in sim) ---------------
+    mobj_pos: jnp.ndarray      # [MO,2] f32
+    mobj_angle: jnp.ndarray    # [MO] f32
+    mobj_sector: jnp.ndarray   # [MO] i32
+    mobj_info: jnp.ndarray     # [MO] i32 index into info tables
+    mobj_spawn_state: jnp.ndarray  # [MO] i32
+    mobj_death_state: jnp.ndarray  # [MO] i32
+    mobj_xdeath_state: jnp.ndarray # [MO] i32
+
+    def tree_flatten(self):
+        from dataclasses import fields
+
+        names = [f.name for f in fields(self)]
+        return tuple(getattr(self, n) for n in names), names
+
+    @classmethod
+    def tree_unflatten(cls, names, values):
+        return cls(**dict(zip(names, values)))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls, tables: MapTables, assets: LevelAssets, info: InfoTables
+    ) -> "DeviceLevel":
+        t, a = tables, assets
+        G = len(t.seg_line)
+        if G > MAX_SEGS - 1:
+            raise NotImplementedError(
+                f"map has {G} segs; span packing caps at {MAX_SEGS - 1}"
+            )
+
+        lines = t.seg_line
+        front_side = t.line_sides[lines, t.seg_dir]
+        back_side = t.line_sides[lines, 1 - t.seg_dir]
+        front_sector = np.where(
+            front_side >= 0, t.side_sector[np.maximum(front_side, 0)], -1
+        )
+        back_sector = np.where(
+            back_side >= 0, t.side_sector[np.maximum(back_side, 0)], -1
+        )
+        flags = t.line_flags[lines]
+
+        # sky hack is static: both sectors' ceiling flats are SKY
+        # (segs.rs:459-477)
+        front_sky = np.array(
+            ["SKY" in t.sector_ceil_flat[s] if s >= 0 else False
+             for s in front_sector]
+        )
+        back_sky = np.array(
+            ["SKY" in t.sector_ceil_flat[s] if s >= 0 else False
+             for s in back_sector]
+        )
+        sky_hack = (back_side >= 0) & front_sky & back_sky
+        draw_ceiling = ~sky_hack
+
+        fs_safe = np.maximum(front_side, 0)
+
+        # mobjs: one per THINGS entry except player/deathmatch starts
+        # (map_objects.rs:30-47)
+        dn = info.mobj_index_by_doomednum()
+        keep = ~(
+            ((t.thing_type >= 1) & (t.thing_type <= 4)) | (t.thing_type == 11)
+        )
+        ids = np.nonzero(keep)[0]
+        mobj_info_ix = np.array(
+            [dn[int(t.thing_type[i])] for i in ids], np.int32
+        )
+        mobj_pos = t.thing_pos[ids]
+        mobj_sector = np.array(
+            [t.sector_at(float(p[0]), float(p[1])) for p in mobj_pos], np.int32
+        )
+
+        i16c = lambda x: np.clip(np.trunc(x), -32768, 32767).astype(np.int32)
+
+        return cls(
+            seg_v1=_j(t.vertexes[t.seg_v[:, 0]], jnp.float32),
+            seg_v2=_j(t.vertexes[t.seg_v[:, 1]], jnp.float32),
+            seg_offset=_j(t.seg_offset, jnp.int32),
+            seg_sub=_j(t.seg_sub, jnp.int32),
+            seg_front_side=_j(front_side, jnp.int32),
+            seg_front_sector=_j(front_sector, jnp.int32),
+            seg_back_sector=_j(back_sector, jnp.int32),
+            seg_two_sided=_j((flags & 4) != 0),
+            seg_unpeg_top=_j((flags & 8) != 0),
+            seg_unpeg_bottom=_j((flags & 16) != 0),
+            seg_xoff=_j(i16c(t.side_offset[fs_safe, 0]), jnp.int32),
+            seg_yoff=_j(i16c(t.side_offset[fs_safe, 1]), jnp.int32),
+            seg_mid_tex=_j(a.side_middle_tex[fs_safe], jnp.int32),
+            seg_low_tex=_j(a.side_lower_tex[fs_safe], jnp.int32),
+            seg_up_tex=_j(a.side_upper_tex[fs_safe], jnp.int32),
+            seg_draw_ceiling=_j(draw_ceiling),
+            seg_sky_hack=_j(sky_hack),
+            node_xy=_j(t.node_xy, jnp.float32),
+            node_dxy=_j(t.node_dxy, jnp.float32),
+            sub_path_nodes=_j(np.maximum(t.sub_path_nodes, 0), jnp.int32),
+            sub_path_left=_j(t.sub_path_left, jnp.int32),
+            sub_depth=_j(t.sub_depth, jnp.int32),
+            sub_sector=_j(t.sub_sector, jnp.int32),
+            node_child=_j(t.node_child, jnp.int32),
+            sector_floor_h=_j(t.sector_floor_h, jnp.int32),
+            sector_ceil_h=_j(t.sector_ceil_h, jnp.int32),
+            sector_light0=_j(t.sector_light, jnp.int32),
+            sector_floor_flat=_j(a.sector_floor_flat, jnp.int32),
+            sector_ceil_flat=_j(a.sector_ceil_flat, jnp.int32),
+            palette=_j(a.palette, jnp.float32),
+            flat_pixels=_j(a.flat_pixels, jnp.int32),
+            flat_is_sky=_j(a.flat_is_sky),
+            flat_anim_base=_j(a.flat_anim_base, jnp.int32),
+            flat_anim_len=_j(a.flat_anim_len, jnp.int32),
+            tex_pixels=_j(a.tex_pixels, jnp.int32),
+            tex_mask=_j(a.tex_mask),
+            tex_w=_j(a.tex_w, jnp.int32),
+            tex_h=_j(a.tex_h, jnp.int32),
+            sky_tex=_j(a.sky_tex, jnp.int32),
+            spr_pixels=_j(a.spr_pixels, jnp.int32),
+            spr_mask=_j(a.spr_mask),
+            spr_w=_j(a.spr_w, jnp.int32),
+            spr_h=_j(a.spr_h, jnp.int32),
+            spr_top=_j(a.spr_top, jnp.int32),
+            spr_table=_j(a.spr_table, jnp.int32),
+            state_sprite=_j(info.state_sprite, jnp.int32),
+            state_frame=_j(info.state_frame, jnp.int32),
+            state_full_bright=_j(info.state_full_bright),
+            state_tics=_j(info.state_tics, jnp.int32),
+            state_next=_j(info.state_next, jnp.int32),
+            mobj_pos=_j(mobj_pos, jnp.float32),
+            mobj_angle=_j(t.thing_angle[ids], jnp.float32),
+            mobj_sector=_j(mobj_sector, jnp.int32),
+            mobj_info=_j(mobj_info_ix, jnp.int32),
+            mobj_spawn_state=_j(info.mobj_spawn[mobj_info_ix], jnp.int32),
+            mobj_death_state=_j(info.mobj_death[mobj_info_ix], jnp.int32),
+            mobj_xdeath_state=_j(info.mobj_xdeath[mobj_info_ix], jnp.int32),
+        )
+
+    @property
+    def num_segs(self) -> int:
+        return self.seg_v1.shape[0]
+
+    @property
+    def num_sectors(self) -> int:
+        return self.sector_floor_h.shape[0]
+
+    @property
+    def num_mobjs(self) -> int:
+        return self.mobj_pos.shape[0]

@@ -1,0 +1,127 @@
+"""JAX math helpers with Rust-exact cast/wrap semantics (vectorized).
+
+Mirror of doomtpu.render.spec's scalar helpers: `as iN` casts truncate
+toward zero and saturate (NaN -> 0); integer div/rem truncate toward zero;
+the texture wrap idiom follows bitmap_render.rs:244-248.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+# Strict-FP mode: XLA's backends contract f32 mul+add chains into FMAs
+# (extra internal precision), which flips truncation results at span
+# boundaries relative to the reference's strict f32 arithmetic.  With
+# strict mode on (used by the CPU parity tests; requires jax_enable_x64),
+# parity-critical multiplies round through f64 — the product of two f32s
+# is exact in f64, and the explicit f32 demotion blocks contraction.
+_STRICT_FP = False
+
+
+def set_strict_fp(enabled: bool) -> None:
+    global _STRICT_FP
+    _STRICT_FP = bool(enabled)
+
+
+def strict_fp_enabled() -> bool:
+    return _STRICT_FP
+
+
+def f32(x):
+    return jnp.asarray(x, F32)
+
+
+def smul(a, b):
+    """f32 multiply with strict (non-contractable) rounding in parity mode.
+
+    The optimization barrier stops XLA's algebraic simplifier from
+    undoing the widen-multiply-narrow pattern (and then contracting the
+    multiply into an FMA with a neighboring add).
+    """
+    if _STRICT_FP:
+        from jax import lax
+
+        # the product of two f32s is exact in f64; reduce_precision then
+        # applies true f32 round-to-nearest-even as an explicit bit-level
+        # op that no backend elides (plain f64->f32 converts can keep
+        # excess precision through a following add on XLA:CPU)
+        prod = jnp.asarray(a, jnp.float64) * jnp.asarray(b, jnp.float64)
+        prod = lax.reduce_precision(prod, exponent_bits=8, mantissa_bits=23)
+        return prod.astype(F32)
+    return f32(a) * f32(b)
+
+
+def as_i16(x):
+    """Rust `as i16` on f32: trunc toward zero, saturate, NaN->0 (as i32)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        x = jnp.where(jnp.isnan(x), 0.0, x)
+        x = jnp.clip(jnp.trunc(x), -32768.0, 32767.0)
+    else:
+        x = jnp.clip(x, -32768, 32767)
+    return x.astype(I32)
+
+
+def as_i32(x):
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        x = jnp.where(jnp.isnan(x), 0.0, x)
+        x = jnp.clip(jnp.trunc(x), -(2.0**31), 2.0**31 - 1)
+    return x.astype(I32)
+
+
+def div_trunc(a, b):
+    q = jnp.abs(a) // jnp.abs(b)
+    return jnp.where((a < 0) ^ (b < 0), -q, q)
+
+
+def rem_trunc(a, b):
+    return a - div_trunc(a, b) * b
+
+
+def wrap_tex(t, size):
+    """if t < 0 { t += size * (1 - t / size) }; t %= size  (trunc div)."""
+    t_neg = t + size * (1 - div_trunc(t, size))
+    t = jnp.where(t < 0, t_neg, t)
+    return rem_trunc(t, size)
+
+
+def cos_sin(angle):
+    """f32 cos/sin; strict mode routes through host libm so results are
+    bit-identical to the NumPy oracle (XLA's vector trig differs by ULPs,
+    which flips truncations at span boundaries)."""
+    angle = f32(angle)
+    if _STRICT_FP:
+        import jax
+        import numpy as np
+
+        shape = jax.ShapeDtypeStruct(jnp.shape(angle), F32)
+        c = jax.pure_callback(
+            lambda a: np.cos(a, dtype=np.float32), shape, angle,
+            vmap_method="broadcast_all",
+        )
+        s = jax.pure_callback(
+            lambda a: np.sin(a, dtype=np.float32), shape, angle,
+            vmap_method="broadcast_all",
+        )
+        return c, s
+    return jnp.cos(angle), jnp.sin(angle)
+
+
+def rotate(x, y, angle):
+    """map/vertexes.rs:20-25 (f32 trig)."""
+    c, s = cos_sin(angle)
+    return smul(x, c) - smul(y, s), smul(y, c) + smul(x, s)
+
+
+def cross(ax, ay, bx, by):
+    return smul(ax, by) - smul(ay, bx)
+
+
+def is_left_of(px, py, sx, sy, ex, ey):
+    """vertexes.rs:32-34: cross(p - s, e - s) <= 0."""
+    return cross(px - sx, py - sy, ex - sx, ey - sy) <= 0.0

@@ -7,12 +7,24 @@ available in CI.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the environment's sitecustomize force-registers the TPU backend; tests
+# run on the virtual-device CPU mesh regardless
+jax.config.update("jax_platforms", "cpu")
+# strict-FP parity mode: block FMA contraction differences vs the oracle
+jax.config.update("jax_enable_x64", True)
+
+from doomtpu.render import jmath
+
+jmath.set_strict_fp(True)
 
 import numpy as np
 import pytest
