@@ -18,14 +18,7 @@ from doomtpu.render import walls
 from doomtpu.render.device import DeviceLevel
 
 
-def render_walls_planes(
-    level: DeviceLevel,
-    cfg: RenderConfig,
-    px, py, angle, floor_height,           # [B] player state
-    sector_light,                          # [B, SEC]
-    timestamp,                             # [B]
-):
-    """Stages 1-2: solid walls + visplanes/sky. Returns (idx, rgb, aux)."""
+def _stages_1_2(level, cfg, px, py, angle, floor_height, sector_light, timestamp):
     frame = cam.build_seg_frame(
         level, cfg, px, py, angle, floor_height, sector_light, timestamp
     )
@@ -35,9 +28,51 @@ def render_walls_planes(
     idx, light, dist, is_sky = res.resolve_frame(
         level, cfg, frame, pool, cnt, px, py, angle, floor_height
     )
-    rgb = res.shade(level, idx, light, dist, is_sky)
     aux = {
         "frame": frame, "order": order, "pool": pool, "cnt": cnt,
         "overflow": overflow, "light": light, "dist": dist, "is_sky": is_sky,
     }
+    return idx, light, dist, is_sky, aux
+
+
+def render_walls_planes(
+    level: DeviceLevel,
+    cfg: RenderConfig,
+    px, py, angle, floor_height,           # [B] player state
+    sector_light,                          # [B, SEC]
+    timestamp,                             # [B]
+):
+    """Stages 1-2 only: solid walls + visplanes/sky -> (idx, rgb, aux)."""
+    idx, light, dist, is_sky, aux = _stages_1_2(
+        level, cfg, px, py, angle, floor_height, sector_light, timestamp
+    )
+    rgb = res.shade(level, idx, light, dist, is_sky)
     return idx, rgb, aux
+
+
+def render_frame(
+    level: DeviceLevel,
+    cfg: RenderConfig,
+    px, py, angle, floor_height,           # [B] player state
+    sector_light,                          # [B, SEC]
+    mobj_state,                            # [B, MO]
+    timestamp,                             # [B]
+):
+    """The full frame: walls, planes, sky, sprites, masked mids.
+
+    Batched equivalent of Renderer::render (renderer/mod.rs:118-136).
+    Returns (idx [B,H,W] palette indices with -1 = unwritten,
+    rgb [B,H,W,3] u8, aux dict).
+    """
+    from doomtpu.render import things
+
+    idx, light, dist, is_sky, aux = _stages_1_2(
+        level, cfg, px, py, angle, floor_height, sector_light, timestamp
+    )
+    idx2, light2, dist2, is_sky = things.deferred_pass(
+        level, cfg, aux["frame"], aux["pool"], aux["cnt"], aux["order"],
+        px, py, angle, floor_height, sector_light, mobj_state,
+        idx, light, dist, is_sky,
+    )
+    rgb = res.shade(level, idx2, light2, dist2, is_sky)
+    return idx2, rgb, aux

@@ -785,14 +785,15 @@ class SpecRenderer:
             frame = int(self.info.state_frame[state_id])
             full_bright = bool(self.info.state_full_bright[state_id])
 
-            # rotation selection (:53-67)
-            angle = self.player.angle - float(self.mobj_angle[i]) - math.pi
-            angle += math.pi / 16.0
-            angle = math.fmod(angle, 2.0 * math.pi)
+            # rotation selection (:53-67), f32 arithmetic like the reference
+            pi = f32(np.float32(math.pi))
+            angle = f32(f32(f32(self.player.angle) - f32(self.mobj_angle[i])) - pi)
+            angle = f32(angle + f32(pi / f32(16.0)))
+            angle = f32(math.fmod(angle, f32(2.0) * pi))
             if angle < 0.0:
-                angle += 2.0 * math.pi
-            angle = math.fmod(angle, 2.0 * math.pi)
-            rotation = int(angle * 8.0 / (2.0 * math.pi))
+                angle = f32(angle + f32(2.0) * pi)
+            angle = f32(math.fmod(angle, f32(2.0) * pi))
+            rotation = min(255, max(0, int(f32(f32(angle * f32(8.0)) / (f32(2.0) * pi)))))
 
             pic = int(self.a.spr_table[sprite_ix, frame, rotation])
             if pic < 0:
@@ -822,10 +823,12 @@ class SpecRenderer:
             z = int(self.sector_floor_h[sector])
             pic_h = int(self.a.spr_h[pic])
             top_off = int(self.a.spr_top[pic])
+            # Rust `a += b - c` groups as a + (b - c)
             bottom_height = f32(f32(z) - ph)
-            top_height = f32(f32(z) + f32(pic_h) - f32(1.0) - ph)
-            bottom_height = f32(bottom_height + f32(top_off) - f32(pic_h))
-            top_height = f32(top_height + f32(top_off) - f32(pic_h))
+            top_height = f32(f32(f32(f32(z) + f32(pic_h)) - f32(1.0)) - ph)
+            off_adj = f32(f32(top_off) - f32(pic_h))
+            bottom_height = f32(bottom_height + off_adj)
+            top_height = f32(top_height + off_adj)
 
             (bsx, bsy), (bex, bey) = self._project(lsx, lsy, lex, ley, bottom_height)
             (tsx, tsy), (tex_, tey) = self._project(lsx, lsy, lex, ley, top_height)

@@ -1,0 +1,471 @@
+"""Deferred pass: map-object sprites + masked two-sided mid walls.
+
+Models renderer/map_objects.rs:19-241 without data-dependent control
+flow:
+
+- each live mobj becomes a billboard line perpendicular to the view
+  (rotation frame chosen from player-vs-object angle), FOV-clipped and
+  projected exactly like a wall
+- per-column sprite clip bounds accumulate from the span pool: solid
+  pieces clip via their extends flags and clipped y values, two-sided
+  pieces clip to the portal opening with full (unclipped) edge values,
+  honoring the sky-hack draw_ceiling flag (:127-166)
+- the painter's interleave ("draw every not-yet-drawn masked seg behind
+  the sprite, then the sprite", :216-240) becomes a static sort key:
+  sprites sort back-to-front by clipped-start-x, a masked seg draws just
+  before the FIRST sprite it is behind (ties in reversed traversal
+  order), or after all sprites if behind none
+
+Compositing runs as one fori_loop over the key-sorted item list, each
+step masking its pixels into the frame (transparent texels skipped, so
+overlapping masked walls/sprites layer exactly as the reference does).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import numpy as np
+
+from doomtpu.config import PLAYER_EYE_HEIGHT, RenderConfig
+from doomtpu.render import camera as cam
+from doomtpu.render.device import DeviceLevel
+from doomtpu.render.jmath import (
+    F32, I32, as_i16, f32, is_left_of, rotate, smul, wrap_tex,
+)
+from doomtpu.render.walls import KIND_MID, KIND_WALL
+
+_PI = np.float32(math.pi)
+
+
+def _fmod(a, b):
+    return jnp.fmod(f32(a), f32(b))
+
+
+def sprite_rotation(player_angle, mobj_angle):
+    """0..7 rotation index (:53-67), f32 like the reference."""
+    two_pi = f32(2.0) * _PI
+    angle = f32(f32(f32(player_angle) - f32(mobj_angle)) - _PI)
+    angle = angle + f32(_PI / np.float32(16.0))
+    angle = _fmod(angle, two_pi)
+    angle = jnp.where(angle < 0.0, angle + two_pi, angle)
+    angle = _fmod(angle, two_pi)
+    rot = f32(f32(angle * f32(8.0)) / two_pi)
+    return jnp.clip(jnp.trunc(rot), 0, 255).astype(I32)
+
+
+def is_behind_vertex(lsx, lsy, lex, ley, vx, vy):
+    """bitmap_render.rs:137-165 (batched, broadcasting args)."""
+    min_x = jnp.minimum(lsx, lex)
+    max_x = jnp.maximum(lsx, lex)
+    return (min_x > vx) | (
+        (max_x > vx) & ~is_left_of(vx, vy, lsx, lsy, lex, ley)
+    )
+
+
+def deferred_pass(
+    level: DeviceLevel,
+    cfg: RenderConfig,
+    frame: dict,
+    pool, cnt, order,
+    px, py, angle, floor_height,        # [B]
+    sector_light,                        # [B, SEC]
+    mobj_state,                          # [B, MO]
+    idx, light, dist, is_sky,            # wall/plane resolve outputs
+):
+    """Composite sprites + masked mids over the resolved frame."""
+    B, W, K = pool.shape
+    H = cfg.height
+    G = level.num_segs
+    MO = level.num_mobjs
+
+    # static list of deferred-drawable two-sided mid pieces
+    two_sided_np = np.asarray(level.seg_two_sided)
+    mid_tex_np = np.asarray(level.seg_mid_tex)
+    dsegs = np.nonzero(two_sided_np & (mid_tex_np >= 0))[0]
+    D = len(dsegs)
+    n_items = MO + D
+    if n_items == 0:
+        return idx, light, dist, is_sky
+
+    yy = jnp.arange(H, dtype=I32)[None, :, None]
+    xxw = jnp.arange(W, dtype=I32)[None, None, :]
+    xcol = jnp.arange(W, dtype=I32)[None, :]
+
+    # ---------------- sprite setup [B, MO] --------------------------------
+    if MO > 0:
+        state = mobj_state                                      # [B, MO]
+        alive = state != 0                                      # S_NULL
+        sprite_ix = level.state_sprite[state]
+        frame_n = level.state_frame[state]
+        bright = level.state_full_bright[state]
+        rot = sprite_rotation(angle[:, None], level.mobj_angle[None])
+        max_frame = level.spr_table.shape[1]
+        frame_ok = frame_n < max_frame
+        pic = level.spr_table[
+            sprite_ix, jnp.minimum(frame_n, max_frame - 1), rot
+        ]
+        valid = alive & frame_ok & (pic >= 0) & (level.mobj_sector[None] >= 0)
+        pic_s = jnp.maximum(pic, 0)
+
+        mx = level.mobj_pos[None, :, 0] - px[:, None]
+        my = level.mobj_pos[None, :, 1] - py[:, None]
+        vpx, vpy = rotate(mx, my, -angle[:, None])
+        w_pic = level.spr_w[pic_s]
+        half = f32(w_pic) / f32(2.0)
+        ok, lsx, lsy, lex, ley, start_off = cam.clip_to_viewport(
+            vpx, vpy + half, vpx, vpy - half
+        )
+        valid = valid & ok
+
+        sec = jnp.maximum(level.mobj_sector, 0)
+        light_m = jnp.where(
+            bright, 255, sector_light[:, sec]
+        )
+        ph = f32(floor_height)[:, None] + f32(PLAYER_EYE_HEIGHT)
+        z_f = f32(level.sector_floor_h[sec])[None]
+        pic_h = f32(level.spr_h[pic_s])
+        top_off = f32(level.spr_top[pic_s])
+        bottom_h = z_f - ph
+        top_h = ((z_f + pic_h) - f32(1.0)) - ph
+        off_adj = top_off - pic_h
+        bottom_h = bottom_h + off_adj
+        top_h = top_h + off_adj
+
+        bsx = cam.project_x(cfg, lsx, lsy)
+        bex = cam.project_x(cfg, lex, ley)
+        yb_s = cam.project_y(cfg, lsx, bottom_h)
+        yb_e = cam.project_y(cfg, lex, bottom_h)
+        yt_s = cam.project_y(cfg, lsx, top_h)
+        yt_e = cam.project_y(cfg, lex, top_h)
+        denom = f32(bsx - bex)
+        yb_d = f32(yb_s - yb_e) / denom
+        yt_d = f32(yt_s - yt_e) / denom
+
+        # ---------------- seg-based clip bounds from the pool -------------
+        # pairwise "is seg in front of sprite" bits (:141)
+        behind = is_behind_vertex(
+            frame["lsx"][:, :, None], frame["lsy"][:, :, None],
+            frame["lex"][:, :, None], frame["ley"][:, :, None],
+            vpx[:, None, :], vpy[:, None, :],
+        )                                                       # [B, G, MO]
+        seg_valid = frame["valid"]
+
+        solid_np = ~two_sided_np
+        e2b_static = jnp.asarray(
+            np.stack([solid_np, np.zeros_like(solid_np),
+                      np.ones_like(solid_np), np.zeros_like(solid_np)], -1)
+        )                                                       # [G, 4]
+        e2t_static = jnp.asarray(
+            np.stack([solid_np, np.zeros_like(solid_np),
+                      np.zeros_like(solid_np), np.ones_like(solid_np)], -1)
+        )
+        draw_ceil_static = level.seg_draw_ceiling                # [G]
+
+        tsc = jnp.full((B, MO, W), -1, I32)
+        bsc = jnp.full((B, MO, W), H, I32)
+        for k in range(K):
+            slot = pool[:, :, k]                                # [B, W]
+            k_ok = k < cnt
+            kind = (slot >> 29) & 3
+            item = (slot >> 16) & 0x1FFF
+            g_s = item >> 2
+            p_s = item & 3
+            y0 = ((slot >> 8) & 255) - 1                        # clipped top
+            y1 = (slot & 255) - 1                               # clipped bottom
+
+            front = ~jnp.take_along_axis(
+                behind, g_s[:, :, None], axis=1
+            )                                                   # [B, W, MO]
+            front = front & k_ok[:, :, None]
+            front = jnp.moveaxis(front, 2, 1)                    # [B, MO, W]
+
+            is_wall = (kind == KIND_WALL)
+            e2b_k = e2b_static[g_s, p_s] & is_wall
+            e2t_k = e2t_static[g_s, p_s] & is_wall
+            bsc = jnp.where(
+                front & e2b_k[:, None, :],
+                jnp.minimum(bsc, y0[:, None, :]), bsc,
+            )
+            tsc = jnp.where(
+                front & e2t_k[:, None, :],
+                jnp.maximum(tsc, y1[:, None, :]), tsc,
+            )
+
+            is_mid = kind == KIND_MID
+            # full (unclipped) edges recomputed from the seg frame
+            x0_s = jnp.take_along_axis(frame["x0"], g_s, axis=1)
+            item_b = item  # [B, W]
+            ybs_s = jnp.take_along_axis(
+                frame["yb_s"].reshape(B, -1), item_b, axis=1
+            )
+            ybd_s = jnp.take_along_axis(
+                frame["yb_d"].reshape(B, -1), item_b, axis=1
+            )
+            yts_s = jnp.take_along_axis(
+                frame["yt_s"].reshape(B, -1), item_b, axis=1
+            )
+            ytd_s = jnp.take_along_axis(
+                frame["yt_d"].reshape(B, -1), item_b, axis=1
+            )
+            by_full = as_i16(f32(ybs_s) + smul(f32(xcol - x0_s), ybd_s))
+            ty_full = as_i16(f32(yts_s) + smul(f32(xcol - x0_s), ytd_s))
+            dc_k = draw_ceil_static[g_s] & is_mid
+            tsc = jnp.where(
+                front & dc_k[:, None, :],
+                jnp.maximum(tsc, ty_full[:, None, :]), tsc,
+            )
+            bsc = jnp.where(
+                front & is_mid[:, None, :],
+                jnp.minimum(bsc, by_full[:, None, :]), bsc,
+            )
+
+        # back-to-front order: stable sort by as_i16(lsx) then reverse
+        key_m = as_i16(lsx)
+        asc = jnp.argsort(
+            key_m * (MO + 1) + jnp.arange(MO, dtype=I32)[None], axis=1,
+            stable=True,
+        ).astype(I32)
+        draw_order = asc[:, ::-1]                                # [B, MO]
+        # j_of_m[b, m] = draw position of sprite m
+        j_of_m = jnp.zeros((B, MO), I32).at[
+            jnp.arange(B)[:, None], draw_order
+        ].set(jnp.arange(MO, dtype=I32)[None])
+    else:
+        valid = jnp.zeros((B, 0), bool)
+        draw_order = jnp.zeros((B, 0), I32)
+
+    # ---------------- masked mid seg items --------------------------------
+    if D > 0:
+        dsegs_j = jnp.asarray(dsegs, I32)
+        # midpoint-based behind test for the painter interleave (:221-231)
+        if MO > 0:
+            midx = f32(f32(lsx + lex) / f32(2.0))
+            midy = f32(f32(lsy + ley) / f32(2.0))
+            behind_mid = is_behind_vertex(
+                frame["lsx"][:, dsegs_j, None], frame["lsy"][:, dsegs_j, None],
+                frame["lex"][:, dsegs_j, None], frame["ley"][:, dsegs_j, None],
+                midx[:, None, :], midy[:, None, :],
+            )                                                   # [B, D, MO]
+            # seg draws before the first sprite (in draw order) it's behind
+            b_ord = jnp.take_along_axis(
+                behind_mid & valid[:, None, :], draw_order[:, None, :], axis=2
+            )                                                   # [B, D, MO]
+            j_first = jnp.where(
+                b_ord.any(-1),
+                jnp.argmax(b_ord, axis=-1).astype(I32), MO,
+            )
+        else:
+            j_first = jnp.full((B, D), 0, I32)
+
+        # reversed-traversal tie order: later in scan order draws first
+        inv_pos = jnp.zeros((B, G), I32).at[
+            jnp.arange(B)[:, None], order
+        ].set(jnp.arange(G, dtype=I32)[None])
+        tie_d = (G - 1) - inv_pos[:, dsegs_j]                    # [B, D]
+        dseg_valid = frame["valid"][:, dsegs_j] & frame["active"][:, dsegs_j, 1]
+    else:
+        dsegs_j = jnp.zeros((0,), I32)
+        j_first = jnp.zeros((B, 0), I32)
+        tie_d = jnp.zeros((B, 0), I32)
+        dseg_valid = jnp.zeros((B, 0), bool)
+
+    # ---------------- unified item table -----------------------------------
+    # items 0..MO-1: sprites; MO..MO+D-1: masked segs
+    TIE = G + 1
+    if MO > 0:
+        key_sprite = (2 * j_of_m + 1) * TIE
+    else:
+        key_sprite = jnp.zeros((B, 0), I32)
+    key_seg = (2 * j_first) * TIE + tie_d
+    item_key = jnp.concatenate([key_sprite, key_seg], axis=1)    # [B, I]
+    item_valid = jnp.concatenate([valid, dseg_valid], axis=1)
+    # invalid items sort last and are masked out
+    item_key = jnp.where(item_valid, item_key, jnp.iinfo(jnp.int32).max)
+    item_sorted = jnp.argsort(item_key, axis=1, stable=True).astype(I32)
+
+    # ---------------- per-item column data [B, I, W] -------------------------
+    def sprite_cols():
+        x0i = as_i16(bsx)
+        x1i = as_i16(bex)                                        # exclusive
+        in_range = (xcol[:, None] >= x0i[..., None]) & (
+            xcol[:, None] < x1i[..., None]
+        )
+        by = as_i16(
+            f32(yb_s)[..., None]
+            + smul(f32(xcol[:, None] - bsx[..., None]), yb_d[..., None])
+        )
+        ty = as_i16(
+            f32(yt_s)[..., None]
+            + smul(f32(xcol[:, None] - bsx[..., None]), yt_d[..., None])
+        )
+        ct = jnp.maximum(0, jnp.maximum(ty, tsc))
+        cb = jnp.minimum(H - 1, jnp.minimum(by, bsc))
+        return in_range & valid[..., None], ct, cb, by, ty
+
+    def seg_cols():
+        """Recover each masked seg's recorded columns from the pool."""
+        present = jnp.zeros((B, D, W), bool)
+        ct = jnp.zeros((B, D, W), I32)
+        cb = jnp.zeros((B, D, W), I32)
+        want_item = dsegs_j * 4 + 1                              # [D]
+        for k in range(K):
+            slot = pool[:, :, k]
+            k_ok = k < cnt
+            kind = (slot >> 29) & 3
+            item = (slot >> 16) & 0x1FFF
+            hit = (kind == KIND_MID) & k_ok                      # [B, W]
+            match = hit[:, None, :] & (
+                item[:, None, :] == want_item[None, :, None]
+            )
+            y0 = ((slot >> 8) & 255) - 1
+            y1 = (slot & 255) - 1
+            present = present | match
+            ct = jnp.where(match, y0[:, None, :], ct)
+            cb = jnp.where(match, y1[:, None, :], cb)
+        return present, ct, cb
+
+    if MO > 0:
+        s_present, s_ct, s_cb, s_by, s_ty = sprite_cols()
+    if D > 0:
+        d_present, d_ct, d_cb = seg_cols()
+        dit = dsegs_j * 4 + 1
+        d_x0 = frame["x0"][:, dsegs_j]
+        d_by = as_i16(
+            f32(frame["yb_s"][:, dsegs_j, 1])[..., None]
+            + smul(f32(xcol[:, None] - d_x0[..., None]),
+                   frame["yb_d"][:, dsegs_j, 1][..., None])
+        )
+        d_ty = as_i16(
+            f32(frame["yt_s"][:, dsegs_j, 1])[..., None]
+            + smul(f32(xcol[:, None] - d_x0[..., None]),
+                   frame["yt_d"][:, dsegs_j, 1][..., None])
+        )
+
+    def cat(a, b):
+        if MO == 0:
+            return b
+        if D == 0:
+            return a
+        return jnp.concatenate([a, b], axis=1)
+
+    # texture u + depth per column need: x0, x1(proj), uz0/uz1, length,
+    # start_offset, offset_x, tex/pic id, tw, th, uy1, off_y, light
+    if MO > 0:
+        spr_i = dict(
+            present=s_present, ct=s_ct, cb=s_cb, by=s_by, ty=s_ty,
+            x0=bsx, x1=bex, uz0=lsx, uz1=lex,
+            length=jnp.sqrt(
+                smul(lsx - lex, lsx - lex) + smul(lsy - ley, lsy - ley)
+            ),
+            start_off=start_off,
+            off_x=jnp.zeros((B, MO), I32), off_y=jnp.zeros((B, MO), I32),
+            tex=pic_s, tw=level.spr_w[pic_s], th=level.spr_h[pic_s],
+            uy1=top_h - bottom_h, light=light_m,
+            is_sprite=jnp.ones((B, MO), bool),
+        )
+    if D > 0:
+        seg_i = dict(
+            present=d_present, ct=d_ct, cb=d_cb, by=d_by, ty=d_ty,
+            x0=frame["x0"][:, dsegs_j], x1=frame["x1"][:, dsegs_j],
+            uz0=frame["lsx"][:, dsegs_j], uz1=frame["lex"][:, dsegs_j],
+            length=frame["length"][:, dsegs_j],
+            start_off=frame["start_offset"][:, dsegs_j],
+            off_x=frame["offset_x_total"][:, dsegs_j],
+            off_y=frame["off_y"][:, dsegs_j, 1],
+            tex=jnp.broadcast_to(level.seg_mid_tex[dsegs_j][None], (B, D)),
+            tw=jnp.broadcast_to(
+                level.tex_w[level.seg_mid_tex[dsegs_j]][None], (B, D)
+            ),
+            th=jnp.broadcast_to(
+                level.tex_h[level.seg_mid_tex[dsegs_j]][None], (B, D)
+            ),
+            uy1=frame["uy1"][:, dsegs_j, 1],
+            light=frame["light"][:, dsegs_j],
+            is_sprite=jnp.zeros((B, D), bool),
+        )
+    items = {
+        k: cat(spr_i[k] if MO > 0 else None, seg_i[k] if D > 0 else None)
+        for k in (spr_i if MO > 0 else seg_i)
+    }
+
+    # ---------------- composite in sorted order ------------------------------
+    spr_flat = level.spr_pixels.reshape(-1)
+    spr_mask_flat = level.spr_mask.reshape(-1)
+    tex_flat = level.tex_pixels.reshape(-1)
+    tex_mask_flat = level.tex_mask.reshape(-1)
+    PH, PW = level.spr_pixels.shape[1], level.spr_pixels.shape[2]
+    TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
+
+    def body(i, carry):
+        idx, light, dist, is_sky = carry
+        sel = item_sorted[:, i][:, None]                         # [B, 1]
+
+        def g2(name):
+            a = items[name]
+            if a.ndim == 2:
+                return jnp.take_along_axis(a, sel, axis=1)[:, 0]
+            return jnp.take_along_axis(a, sel[..., None], axis=1)[:, 0]
+
+        present = g2("present")                                   # [B, W]
+        ct, cb = g2("ct"), g2("cb")
+        by, ty = g2("by"), g2("ty")
+        x0, x1 = g2("x0"), g2("x1")
+        uz0, uz1 = g2("uz0"), g2("uz1")
+        length = g2("length")
+        start_off = g2("start_off")
+        off_x, off_y = g2("off_x"), g2("off_y")
+        tex, tw, th = g2("tex"), g2("tw"), g2("th")
+        uy1 = g2("uy1")
+        light_i = g2("light")
+        is_spr = g2("is_sprite")
+        ok = jnp.take_along_axis(item_valid, sel, axis=1)[:, 0]  # [B]
+
+        one = f32(1.0)
+        ax = f32(xcol - x0[:, None]) / f32((x1 - x0)[:, None])
+        inv0 = (one / f32(uz0))[:, None]
+        inv1 = (one / f32(uz1))[:, None]
+        denom = smul(one - ax, inv0) + smul(ax, inv1)
+        u = (
+            smul(one - ax, (f32(0.0) / f32(uz0))[:, None])
+            + smul(ax, (length / f32(uz1))[:, None])
+        ) / denom
+        tx = as_i16(u) + as_i16(start_off)[:, None] + off_x[:, None]
+        tx = wrap_tex(tx, jnp.maximum(tw[:, None], 1))
+        zd = as_i16(((one - ax) + ax) / denom)                    # [B, W]
+
+        cover = (
+            present[:, None, :] & ok[:, None, None]
+            & (yy >= ct[:, None, :]) & (yy <= cb[:, None, :])
+        )                                                         # [B, H, W]
+        ay = f32(yy - ty[:, None, :]) / f32((by - ty)[:, None, :])
+        tyv = as_i16(f32(th)[:, None, None] + smul(ay, uy1[:, None, None]))
+        tyv = tyv + off_y[:, None, None]
+        tyv = wrap_tex(tyv, jnp.maximum(th, 1)[:, None, None])
+        txb = tx[:, None, :]
+
+        six = tex[:, None, None] * (PH * PW) + tyv * PW + txb
+        tix = tex[:, None, None] * (TH * TW) + tyv * TW + txb
+        texel = jnp.where(
+            is_spr[:, None, None], spr_flat[six % spr_flat.shape[0]],
+            tex_flat[tix % tex_flat.shape[0]],
+        )
+        opaque = jnp.where(
+            is_spr[:, None, None], spr_mask_flat[six % spr_flat.shape[0]],
+            tex_mask_flat[tix % tex_flat.shape[0]],
+        )
+        write = cover & opaque
+        idx = jnp.where(write, texel, idx)
+        light = jnp.where(write, light_i[:, None, None], light)
+        dist = jnp.where(write, zd[:, None, :], dist)
+        is_sky = is_sky & ~write
+        return idx, light, dist, is_sky
+
+    idx, light, dist, is_sky = lax.fori_loop(
+        0, n_items, body, (idx, light, dist, is_sky)
+    )
+    return idx, light, dist, is_sky
