@@ -1,0 +1,163 @@
+"""DoomEngine: the framework's primary user-facing API.
+
+    engine = DoomEngine.from_wad("doom1.wad", "e1m1")
+    state = engine.new_game(batch=2048, key=jax.random.PRNGKey(0))
+    idx, rgb = engine.render(state)                  # [B, H, W(,3)]
+    state = engine.tick(state, controls, key)        # one 35 Hz tick
+    state, frames = engine.rollout(state, controls_seq, key)
+
+Everything after construction is jit-compiled, batched and
+device-resident; `doomtpu.parallel` shards the batch over a device mesh.
+The reference's interactive shell (SDL window, game.rs) maps to
+doomtpu.cli / doomtpu.viewer on top of this API.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doomtpu.assets.bundle import LevelAssets
+from doomtpu.config import RenderConfig
+from doomtpu.info import load_default_tables
+from doomtpu.info.tables import InfoTables
+from doomtpu.level.tables import MapTables
+from doomtpu.render.device import DeviceLevel
+from doomtpu.render.frame import render_frame, render_walls_planes
+from doomtpu.sim import step as step_mod
+from doomtpu.sim.state import GameState
+from doomtpu.sim.thinkers import ThinkerTables
+from doomtpu.wad.reader import WadFile
+
+
+class Clock:
+    """16-sample rolling FPS average (game.rs:47-92)."""
+
+    def __init__(self, samples: int = 16):
+        self.samples = samples
+        self.list = [0.0] * samples
+        self.index = 0
+        self.rolling_sum = 0.0
+        self.timestamp = 0.0
+
+    def add_elapsed_interval(self, interval: float) -> None:
+        self.timestamp += interval
+        self.rolling_sum -= self.list[self.index]
+        self.rolling_sum += interval
+        self.list[self.index] = interval
+        self.index = (self.index + 1) % self.samples
+
+    def fps(self) -> float:
+        avg = self.rolling_sum / self.samples
+        return 1.0 / avg if avg > 0 else 0.0
+
+
+@dataclass(eq=False)  # hash by identity so jit can treat the engine static
+class DoomEngine:
+    wad: WadFile
+    tables: MapTables
+    assets: LevelAssets
+    info: InfoTables
+    level: DeviceLevel
+    thinkers: ThinkerTables
+    config: RenderConfig
+    turbo: float = 1.0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_wad_bytes(
+        cls, data: bytes, map_name: str = "e1m1",
+        config: RenderConfig | None = None, turbo: float = 1.0,
+        require_iwad: bool = False,
+    ) -> "DoomEngine":
+        wad = WadFile(data, require_iwad=require_iwad)
+        info = load_default_tables()
+        tables = MapTables.load(wad, map_name)
+        assets = LevelAssets.load(wad, tables, info.sprite_names)
+        level = DeviceLevel.build(tables, assets, info)
+        thinkers = ThinkerTables.build(tables, info)
+        return cls(
+            wad=wad, tables=tables, assets=assets, info=info,
+            level=level, thinkers=thinkers,
+            config=config or RenderConfig(), turbo=turbo,
+        )
+
+    @classmethod
+    def from_wad(cls, path: str, map_name: str = "e1m1", **kw) -> "DoomEngine":
+        with open(path, "rb") as f:
+            return cls.from_wad_bytes(f.read(), map_name, **kw)
+
+    # ------------------------------------------------------------------
+    def new_game(
+        self, batch: int = 1, key=None, pos=None, angle=None
+    ) -> GameState:
+        return GameState.initial(
+            self.level, self.thinkers, batch, pos=pos, angle=angle, key=key
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def render(self, state: GameState):
+        """Full frame for every environment -> (idx, rgb)."""
+        idx, rgb, _ = render_frame(
+            self.level, self.config,
+            state.pos[:, 0], state.pos[:, 1], state.angle,
+            state.floor_height, state.sector_light, state.mobj_state,
+            state.timestamp,
+        )
+        return idx, rgb
+
+    @partial(jax.jit, static_argnums=0)
+    def render_walls(self, state: GameState):
+        """Walls/planes/sky only (no things) -> (idx, rgb)."""
+        idx, rgb, _ = render_walls_planes(
+            self.level, self.config,
+            state.pos[:, 0], state.pos[:, 1], state.angle,
+            state.floor_height, state.sector_light, state.timestamp,
+        )
+        return idx, rgb
+
+    @partial(jax.jit, static_argnums=0)
+    def tick(self, state: GameState, controls, key) -> GameState:
+        return step_mod.tick(
+            self.level, self.thinkers, state, controls, key, self.turbo
+        )
+
+    def rollout(self, state: GameState, controls_seq, key):
+        return step_mod.rollout(
+            self.level, self.thinkers, self.config, state, controls_seq, key
+        )
+
+    def kill_everything(self, state):
+        return step_mod.kill_everything(self.level, state)
+
+    def explode_everything(self, state):
+        return step_mod.explode_everything(self.level, state)
+
+    def respawn_everything(self, state):
+        return step_mod.respawn_everything(self.level, state)
+
+    # ------------------------------------------------------------------
+    def player_position_json(self, state: GameState, env: int = 0) -> str:
+        """Re-runnable --player-position JSON (game.rs:376-384)."""
+        import json
+
+        return json.dumps({
+            "position": {
+                "x": float(state.pos[env, 0]), "y": float(state.pos[env, 1]),
+            },
+            "angle": float(state.angle[env]),
+        })
+
+    def map_2d(self, state: GameState, env: int = 0) -> np.ndarray:
+        from doomtpu.render.map2d import render_map_2d
+
+        return render_map_2d(
+            self.tables, self.config,
+            float(state.pos[env, 0]), float(state.pos[env, 1]),
+            float(state.angle[env]),
+        )

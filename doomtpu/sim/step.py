@@ -1,0 +1,93 @@
+"""The pure simulation step: one 35 Hz tick for B environments.
+
+tick() mirrors Game::tick (game.rs:463-466): process player controls,
+then run every thinker.  step+render composes under lax.scan for
+RL-style rollouts (the 2048-camera config of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from doomtpu.render.device import DeviceLevel
+from doomtpu.sim import player as player_mod
+from doomtpu.sim import thinkers as tk_mod
+from doomtpu.sim.state import GameState
+from doomtpu.sim.thinkers import ThinkerTables
+
+
+def tick(
+    level: DeviceLevel,
+    tkt: ThinkerTables,
+    state: GameState,
+    controls,           # [B] i32 bitmask
+    key,                # PRNG key
+    turbo: float = 1.0,
+) -> GameState:
+    pos, angle, floor_h = player_mod.move_player(
+        level, state.pos, state.angle, controls, turbo
+    )
+    light, count, up = tk_mod.step_lights(
+        tkt, state.sector_light, state.light_count, state.light_up, key
+    )
+    mstate, mtics = tk_mod.step_mobjs(level, state.mobj_state, state.mobj_tics)
+    return GameState(
+        pos=pos, angle=angle, floor_height=floor_h,
+        sector_light=light, light_count=count, light_up=up,
+        mobj_state=mstate, mobj_tics=mtics,
+        tick=state.tick + 1,
+    )
+
+
+def kill_everything(level: DeviceLevel, state: GameState) -> GameState:
+    """K key (game.rs:414-419, map_objects.rs:123-127)."""
+    s, t = tk_mod.kill_mobjs(level, state.mobj_state, state.mobj_tics)
+    return _with_mobjs(state, s, t)
+
+
+def explode_everything(level: DeviceLevel, state: GameState) -> GameState:
+    s, t = tk_mod.explode_mobjs(level, state.mobj_state, state.mobj_tics)
+    return _with_mobjs(state, s, t)
+
+
+def respawn_everything(level: DeviceLevel, state: GameState) -> GameState:
+    s, t = tk_mod.respawn_mobjs(level, state.mobj_state, state.mobj_tics)
+    return _with_mobjs(state, s, t)
+
+
+def _with_mobjs(state: GameState, mstate, mtics) -> GameState:
+    from dataclasses import replace
+
+    return replace(state, mobj_state=mstate, mobj_tics=mtics)
+
+
+def rollout(
+    level: DeviceLevel,
+    tkt: ThinkerTables,
+    cfg,
+    state: GameState,
+    controls_seq,       # [T, B] i32
+    key,
+    render_every: int = 1,
+):
+    """lax.scan rollout: T ticks of step+render.
+
+    Returns (final_state, frames [T//render_every, B, H, W] palette idx).
+    """
+    from doomtpu.render.frame import render_frame
+
+    T = controls_seq.shape[0]
+    keys = jax.random.split(key, T)
+
+    def body(st, inp):
+        controls, k = inp
+        st = tick(level, tkt, st, controls, k)
+        idx, _, _ = render_frame(
+            level, cfg, st.pos[:, 0], st.pos[:, 1], st.angle,
+            st.floor_height, st.sector_light, st.mobj_state, st.timestamp,
+        )
+        return st, idx
+
+    final, frames = jax.lax.scan(body, state, (controls_seq, keys))
+    return final, frames
