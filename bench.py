@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: batched-camera render throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north star of 100k
+aggregate frames/sec at >= 2048 parallel viewpoints on one TPU chip
+(the reference publishes no numbers of its own — BASELINE.md).
+
+Uses doom1.wad e1m1 when present (./doom1.wad or $DOOM_WAD), otherwise
+the built-in synthetic demo level that exercises the same feature set
+(portals, sky, masked mids, sprites, light specials, animated flats).
+
+Env knobs: DOOMTPU_BENCH_B (batch, default 2048), DOOMTPU_BENCH_ITERS,
+DOOMTPU_BENCH_THINGS=0 to benchmark the walls/planes pipeline only.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+NORTH_STAR_FPS = 100_000.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from doomtpu.config import RenderConfig
+    from doomtpu.engine import DoomEngine
+
+    B = int(os.environ.get("DOOMTPU_BENCH_B", 2048))
+    iters = int(os.environ.get("DOOMTPU_BENCH_ITERS", 10))
+    with_things = os.environ.get("DOOMTPU_BENCH_THINGS", "1") != "0"
+
+    cfg = RenderConfig(width=320, height=200)
+    wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
+    if os.path.exists(wad_path):
+        engine = DoomEngine.from_wad(wad_path, "e1m1", config=cfg)
+        source = wad_path
+    else:
+        from doomtpu.wad import synth
+
+        engine = DoomEngine.from_wad_bytes(synth.demo_wad(), "e1m1", config=cfg)
+        source = "synthetic demo level"
+
+    # random valid camera poses spread over the map
+    t = engine.tables
+    rng = np.random.default_rng(0)
+    poses = []
+    left, right, top, bottom = [float(v) for v in t.bbox]
+    while len(poses) < B:
+        x = rng.uniform(left, right)
+        y = rng.uniform(top, bottom)
+        s = t.sector_at(x, y)
+        if s >= 0 and t.sector_floor_h[s] < t.sector_ceil_h[s]:
+            poses.append((x, y, rng.uniform(0, 2 * math.pi)))
+    pos = np.asarray([(p[0], p[1]) for p in poses], np.float32)
+    ang = np.asarray([p[2] for p in poses], np.float32)
+
+    state = engine.new_game(B, key=jax.random.PRNGKey(0), pos=pos, angle=ang)
+    render = engine.render if with_things else engine.render_walls
+
+    # compile + warm up
+    t0 = time.time()
+    idx, rgb = render(state)
+    jax.block_until_ready(rgb)
+    compile_s = time.time() - t0
+
+    # timed loop (state advances so frames differ)
+    controls = jnp.zeros(B, jnp.int32)
+    key = jax.random.PRNGKey(1)
+    states = [state]
+    for i in range(iters - 1):
+        states.append(
+            engine.tick(states[-1], controls, jax.random.fold_in(key, i))
+        )
+    jax.block_until_ready(states[-1].tick)
+
+    t0 = time.time()
+    outs = []
+    for st in states:
+        outs.append(render(st)[1])
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+
+    fps = B * iters / dt
+    print(
+        f"# {source}: B={B} iters={iters} things={with_things} "
+        f"compile={compile_s:.1f}s run={dt:.3f}s "
+        f"({dt / iters * 1000:.1f} ms/batched-frame)",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "e1m1 320×200 frames/sec/chip (batched cameras); "
+                  "pixel parity vs Rust ref",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""JAX renderer vs the NumPy spec oracle: bit-exact frame parity.
+
+Runs in strict-FP mode (conftest) so XLA's FMA contraction and excess
+precision are neutralized; agreement is required to be exact.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doomtpu.render.device import DeviceLevel
+from doomtpu.render.frame import render_frame, render_walls_planes
+from doomtpu.render.spec import Player, SpecRenderer
+
+
+VIEWS = [
+    (384.0, 256.0, 0.0),
+    (900.0, 256.0, 2.5),
+    (300.0, 700.0, 4.6),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(demo_level, config):
+    level = DeviceLevel.build(
+        demo_level.tables, demo_level.assets, demo_level.info
+    )
+    spec = SpecRenderer(
+        demo_level.tables, demo_level.assets, demo_level.info, config
+    )
+    return level, spec
+
+
+def _player(demo_level, x, y, a):
+    sec = demo_level.tables.sector_at(x, y)
+    return Player(x, y, a, float(demo_level.tables.sector_floor_h[sec]))
+
+
+def test_full_frame_bit_exact(setup, demo_level, config):
+    level, spec = setup
+    B = len(VIEWS)
+    px = jnp.asarray([v[0] for v in VIEWS], jnp.float32)
+    py = jnp.asarray([v[1] for v in VIEWS], jnp.float32)
+    pa = jnp.asarray([v[2] for v in VIEWS], jnp.float32)
+    fh = jnp.asarray(
+        [_player(demo_level, *v).floor_height for v in VIEWS], jnp.float32
+    )
+    sl = jnp.asarray(demo_level.tables.sector_light, jnp.int32)[None].repeat(B, 0)
+    mp, ma, ms = demo_level.spawn_mobjs()
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
+    ts = jnp.full(B, 0.4, jnp.float32)  # mid-cycle animated flats
+
+    idx, rgb, aux = render_frame(
+        level, config, px, py, pa, fh, sl, mstate, ts
+    )
+    assert int(np.asarray(aux["overflow"]).max()) == 0
+
+    for b, v in enumerate(VIEWS):
+        out = spec.render(
+            _player(demo_level, *v),
+            mobj_pos=mp, mobj_angle=ma, mobj_state=ms, timestamp=0.4,
+        )
+        np.testing.assert_array_equal(np.asarray(idx[b]), out["idx"])
+        np.testing.assert_array_equal(np.asarray(rgb[b]), out["rgb"])
+
+
+def test_batch_equals_single(setup, demo_level, config):
+    """Rendering B views at once matches rendering them one at a time."""
+    level, _ = setup
+    B = len(VIEWS)
+    args = lambda sel: (
+        jnp.asarray([VIEWS[i][0] for i in sel], jnp.float32),
+        jnp.asarray([VIEWS[i][1] for i in sel], jnp.float32),
+        jnp.asarray([VIEWS[i][2] for i in sel], jnp.float32),
+        jnp.asarray(
+            [_player(demo_level, *VIEWS[i]).floor_height for i in sel],
+            jnp.float32,
+        ),
+        jnp.asarray(demo_level.tables.sector_light, jnp.int32)[None].repeat(
+            len(sel), 0
+        ),
+        jnp.zeros(len(sel), jnp.float32),
+    )
+    full_idx, _, _ = render_walls_planes(level, config, *args(range(B)))
+    one_idx, _, _ = render_walls_planes(level, config, *args([1]))
+    np.testing.assert_array_equal(np.asarray(full_idx[1]), np.asarray(one_idx[0]))
