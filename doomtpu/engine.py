@@ -93,6 +93,11 @@ class DoomEngine:
             return cls.from_wad_bytes(f.read(), map_name, **kw)
 
     # ------------------------------------------------------------------
+    # All device arrays (level/thinkers/state) are passed as jit ARGUMENTS
+    # rather than captured in closures: on some PJRT runtimes (the axon
+    # relay used here) executables with large embedded array constants
+    # permanently degrade the process to synchronous dispatch.
+
     def new_game(
         self, batch: int = 1, key=None, pos=None, angle=None
     ) -> GameState:
@@ -100,30 +105,16 @@ class DoomEngine:
             self.level, self.thinkers, batch, pos=pos, angle=angle, key=key
         )
 
-    @partial(jax.jit, static_argnums=0)
     def render(self, state: GameState):
         """Full frame for every environment -> (idx, rgb)."""
-        idx, rgb, _ = render_frame(
-            self.level, self.config,
-            state.pos[:, 0], state.pos[:, 1], state.angle,
-            state.floor_height, state.sector_light, state.mobj_state,
-            state.timestamp,
-        )
-        return idx, rgb
+        return _render_jit(self.level, state, self.config)
 
-    @partial(jax.jit, static_argnums=0)
     def render_walls(self, state: GameState):
         """Walls/planes/sky only (no things) -> (idx, rgb)."""
-        idx, rgb, _ = render_walls_planes(
-            self.level, self.config,
-            state.pos[:, 0], state.pos[:, 1], state.angle,
-            state.floor_height, state.sector_light, state.timestamp,
-        )
-        return idx, rgb
+        return _render_walls_jit(self.level, state, self.config)
 
-    @partial(jax.jit, static_argnums=0)
     def tick(self, state: GameState, controls, key) -> GameState:
-        return step_mod.tick(
+        return _tick_jit(
             self.level, self.thinkers, state, controls, key, self.turbo
         )
 
@@ -161,3 +152,33 @@ class DoomEngine:
             float(state.pos[env, 0]), float(state.pos[env, 1]),
             float(state.angle[env]),
         )
+
+
+# ---------------------------------------------------------------------------
+# module-level jitted kernels (level/thinkers as pytree arguments)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=2)
+def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
+    idx, rgb, _ = render_frame(
+        level, cfg,
+        state.pos[:, 0], state.pos[:, 1], state.angle,
+        state.floor_height, state.sector_light, state.mobj_state,
+        state.timestamp,
+    )
+    return idx, rgb
+
+
+@partial(jax.jit, static_argnums=2)
+def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
+    idx, rgb, _ = render_walls_planes(
+        level, cfg,
+        state.pos[:, 0], state.pos[:, 1], state.angle,
+        state.floor_height, state.sector_light, state.timestamp,
+    )
+    return idx, rgb
+
+
+@partial(jax.jit, static_argnums=5)
+def _tick_jit(level, thinkers, state, controls, key, turbo):
+    return step_mod.tick(level, thinkers, state, controls, key, turbo)

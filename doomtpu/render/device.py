@@ -110,10 +110,15 @@ class DeviceLevel:
     mobj_death_state: jnp.ndarray  # [MO] i32
     mobj_xdeath_state: jnp.ndarray # [MO] i32
 
+    # --- static piece metadata (for sprite clipping / deferred draw) ------
+    piece_e2b: jnp.ndarray     # [G,4] bool extends-to-bottom per piece
+    piece_e2t: jnp.ndarray     # [G,4] bool extends-to-top per piece
+    dseg_ix: jnp.ndarray       # [D] i32 segs with drawable two-sided mids
+
     def tree_flatten(self):
         from dataclasses import fields
 
-        names = [f.name for f in fields(self)]
+        names = tuple(f.name for f in fields(self))
         return tuple(getattr(self, n) for n in names), names
 
     @classmethod
@@ -175,6 +180,16 @@ class DeviceLevel:
 
         i16c = lambda x: np.clip(np.trunc(x), -32768, 32767).astype(np.int32)
 
+        # static extends flags per piece (bitmap_render extends_to_* rules)
+        two_sided_np = (flags & 4) != 0
+        solid_np = ~two_sided_np
+        zeros = np.zeros_like(solid_np)
+        piece_e2b = np.stack([solid_np, zeros, np.ones_like(solid_np), zeros], -1)
+        piece_e2t = np.stack([solid_np, zeros, zeros, np.ones_like(solid_np)], -1)
+        dseg_ix = np.nonzero(
+            two_sided_np & (np.asarray(a.side_middle_tex[fs_safe]) >= 0)
+        )[0].astype(np.int32)
+
         return cls(
             seg_v1=_j(t.vertexes[t.seg_v[:, 0]], jnp.float32),
             seg_v2=_j(t.vertexes[t.seg_v[:, 1]], jnp.float32),
@@ -233,6 +248,9 @@ class DeviceLevel:
             mobj_spawn_state=_j(info.mobj_spawn[mobj_info_ix], jnp.int32),
             mobj_death_state=_j(info.mobj_death[mobj_info_ix], jnp.int32),
             mobj_xdeath_state=_j(info.mobj_xdeath[mobj_info_ix], jnp.int32),
+            piece_e2b=_j(piece_e2b),
+            piece_e2t=_j(piece_e2t),
+            dseg_ix=_j(dseg_ix, jnp.int32),
         )
 
     @property

@@ -84,10 +84,8 @@ def deferred_pass(
     MO = level.num_mobjs
 
     # static list of deferred-drawable two-sided mid pieces
-    two_sided_np = np.asarray(level.seg_two_sided)
-    mid_tex_np = np.asarray(level.seg_mid_tex)
-    dsegs = np.nonzero(two_sided_np & (mid_tex_np >= 0))[0]
-    D = len(dsegs)
+    dsegs_j = level.dseg_ix
+    D = dsegs_j.shape[0]
     n_items = MO + D
     if n_items == 0:
         return idx, light, dist, is_sky
@@ -155,15 +153,8 @@ def deferred_pass(
         )                                                       # [B, G, MO]
         seg_valid = frame["valid"]
 
-        solid_np = ~two_sided_np
-        e2b_static = jnp.asarray(
-            np.stack([solid_np, np.zeros_like(solid_np),
-                      np.ones_like(solid_np), np.zeros_like(solid_np)], -1)
-        )                                                       # [G, 4]
-        e2t_static = jnp.asarray(
-            np.stack([solid_np, np.zeros_like(solid_np),
-                      np.zeros_like(solid_np), np.ones_like(solid_np)], -1)
-        )
+        e2b_static = level.piece_e2b                             # [G, 4]
+        e2t_static = level.piece_e2t
         draw_ceil_static = level.seg_draw_ceiling                # [G]
 
         tsc = jnp.full((B, MO, W), -1, I32)
@@ -241,7 +232,6 @@ def deferred_pass(
 
     # ---------------- masked mid seg items --------------------------------
     if D > 0:
-        dsegs_j = jnp.asarray(dsegs, I32)
         # midpoint-based behind test for the painter interleave (:221-231)
         if MO > 0:
             midx = f32(f32(lsx + lex) / f32(2.0))
@@ -269,7 +259,6 @@ def deferred_pass(
         tie_d = (G - 1) - inv_pos[:, dsegs_j]                    # [B, D]
         dseg_valid = frame["valid"][:, dsegs_j] & frame["active"][:, dsegs_j, 1]
     else:
-        dsegs_j = jnp.zeros((0,), I32)
         j_first = jnp.zeros((B, 0), I32)
         tie_d = jnp.zeros((B, 0), I32)
         dseg_valid = jnp.zeros((B, 0), bool)

@@ -39,7 +39,7 @@ class GameState:
     def tree_flatten(self):
         from dataclasses import fields
 
-        names = [f.name for f in fields(self)]
+        names = tuple(f.name for f in fields(self))
         return tuple(getattr(self, n) for n in names), names
 
     @classmethod

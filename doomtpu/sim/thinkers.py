@@ -62,11 +62,19 @@ class ThinkerTables:
     def tree_flatten(self):
         arrs = (self.kind, self.min_light, self.max_light, self.dark_time,
                 self.bright_time, self.min_time, self.max_time, self.sync)
-        return arrs, (self.player_start_pos, self.player_start_angle)
+        aux = (tuple(float(v) for v in self.player_start_pos),
+               float(self.player_start_angle))
+        return arrs, aux
 
     @classmethod
     def tree_unflatten(cls, aux, values):
-        return cls(*values, player_start_pos=aux[0], player_start_angle=aux[1])
+        import numpy as np
+
+        return cls(
+            *values,
+            player_start_pos=np.asarray(aux[0], np.float32),
+            player_start_angle=aux[1],
+        )
 
     # ------------------------------------------------------------------
     @classmethod
