@@ -121,7 +121,9 @@ def main(argv=None) -> int:
         if args.map_view:
             img = engine.map_2d(state)
         else:
-            img = np.asarray(rgb[0])
+            from doomtpu.utils.color import unpack_rgb
+
+            img = unpack_rgb(rgb[0])
         if args.out.endswith(".npy"):
             np.save(args.out, np.asarray(rgb))
         else:

@@ -43,6 +43,10 @@ class RenderConfig:
     # Fixed capacity for deferred draw items (two-sided mids + sprites)
     # considered per frame in the painter's pass.
     max_visible_mobjs: int = 64
+    # Cameras rendered per inner chunk: large batches are processed as a
+    # lax.map over chunks so the peak [chunk, H, W] working set stays
+    # inside HBM while the output frames accumulate at full batch size.
+    render_chunk: int = 256
 
     @property
     def camera_focus_x(self) -> float:

@@ -106,7 +106,7 @@ class DoomEngine:
         )
 
     def render(self, state: GameState):
-        """Full frame for every environment -> (idx, rgb)."""
+        """Full frame -> (idx [B,H,W], rgb packed 0xRRGGBB [B,H,W])."""
         return _render_jit(self.level, state, self.config)
 
     def render_walls(self, state: GameState):
@@ -158,25 +158,62 @@ class DoomEngine:
 # module-level jitted kernels (level/thinkers as pytree arguments)
 # ---------------------------------------------------------------------------
 
+def _chunked(level, state: GameState, cfg: RenderConfig, one_chunk):
+    """Run `one_chunk` over the batch in render_chunk-sized pieces.
+
+    Bounds the [chunk, H, W] working set (the resolve stage holds several
+    such temporaries) while outputs accumulate at full batch size.
+    """
+    B = state.pos.shape[0]
+    C = cfg.render_chunk
+    if B <= C or B % C != 0:
+        return one_chunk(state)
+
+    chunks = jax.tree_util.tree_map(
+        lambda x: x.reshape((B // C, C) + x.shape[1:]), state
+    )
+    return jax.lax.map(one_chunk, chunks)
+
+
+def _unchunk(out, B):
+    return jax.tree_util.tree_map(lambda x: x.reshape((B,) + x.shape[2:]), out)
+
+
 @partial(jax.jit, static_argnums=2)
 def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
-    idx, rgb, _ = render_frame(
-        level, cfg,
-        state.pos[:, 0], state.pos[:, 1], state.angle,
-        state.floor_height, state.sector_light, state.mobj_state,
-        state.timestamp,
-    )
-    return idx, rgb
+    B = state.pos.shape[0]
+
+    def one(st):
+        idx, rgb, _ = render_frame(
+            level, cfg,
+            st.pos[:, 0], st.pos[:, 1], st.angle,
+            st.floor_height, st.sector_light, st.mobj_state,
+            st.timestamp,
+        )
+        return idx, rgb
+
+    out = _chunked(level, state, cfg, one)
+    if out[0].shape[0] != B:
+        out = _unchunk(out, B)
+    return out
 
 
 @partial(jax.jit, static_argnums=2)
 def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
-    idx, rgb, _ = render_walls_planes(
-        level, cfg,
-        state.pos[:, 0], state.pos[:, 1], state.angle,
-        state.floor_height, state.sector_light, state.timestamp,
-    )
-    return idx, rgb
+    B = state.pos.shape[0]
+
+    def one(st):
+        idx, rgb, _ = render_walls_planes(
+            level, cfg,
+            st.pos[:, 0], st.pos[:, 1], st.angle,
+            st.floor_height, st.sector_light, st.timestamp,
+        )
+        return idx, rgb
+
+    out = _chunked(level, state, cfg, one)
+    if out[0].shape[0] != B:
+        out = _unchunk(out, B)
+    return out
 
 
 @partial(jax.jit, static_argnums=5)

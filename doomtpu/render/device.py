@@ -115,6 +115,10 @@ class DeviceLevel:
     piece_e2t: jnp.ndarray     # [G,4] bool extends-to-top per piece
     dseg_ix: jnp.ndarray       # [D] i32 segs with drawable two-sided mids
 
+    # unified texel atlas for the resolve stage: [T*TH*TW + F*64*64] i32,
+    # value = palette_index | opaque << 8 (walls first, then flats)
+    atlas_packed: jnp.ndarray
+
     def tree_flatten(self):
         from dataclasses import fields
 
@@ -190,6 +194,12 @@ class DeviceLevel:
             two_sided_np & (np.asarray(a.side_middle_tex[fs_safe]) >= 0)
         )[0].astype(np.int32)
 
+        atlas_packed = np.concatenate([
+            (a.tex_pixels.astype(np.int32)
+             | (a.tex_mask.astype(np.int32) << 8)).reshape(-1),
+            (a.flat_pixels.astype(np.int32) | (1 << 8)).reshape(-1),
+        ])
+
         return cls(
             seg_v1=_j(t.vertexes[t.seg_v[:, 0]], jnp.float32),
             seg_v2=_j(t.vertexes[t.seg_v[:, 1]], jnp.float32),
@@ -251,6 +261,7 @@ class DeviceLevel:
             piece_e2b=_j(piece_e2b),
             piece_e2t=_j(piece_e2t),
             dseg_ix=_j(dseg_ix, jnp.int32),
+            atlas_packed=_j(atlas_packed, jnp.int32),
         )
 
     @property

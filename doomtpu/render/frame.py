@@ -62,7 +62,7 @@ def render_frame(
 
     Batched equivalent of Renderer::render (renderer/mod.rs:118-136).
     Returns (idx [B,H,W] palette indices with -1 = unwritten,
-    rgb [B,H,W,3] u8, aux dict).
+    rgb [B,H,W] packed 0xRRGGBB i32, aux dict).
     """
     from doomtpu.render import things
 

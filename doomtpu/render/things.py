@@ -8,8 +8,9 @@ flow:
   projected exactly like a wall
 - per-column sprite clip bounds accumulate from the span pool: solid
   pieces clip via their extends flags and clipped y values, two-sided
-  pieces clip to the portal opening with full (unclipped) edge values,
-  honoring the sky-hack draw_ceiling flag (:127-166)
+  pieces clip to the portal opening with full (unclipped) edge values
+  read straight from the pool's G-buffer, honoring the sky-hack
+  draw_ceiling flag (:127-166)
 - the painter's interleave ("draw every not-yet-drawn masked seg behind
   the sprite, then the sprite", :216-240) becomes a static sort key:
   sprites sort back-to-front by clipped-start-x, a masked seg draws just
@@ -37,6 +38,7 @@ from doomtpu.render.device import DeviceLevel
 from doomtpu.render.jmath import (
     F32, I32, as_i16, f32, is_left_of, rotate, smul, wrap_tex,
 )
+from doomtpu.render.resolve import unpack16_hi, unpack16_lo
 from doomtpu.render.walls import KIND_MID, KIND_WALL
 
 _PI = np.float32(math.pi)
@@ -78,12 +80,12 @@ def deferred_pass(
     idx, light, dist, is_sky,            # wall/plane resolve outputs
 ):
     """Composite sprites + masked mids over the resolved frame."""
-    B, W, K = pool.shape
+    spans, (d1, d2, d3, d4, d5) = pool
+    B, W, K = spans.shape
     H = cfg.height
     G = level.num_segs
     MO = level.num_mobjs
 
-    # static list of deferred-drawable two-sided mid pieces
     dsegs_j = level.dseg_ix
     D = dsegs_j.shape[0]
     n_items = MO + D
@@ -91,7 +93,6 @@ def deferred_pass(
         return idx, light, dist, is_sky
 
     yy = jnp.arange(H, dtype=I32)[None, :, None]
-    xxw = jnp.arange(W, dtype=I32)[None, None, :]
     xcol = jnp.arange(W, dtype=I32)[None, :]
 
     # ---------------- sprite setup [B, MO] --------------------------------
@@ -121,9 +122,7 @@ def deferred_pass(
         valid = valid & ok
 
         sec = jnp.maximum(level.mobj_sector, 0)
-        light_m = jnp.where(
-            bright, 255, sector_light[:, sec]
-        )
+        light_m = jnp.where(bright, 255, sector_light[:, sec])
         ph = f32(floor_height)[:, None] + f32(PLAYER_EYE_HEIGHT)
         z_f = f32(level.sector_floor_h[sec])[None]
         pic_h = f32(level.spr_h[pic_s])
@@ -140,18 +139,16 @@ def deferred_pass(
         yb_e = cam.project_y(cfg, lex, bottom_h)
         yt_s = cam.project_y(cfg, lsx, top_h)
         yt_e = cam.project_y(cfg, lex, top_h)
-        denom = f32(bsx - bex)
-        yb_d = f32(yb_s - yb_e) / denom
-        yt_d = f32(yt_s - yt_e) / denom
+        denom_x = f32(bsx - bex)
+        yb_d = f32(yb_s - yb_e) / denom_x
+        yt_d = f32(yt_s - yt_e) / denom_x
 
         # ---------------- seg-based clip bounds from the pool -------------
-        # pairwise "is seg in front of sprite" bits (:141)
         behind = is_behind_vertex(
             frame["lsx"][:, :, None], frame["lsy"][:, :, None],
             frame["lex"][:, :, None], frame["ley"][:, :, None],
             vpx[:, None, :], vpy[:, None, :],
         )                                                       # [B, G, MO]
-        seg_valid = frame["valid"]
 
         e2b_static = level.piece_e2b                             # [G, 4]
         e2t_static = level.piece_e2t
@@ -160,7 +157,7 @@ def deferred_pass(
         tsc = jnp.full((B, MO, W), -1, I32)
         bsc = jnp.full((B, MO, W), H, I32)
         for k in range(K):
-            slot = pool[:, :, k]                                # [B, W]
+            slot = spans[:, :, k]                               # [B, W]
             k_ok = k < cnt
             kind = (slot >> 29) & 3
             item = (slot >> 16) & 0x1FFF
@@ -175,7 +172,7 @@ def deferred_pass(
             front = front & k_ok[:, :, None]
             front = jnp.moveaxis(front, 2, 1)                    # [B, MO, W]
 
-            is_wall = (kind == KIND_WALL)
+            is_wall = kind == KIND_WALL
             e2b_k = e2b_static[g_s, p_s] & is_wall
             e2t_k = e2t_static[g_s, p_s] & is_wall
             bsc = jnp.where(
@@ -187,24 +184,10 @@ def deferred_pass(
                 jnp.maximum(tsc, y1[:, None, :]), tsc,
             )
 
+            # portals clip with the FULL edges, straight from the G-buffer
             is_mid = kind == KIND_MID
-            # full (unclipped) edges recomputed from the seg frame
-            x0_s = jnp.take_along_axis(frame["x0"], g_s, axis=1)
-            item_b = item  # [B, W]
-            ybs_s = jnp.take_along_axis(
-                frame["yb_s"].reshape(B, -1), item_b, axis=1
-            )
-            ybd_s = jnp.take_along_axis(
-                frame["yb_d"].reshape(B, -1), item_b, axis=1
-            )
-            yts_s = jnp.take_along_axis(
-                frame["yt_s"].reshape(B, -1), item_b, axis=1
-            )
-            ytd_s = jnp.take_along_axis(
-                frame["yt_d"].reshape(B, -1), item_b, axis=1
-            )
-            by_full = as_i16(f32(ybs_s) + smul(f32(xcol - x0_s), ybd_s))
-            ty_full = as_i16(f32(yts_s) + smul(f32(xcol - x0_s), ytd_s))
+            by_full = unpack16_hi(d2[:, :, k])
+            ty_full = unpack16_lo(d2[:, :, k])
             dc_k = draw_ceil_static[g_s] & is_mid
             tsc = jnp.where(
                 front & dc_k[:, None, :],
@@ -222,7 +205,6 @@ def deferred_pass(
             stable=True,
         ).astype(I32)
         draw_order = asc[:, ::-1]                                # [B, MO]
-        # j_of_m[b, m] = draw position of sprite m
         j_of_m = jnp.zeros((B, MO), I32).at[
             jnp.arange(B)[:, None], draw_order
         ].set(jnp.arange(MO, dtype=I32)[None])
@@ -232,7 +214,6 @@ def deferred_pass(
 
     # ---------------- masked mid seg items --------------------------------
     if D > 0:
-        # midpoint-based behind test for the painter interleave (:221-231)
         if MO > 0:
             midx = f32(f32(lsx + lex) / f32(2.0))
             midy = f32(f32(lsy + ley) / f32(2.0))
@@ -241,18 +222,15 @@ def deferred_pass(
                 frame["lex"][:, dsegs_j, None], frame["ley"][:, dsegs_j, None],
                 midx[:, None, :], midy[:, None, :],
             )                                                   # [B, D, MO]
-            # seg draws before the first sprite (in draw order) it's behind
             b_ord = jnp.take_along_axis(
                 behind_mid & valid[:, None, :], draw_order[:, None, :], axis=2
-            )                                                   # [B, D, MO]
+            )
             j_first = jnp.where(
-                b_ord.any(-1),
-                jnp.argmax(b_ord, axis=-1).astype(I32), MO,
+                b_ord.any(-1), jnp.argmax(b_ord, axis=-1).astype(I32), MO
             )
         else:
             j_first = jnp.full((B, D), 0, I32)
 
-        # reversed-traversal tie order: later in scan order draws first
         inv_pos = jnp.zeros((B, G), I32).at[
             jnp.arange(B)[:, None], order
         ].set(jnp.arange(G, dtype=I32)[None])
@@ -264,7 +242,6 @@ def deferred_pass(
         dseg_valid = jnp.zeros((B, 0), bool)
 
     # ---------------- unified item table -----------------------------------
-    # items 0..MO-1: sprites; MO..MO+D-1: masked segs
     TIE = G + 1
     if MO > 0:
         key_sprite = (2 * j_of_m + 1) * TIE
@@ -273,37 +250,67 @@ def deferred_pass(
     key_seg = (2 * j_first) * TIE + tie_d
     item_key = jnp.concatenate([key_sprite, key_seg], axis=1)    # [B, I]
     item_valid = jnp.concatenate([valid, dseg_valid], axis=1)
-    # invalid items sort last and are masked out
     item_key = jnp.where(item_valid, item_key, jnp.iinfo(jnp.int32).max)
     item_sorted = jnp.argsort(item_key, axis=1, stable=True).astype(I32)
 
     # ---------------- per-item column data [B, I, W] -------------------------
-    def sprite_cols():
+    PH, PW = level.spr_pixels.shape[1], level.spr_pixels.shape[2]
+    TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
+
+    if MO > 0:
+        # sprite columns: perspective u + depth (bitmap_render.rs:241-251)
+        one = f32(1.0)
+        ax = f32(xcol[:, None] - bsx[..., None]) / f32((bex - bsx)[..., None])
+        inv0 = (one / f32(lsx))[..., None]
+        inv1 = (one / f32(lex))[..., None]
+        denom = smul(one - ax, inv0) + smul(ax, inv1)
+        s_len = jnp.sqrt(
+            smul(lsx - lex, lsx - lex) + smul(lsy - ley, lsy - ley)
+        )
+        u = (
+            smul(one - ax, (f32(0.0) / f32(lsx))[..., None])
+            + smul(ax, (s_len / f32(lex))[..., None])
+        ) / denom
+        s_tx = as_i16(u) + as_i16(start_off)[..., None]
+        s_tx = wrap_tex(s_tx, jnp.maximum(w_pic, 1)[..., None])
+        s_zd = as_i16(((one - ax) + ax) / denom)
+
         x0i = as_i16(bsx)
         x1i = as_i16(bex)                                        # exclusive
         in_range = (xcol[:, None] >= x0i[..., None]) & (
             xcol[:, None] < x1i[..., None]
         )
-        by = as_i16(
+        s_by = as_i16(
             f32(yb_s)[..., None]
             + smul(f32(xcol[:, None] - bsx[..., None]), yb_d[..., None])
         )
-        ty = as_i16(
+        s_ty = as_i16(
             f32(yt_s)[..., None]
             + smul(f32(xcol[:, None] - bsx[..., None]), yt_d[..., None])
         )
-        ct = jnp.maximum(0, jnp.maximum(ty, tsc))
-        cb = jnp.minimum(H - 1, jnp.minimum(by, bsc))
-        return in_range & valid[..., None], ct, cb, by, ty
+        s_ct = jnp.maximum(0, jnp.maximum(s_ty, tsc))
+        s_cb = jnp.minimum(H - 1, jnp.minimum(s_by, bsc))
+        spr_i = dict(
+            present=in_range & valid[..., None],
+            ct=s_ct, cb=s_cb, by=s_by, ty=s_ty,
+            colbase=pic_s[..., None] * (PH * PW) + s_tx,
+            off_y=jnp.zeros((B, MO, W), I32),
+            th=jnp.broadcast_to(level.spr_h[pic_s][..., None], (B, MO, W)),
+            light=jnp.broadcast_to(light_m[..., None], (B, MO, W)),
+            zd=s_zd,
+            uy1=jnp.broadcast_to((top_h - bottom_h)[..., None], (B, MO, W)),
+            is_sprite=jnp.ones((B, MO, W), bool),
+        )
 
-    def seg_cols():
-        """Recover each masked seg's recorded columns from the pool."""
+    if D > 0:
+        # recover each masked seg's recorded columns + draw data from pool
+        want_item = dsegs_j * 4 + 1                              # [D]
         present = jnp.zeros((B, D, W), bool)
         ct = jnp.zeros((B, D, W), I32)
         cb = jnp.zeros((B, D, W), I32)
-        want_item = dsegs_j * 4 + 1                              # [D]
+        sd = [jnp.zeros((B, D, W), I32) for _ in range(5)]
         for k in range(K):
-            slot = pool[:, :, k]
+            slot = spans[:, :, k]
             k_ok = k < cnt
             kind = (slot >> 29) & 3
             item = (slot >> 16) & 0x1FFF
@@ -316,79 +323,35 @@ def deferred_pass(
             present = present | match
             ct = jnp.where(match, y0[:, None, :], ct)
             cb = jnp.where(match, y1[:, None, :], cb)
-        return present, ct, cb
-
-    if MO > 0:
-        s_present, s_ct, s_cb, s_by, s_ty = sprite_cols()
-    if D > 0:
-        d_present, d_ct, d_cb = seg_cols()
-        dit = dsegs_j * 4 + 1
-        d_x0 = frame["x0"][:, dsegs_j]
-        d_by = as_i16(
-            f32(frame["yb_s"][:, dsegs_j, 1])[..., None]
-            + smul(f32(xcol[:, None] - d_x0[..., None]),
-                   frame["yb_d"][:, dsegs_j, 1][..., None])
-        )
-        d_ty = as_i16(
-            f32(frame["yt_s"][:, dsegs_j, 1])[..., None]
-            + smul(f32(xcol[:, None] - d_x0[..., None]),
-                   frame["yt_d"][:, dsegs_j, 1][..., None])
-        )
-
-    def cat(a, b):
-        if MO == 0:
-            return b
-        if D == 0:
-            return a
-        return jnp.concatenate([a, b], axis=1)
-
-    # texture u + depth per column need: x0, x1(proj), uz0/uz1, length,
-    # start_offset, offset_x, tex/pic id, tw, th, uy1, off_y, light
-    if MO > 0:
-        spr_i = dict(
-            present=s_present, ct=s_ct, cb=s_cb, by=s_by, ty=s_ty,
-            x0=bsx, x1=bex, uz0=lsx, uz1=lex,
-            length=jnp.sqrt(
-                smul(lsx - lex, lsx - lex) + smul(lsy - ley, lsy - ley)
-            ),
-            start_off=start_off,
-            off_x=jnp.zeros((B, MO), I32), off_y=jnp.zeros((B, MO), I32),
-            tex=pic_s, tw=level.spr_w[pic_s], th=level.spr_h[pic_s],
-            uy1=top_h - bottom_h, light=light_m,
-            is_sprite=jnp.ones((B, MO), bool),
-        )
-    if D > 0:
+            for di, dplane in enumerate((d1, d2, d3, d4, d5)):
+                sd[di] = jnp.where(match, dplane[:, :, k][:, None, :], sd[di])
         seg_i = dict(
-            present=d_present, ct=d_ct, cb=d_cb, by=d_by, ty=d_ty,
-            x0=frame["x0"][:, dsegs_j], x1=frame["x1"][:, dsegs_j],
-            uz0=frame["lsx"][:, dsegs_j], uz1=frame["lex"][:, dsegs_j],
-            length=frame["length"][:, dsegs_j],
-            start_off=frame["start_offset"][:, dsegs_j],
-            off_x=frame["offset_x_total"][:, dsegs_j],
-            off_y=frame["off_y"][:, dsegs_j, 1],
-            tex=jnp.broadcast_to(level.seg_mid_tex[dsegs_j][None], (B, D)),
-            tw=jnp.broadcast_to(
-                level.tex_w[level.seg_mid_tex[dsegs_j]][None], (B, D)
-            ),
-            th=jnp.broadcast_to(
-                level.tex_h[level.seg_mid_tex[dsegs_j]][None], (B, D)
-            ),
-            uy1=frame["uy1"][:, dsegs_j, 1],
-            light=frame["light"][:, dsegs_j],
-            is_sprite=jnp.zeros((B, D), bool),
+            present=present & dseg_valid[..., None],
+            ct=ct, cb=cb,
+            by=unpack16_hi(sd[1]), ty=unpack16_lo(sd[1]),
+            colbase=sd[0],
+            off_y=unpack16_hi(sd[2]), th=unpack16_lo(sd[2]),
+            light=unpack16_hi(sd[3]), zd=unpack16_lo(sd[3]),
+            uy1=lax.bitcast_convert_type(sd[4], F32),
+            is_sprite=jnp.zeros((B, D, W), bool),
         )
-    items = {
-        k: cat(spr_i[k] if MO > 0 else None, seg_i[k] if D > 0 else None)
-        for k in (spr_i if MO > 0 else seg_i)
-    }
+
+    def cat(name):
+        if MO == 0:
+            return seg_i[name]
+        if D == 0:
+            return spr_i[name]
+        return jnp.concatenate([spr_i[name], seg_i[name]], axis=1)
+
+    items = {k: cat(k) for k in (spr_i if MO > 0 else seg_i)}
 
     # ---------------- composite in sorted order ------------------------------
-    spr_flat = level.spr_pixels.reshape(-1)
-    spr_mask_flat = level.spr_mask.reshape(-1)
-    tex_flat = level.tex_pixels.reshape(-1)
-    tex_mask_flat = level.tex_mask.reshape(-1)
-    PH, PW = level.spr_pixels.shape[1], level.spr_pixels.shape[2]
-    TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
+    spr_packed_off = level.atlas_packed.shape[0]
+    atlas_all = jnp.concatenate([
+        level.atlas_packed,
+        (level.spr_pixels.reshape(-1)
+         | (level.spr_mask.reshape(-1).astype(I32) << 8)),
+    ])
 
     def body(i, carry):
         idx, light, dist, is_sky = carry
@@ -396,60 +359,38 @@ def deferred_pass(
 
         def g2(name):
             a = items[name]
-            if a.ndim == 2:
-                return jnp.take_along_axis(a, sel, axis=1)[:, 0]
             return jnp.take_along_axis(a, sel[..., None], axis=1)[:, 0]
 
         present = g2("present")                                   # [B, W]
         ct, cb = g2("ct"), g2("cb")
         by, ty = g2("by"), g2("ty")
-        x0, x1 = g2("x0"), g2("x1")
-        uz0, uz1 = g2("uz0"), g2("uz1")
-        length = g2("length")
-        start_off = g2("start_off")
-        off_x, off_y = g2("off_x"), g2("off_y")
-        tex, tw, th = g2("tex"), g2("tw"), g2("th")
+        colbase = g2("colbase")
+        off_y, th = g2("off_y"), g2("th")
+        light_i, zd = g2("light"), g2("zd")
         uy1 = g2("uy1")
-        light_i = g2("light")
         is_spr = g2("is_sprite")
         ok = jnp.take_along_axis(item_valid, sel, axis=1)[:, 0]  # [B]
-
-        one = f32(1.0)
-        ax = f32(xcol - x0[:, None]) / f32((x1 - x0)[:, None])
-        inv0 = (one / f32(uz0))[:, None]
-        inv1 = (one / f32(uz1))[:, None]
-        denom = smul(one - ax, inv0) + smul(ax, inv1)
-        u = (
-            smul(one - ax, (f32(0.0) / f32(uz0))[:, None])
-            + smul(ax, (length / f32(uz1))[:, None])
-        ) / denom
-        tx = as_i16(u) + as_i16(start_off)[:, None] + off_x[:, None]
-        tx = wrap_tex(tx, jnp.maximum(tw[:, None], 1))
-        zd = as_i16(((one - ax) + ax) / denom)                    # [B, W]
 
         cover = (
             present[:, None, :] & ok[:, None, None]
             & (yy >= ct[:, None, :]) & (yy <= cb[:, None, :])
         )                                                         # [B, H, W]
         ay = f32(yy - ty[:, None, :]) / f32((by - ty)[:, None, :])
-        tyv = as_i16(f32(th)[:, None, None] + smul(ay, uy1[:, None, None]))
-        tyv = tyv + off_y[:, None, None]
-        tyv = wrap_tex(tyv, jnp.maximum(th, 1)[:, None, None])
-        txb = tx[:, None, :]
+        tyv = as_i16(
+            f32(th[:, None, :]) + smul(ay, uy1[:, None, :])
+        ) + off_y[:, None, :]
+        tyv = wrap_tex(tyv, jnp.maximum(th, 1)[:, None, :])
 
-        six = tex[:, None, None] * (PH * PW) + tyv * PW + txb
-        tix = tex[:, None, None] * (TH * TW) + tyv * TW + txb
-        texel = jnp.where(
-            is_spr[:, None, None], spr_flat[six % spr_flat.shape[0]],
-            tex_flat[tix % tex_flat.shape[0]],
-        )
-        opaque = jnp.where(
-            is_spr[:, None, None], spr_mask_flat[six % spr_flat.shape[0]],
-            tex_mask_flat[tix % tex_flat.shape[0]],
-        )
+        row_w = jnp.where(is_spr, PW, TW)[:, None, :]
+        base = jnp.where(is_spr, colbase + spr_packed_off, colbase)[:, None, :]
+        t_ix = base + tyv * row_w
+        packed = atlas_all[jnp.clip(t_ix, 0, atlas_all.shape[0] - 1)]
+        texel = packed & 0xFF
+        opaque = (packed & 0x100) != 0
+
         write = cover & opaque
         idx = jnp.where(write, texel, idx)
-        light = jnp.where(write, light_i[:, None, None], light)
+        light = jnp.where(write, light_i[:, None, :], light)
         dist = jnp.where(write, zd[:, None, :], dist)
         is_sky = is_sky & ~write
         return idx, light, dist, is_sky

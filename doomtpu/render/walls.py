@@ -6,18 +6,23 @@ columns are vectorized; only the seg axis is sequential.  Instead of
 drawing immediately, each step emits fixed-size SPAN records into a
 per-column pool; the resolve stage then turns spans into pixels.
 
-Span record, packed in one int32:
+The pool is a span G-BUFFER: besides the packed span word, every slot
+carries the fully-resolved draw parameters (computed right here, where
+all seg data is already in registers), so the resolve stage never
+gathers per-piece data:
 
-    bits 29-30  kind: 0 wall (solid/lower/upper), 1 floor plane,
-                2 ceiling plane, 3 deferred two-sided mid
-    bits 16-28  item id = seg*4 + piece (segs capped at 2048/map)
-    bits  8-15  y0 + 1  (clipped top / plane top, in [-1, 201])
-    bits  0-7   y1 + 1  (clipped bottom / plane bottom)
+    span  kind(2) | item(13) | y0+1 (8) | y1+1 (8)
+    d1    walls/mids: texel column base (tex*TH*TW + tx)
+          planes:     light(8) << 22 | is_sky << 21 | flat(13) << 8
+    d2    walls/mids: bottom_y(16) | top_y(16)   (full, for v interp)
+          planes:     plane height (16) << 16
+    d3    walls/mids: off_y(16) | tex_h(16)
+    d4    walls/mids: light(16) | z-dist(16)
+    d5    walls/mids: uy1 (f32 bits)
 
 Pool slot order encodes draw order within a stage (walls draw during the
 scan, planes after — so planes beat walls per pixel, and within a stage a
-later slot beats an earlier one).  Wall texture coordinates are not
-stored: they are recomputed at resolve time from the seg frame, exactly.
+later slot beats an earlier one).
 """
 
 from __future__ import annotations
@@ -30,12 +35,14 @@ from jax import lax
 
 from doomtpu.config import RenderConfig
 from doomtpu.render.device import DeviceLevel
-from doomtpu.render.jmath import F32, I32, as_i16, f32, smul
+from doomtpu.render.jmath import F32, I32, as_i16, f32, smul, wrap_tex
 
 KIND_WALL = 0
 KIND_FLOOR = 1
 KIND_CEIL = 2
 KIND_MID = 3
+
+N_PLANES = 5  # d1..d5
 
 
 def pack_span(kind, item, y0, y1):
@@ -52,31 +59,38 @@ def unpack_span(slot):
     return kind, item, y0, y1
 
 
-def _emit(pool, cnt, overflow, mask, record, K):
-    """Append `record` at each column's cursor where mask holds."""
+def pack16(hi, lo):
+    return ((hi & 0xFFFF) << 16) | (lo & 0xFFFF)
+
+
+def _emit(pool, cnt, overflow, mask, record, data, K):
+    """Append a record + its G-buffer words at each column's cursor."""
     fits = cnt < K
     do = mask & fits
     k_ix = jnp.arange(K, dtype=I32)
     write = do[..., None] & (k_ix == cnt[..., None])
-    pool = jnp.where(write, record[..., None], pool)
+    spans, planes = pool
+    spans = jnp.where(write, record[..., None], spans)
+    planes = [
+        jnp.where(write, d[..., None], p) for p, d in zip(planes, data)
+    ]
     cnt = cnt + do.astype(I32)
     overflow = overflow + (mask & ~fits).sum(axis=-1).astype(I32)
-    return pool, cnt, overflow
+    return (spans, planes), cnt, overflow
 
 
 def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
               debug_hook=None):
-    """Run the scan.  Returns (pool [B,W,K], cnt [B,W], overflow [B]).
+    """Run the scan.
 
-    `frame` is the seg-frame dict from build_seg_frame (original seg
-    order); `order` is [B, G] traversal-order seg indices.
+    Returns (pool, cnt [B,W], overflow [B]) where pool is
+    (spans [B,W,K], [d1..d5] each [B,W,K]).
     """
     B, G = order.shape
     W, H, K = cfg.width, cfg.height, cfg.span_capacity
+    TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
     xx = jnp.arange(W, dtype=I32)[None, :]            # [1, W]
 
-    # gather per-camera ordered views of every field, then put the seg
-    # axis first for lax.scan
     def ordered(fld):
         x = frame[fld]
         if x.ndim == 2:
@@ -89,7 +103,10 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         k: ordered(k)
         for k in (
             "x0", "x1", "active", "wall_emit", "two_sided", "draw_ceiling",
-            "yb_s", "yb_d", "yt_s", "yt_d", "floor_flat", "ceil_flat",
+            "yb_s", "yb_d", "yt_s", "yt_d", "floor_flat", "ceil_flat", "draws",
+            "floor_h_i", "ceil_h_i", "light",
+            "lsx", "lex", "length", "start_offset", "offset_x_total",
+            "tex", "off_y", "uy1",
         )
     }
     xs["g"] = jnp.moveaxis(order, 1, 0)               # [G, B]
@@ -100,13 +117,47 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         hor, fo, co, pool, cnt, overflow = state
         item_base = seg["g"] * 4                       # [B]
         x0 = seg["x0"][:, None]                        # [B, 1] i32
-        x1 = seg["x1"][:, None]
         x0i = as_i16(seg["x0"])[:, None]
         x1i = as_i16(seg["x1"])[:, None]
         two_sided = seg["two_sided"][:, None]
         draw_c = seg["draw_ceiling"][:, None]
         f_sky = flat_sky[seg["floor_flat"]][:, None]
         c_sky = flat_sky[seg["ceil_flat"]][:, None]
+        light = seg["light"][:, None]                  # [B, 1]
+
+        # plane G-buffer words (shared by all plane emissions of this seg)
+        pfl_d1 = (light << 22) | (seg["floor_flat"][:, None] << 8) | (
+            f_sky.astype(I32) << 21
+        )
+        pfl_d2 = pack16(seg["floor_h_i"][:, None], 0)
+        pce_d1 = (light << 22) | (seg["ceil_flat"][:, None] << 8) | (
+            c_sky.astype(I32) << 21
+        )
+        pce_d2 = pack16(seg["ceil_h_i"][:, None], 0)
+        zero = jnp.zeros((B, W), I32)
+
+        def plane_data(d1, d2):
+            d1b = jnp.broadcast_to(d1, (B, W))
+            d2b = jnp.broadcast_to(d2, (B, W))
+            return (d1b, d2b, zero, zero, zero)
+
+        # perspective-correct texture u + column depth, shared per seg
+        # (bitmap_render.rs:241-251)
+        one = f32(1.0)
+        ax = f32(xx - x0) / f32(seg["x1"][:, None] - x0)
+        uz0 = seg["lsx"][:, None]
+        uz1 = seg["lex"][:, None]
+        inv0 = one / f32(uz0)
+        inv1 = one / f32(uz1)
+        denom = smul(one - ax, inv0) + smul(ax, inv1)
+        u = (
+            smul(one - ax, f32(0.0) / f32(uz0))
+            + smul(ax, seg["length"][:, None] / f32(uz1))
+        ) / denom
+        tx_base = as_i16(u) + as_i16(seg["start_offset"])[:, None] + seg[
+            "offset_x_total"
+        ][:, None]
+        zdist = as_i16(((one - ax) + ax) / denom)
 
         def piece(p, carry):
             hor, fo, co, pool, cnt, overflow = carry
@@ -127,22 +178,40 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             in_ver = (cb >= ct) & open_
 
             item = item_base[:, None] + p
+            draws_p = seg["draws"][:, p][:, None]
+
+            # wall G-buffer words for this piece
+            tex = seg["tex"][:, p]                     # [B]
+            tex_safe = jnp.maximum(tex, 0)
+            tw = level.tex_w[tex_safe][:, None]
+            th = level.tex_h[tex_safe][:, None]
+            tx = wrap_tex(tx_base, jnp.maximum(tw, 1))
+            d1 = tex_safe[:, None] * (TH * TW) + tx
+            d2 = pack16(by, ty)
+            d3 = pack16(seg["off_y"][:, p][:, None], th)
+            d4 = pack16(light, zdist)
+            d5 = jnp.broadcast_to(
+                lax.bitcast_convert_type(seg["uy1"][:, p], I32)[:, None],
+                (B, W),
+            )
+            wall_data = (d1, d2, d3, d4, d5)
 
             if p == 0:
                 solid = ~two_sided
-                # solid wall span (drawable, used for sprite clipping too)
                 rec = pack_span(KIND_WALL, item, ct, cb)
+                # bit 31 marks clip-only (texture-less) wall spans
+                rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
                 pool, cnt, overflow = _emit(
-                    pool, cnt, overflow, in_ver & solid, rec, K
+                    pool, cnt, overflow, in_ver & solid, rec, wall_data, K
                 )
 
-                # visplanes (segs.rs:263-291), with the 1-pixel-column
-                # skip applied at emission (visplanes.rs:98-101)
+                # visplanes (segs.rs:263-291), 1-pixel skip at emission
                 fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
                 fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, fl_emit,
-                    pack_span(KIND_FLOOR, item, cb, fo), K,
+                    pack_span(KIND_FLOOR, item, cb, fo),
+                    plane_data(pfl_d1, pfl_d2), K,
                 )
                 ce_keep = c_sky | (
                     jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
@@ -150,31 +219,27 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 ce_emit = in_ver & draw_c & (ct > co) & ce_keep
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, ce_emit,
-                    pack_span(KIND_CEIL, item, co, ct), K,
+                    pack_span(KIND_CEIL, item, co, ct),
+                    plane_data(pce_d1, pce_d2), K,
                 )
 
                 # occluded-gap fill (segs.rs:293-318)
                 gap = open_ & ~in_ver & (fo > co)
+                keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
                 gap_b = gap & (by <= co)
-                gap_keep_f = f_sky | (
-                    jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
-                )
-                gap_keep_c = c_sky | (
-                    jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
-                )
                 pool, cnt, overflow = _emit(
-                    pool, cnt, overflow, gap_b & gap_keep_f,
-                    pack_span(KIND_FLOOR, item, co, fo), K,
+                    pool, cnt, overflow, gap_b & (f_sky | keep_g),
+                    pack_span(KIND_FLOOR, item, co, fo),
+                    plane_data(pfl_d1, pfl_d2), K,
                 )
                 gap_t = gap & draw_c & (ty >= fo)
                 pool, cnt, overflow = _emit(
-                    pool, cnt, overflow, gap_t & gap_keep_c,
-                    pack_span(KIND_CEIL, item, co, fo), K,
+                    pool, cnt, overflow, gap_t & (c_sky | keep_g),
+                    pack_span(KIND_CEIL, item, co, fo),
+                    plane_data(pce_d1, pce_d2), K,
                 )
                 gap_occl = gap_b | gap_t
 
-                # occlusion updates: portal full-height pass
-                # (segs.rs:320-326) and solid occlude (segs.rs:341-344)
                 occl_m = in_ver & two_sided
                 fo = jnp.where(occl_m, cb, fo)
                 co = jnp.where(occl_m & draw_c, ct, co)
@@ -185,23 +250,24 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 co = jnp.where(solid_occl, H // 2, co)
 
             elif p == 1:
-                # deferred two-sided middle: record only (segs.rs:527-548)
                 rec = pack_span(KIND_MID, item, ct, cb)
                 pool, cnt, overflow = _emit(
-                    pool, cnt, overflow, in_ver, rec, K
+                    pool, cnt, overflow, in_ver, rec, wall_data, K
                 )
 
             elif p == 2:
                 rec = pack_span(KIND_WALL, item, ct, cb)
+                rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
                 pool, cnt, overflow = _emit(
-                    pool, cnt, overflow, in_ver, rec, K
+                    pool, cnt, overflow, in_ver, rec, wall_data, K
                 )
                 fo = jnp.where(in_ver, ct, fo)         # segs.rs:329-331
 
             else:  # p == 3
                 rec = pack_span(KIND_WALL, item, ct, cb)
+                rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
                 pool, cnt, overflow = _emit(
-                    pool, cnt, overflow, in_ver, rec, K
+                    pool, cnt, overflow, in_ver, rec, wall_data, K
                 )
                 co = jnp.where(in_ver, cb, co)         # segs.rs:333-335
 
@@ -212,16 +278,20 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             carry = piece(p, carry)
         return carry, None
 
+    init_pool = (
+        jnp.zeros((B, W, K), I32),
+        [jnp.zeros((B, W, K), I32) for _ in range(N_PLANES)],
+    )
     init = (
         jnp.zeros((B, W), bool),
         jnp.full((B, W), H, I32),
         jnp.full((B, W), -1, I32),
-        jnp.zeros((B, W, K), I32),
+        init_pool,
         jnp.zeros((B, W), I32),
         jnp.zeros((B,), I32),
     )
+
     if debug_hook is not None:
-        # eager python loop over segs for introspection (tests/debug only)
         state = init
         for i in range(G):
             seg_i = {k: v[i] for k, v in xs.items()}

@@ -72,8 +72,10 @@ def run_viewer(engine, state, print_fps: bool = False, scale: int = 3) -> int:
         if viewing_map:
             img = engine.map_2d(state)
         else:
+            from doomtpu.utils.color import unpack_rgb
+
             _, rgb = engine.render(state)
-            img = np.asarray(rgb[0])
+            img = unpack_rgb(rgb[0])
         surf = pygame.surfarray.make_surface(img.swapaxes(0, 1))
         surf = pygame.transform.scale(
             surf, (cfg.width * scale, cfg.height * scale)

@@ -84,7 +84,7 @@ def main():
     hi = min(cfg.height, (bad_rows.max() + 3) if len(bad_rows) else 8)
     print("spec:", out["idx"][lo:hi, col])
     print("jax :", idx[lo:hi, col])
-    pool = np.asarray(aux["pool"][0, col])
+    pool = np.asarray(aux["pool"][0][0, col])
     cnt = int(np.asarray(aux["cnt"][0, col]))
     for k in range(cnt):
         s = pool[k]

@@ -120,8 +120,10 @@ def main():
         )
     else:
         idx, rgb, aux = render_walls_planes(level, cfg, px, py, pa, fh, sl, ts)
+    from doomtpu.utils.color import unpack_rgb
+
     idx = np.asarray(idx)
-    rgb = np.asarray(rgb)
+    rgb = unpack_rgb(rgb)
     print(f"jax render (incl. compile): {time.time() - t0:.1f}s")
 
     worst = 1.0

@@ -53,9 +53,12 @@ def test_full_frame_bit_exact(setup, demo_level, config):
     mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
     ts = jnp.full(B, 0.4, jnp.float32)  # mid-cycle animated flats
 
+    from doomtpu.utils.color import unpack_rgb
+
     idx, rgb, aux = render_frame(
         level, config, px, py, pa, fh, sl, mstate, ts
     )
+    rgb = unpack_rgb(rgb)
     assert int(np.asarray(aux["overflow"]).max()) == 0
 
     for b, v in enumerate(VIEWS):
@@ -64,7 +67,7 @@ def test_full_frame_bit_exact(setup, demo_level, config):
             mobj_pos=mp, mobj_angle=ma, mobj_state=ms, timestamp=0.4,
         )
         np.testing.assert_array_equal(np.asarray(idx[b]), out["idx"])
-        np.testing.assert_array_equal(np.asarray(rgb[b]), out["rgb"])
+        np.testing.assert_array_equal(rgb[b], out["rgb"])
 
 
 def test_batch_equals_single(setup, demo_level, config):
