@@ -68,10 +68,15 @@ def main() -> int:
     state = engine.new_game(B, key=jax.random.PRNGKey(0), pos=pos, angle=ang)
     render = engine.render if with_things else engine.render_walls
 
-    # compile + warm up
+    def checksum(x):
+        # a host fetch of a dependent value is the only reliable barrier
+        # on relay-backed runtimes (block_until_ready can return early)
+        return int(np.asarray(x.sum()))
+
+    # compile + warm up (checksum also warms the sum/fetch path)
     t0 = time.time()
     idx, rgb = render(state)
-    jax.block_until_ready(rgb)
+    warm_cs = checksum(idx)
     compile_s = time.time() - t0
 
     # timed loop (state advances so frames differ)
@@ -82,13 +87,13 @@ def main() -> int:
         states.append(
             engine.tick(states[-1], controls, jax.random.fold_in(key, i))
         )
-    jax.block_until_ready(states[-1].tick)
+    checksum(states[-1].tick)
 
     t0 = time.time()
-    outs = []
+    out = None
     for st in states:
-        outs.append(render(st)[1])
-    jax.block_until_ready(outs)
+        out = render(st)
+    final_cs = checksum(out[0])
     dt = time.time() - t0
 
     fps = B * iters / dt
