@@ -115,9 +115,14 @@ class DeviceLevel:
     piece_e2t: jnp.ndarray     # [G,4] bool extends-to-top per piece
     dseg_ix: jnp.ndarray       # [D] i32 segs with drawable two-sided mids
 
-    # unified texel atlas for the resolve stage: [T*TH*TW + F*64*64] i32,
-    # value = palette_index | opaque << 8 (walls first, then flats)
-    atlas_packed: jnp.ndarray
+    # column-major sampling atlases, [C(, ROWS)] with C spanning
+    # [wall texture columns | flat columns | sprite columns]:
+    # - atlas_cols: bf16, palette index (bf16-exact) or -1 when
+    #   transparent; feeds MXU one-hot texel sampling (see PERF.md)
+    # - atlas_cm: flattened i32 copy, texel | opaque << 8, for per-pixel
+    #   gathers (index = colid * ROWS + row)
+    atlas_cols: jnp.ndarray
+    atlas_cm: jnp.ndarray
 
     def tree_flatten(self):
         from dataclasses import fields
@@ -194,11 +199,25 @@ class DeviceLevel:
             two_sided_np & (np.asarray(a.side_middle_tex[fs_safe]) >= 0)
         )[0].astype(np.int32)
 
-        atlas_packed = np.concatenate([
-            (a.tex_pixels.astype(np.int32)
-             | (a.tex_mask.astype(np.int32) << 8)).reshape(-1),
-            (a.flat_pixels.astype(np.int32) | (1 << 8)).reshape(-1),
-        ])
+        # column-major sampling atlas (walls | flats | sprites)
+        T_, TH_, TW_ = a.tex_pixels.shape
+        F_ = a.flat_pixels.shape[0]
+        P_, PH_, PW_ = a.spr_pixels.shape
+        rows = max(TH_, 64, PH_)
+        tex_cols = np.full((T_ * TW_, rows), -1.0, np.float32)
+        tcols = np.where(a.tex_mask, a.tex_pixels.astype(np.float32), -1.0)
+        tex_cols[:, :TH_] = tcols.transpose(0, 2, 1).reshape(T_ * TW_, TH_)
+        flat_cols = np.full((F_ * 64, rows), -1.0, np.float32)
+        flat_cols[:, :64] = (
+            a.flat_pixels.astype(np.float32).transpose(0, 2, 1).reshape(-1, 64)
+        )
+        spr_cols = np.full((P_ * PW_, rows), -1.0, np.float32)
+        scols = np.where(a.spr_mask, a.spr_pixels.astype(np.float32), -1.0)
+        spr_cols[:, :PH_] = scols.transpose(0, 2, 1).reshape(P_ * PW_, PH_)
+        atlas_cols = np.concatenate([tex_cols, flat_cols, spr_cols], 0)
+        atlas_cm = np.where(
+            atlas_cols >= 0, atlas_cols.astype(np.int32) | (1 << 8), 0
+        ).reshape(-1)
 
         return cls(
             seg_v1=_j(t.vertexes[t.seg_v[:, 0]], jnp.float32),
@@ -261,7 +280,8 @@ class DeviceLevel:
             piece_e2b=_j(piece_e2b),
             piece_e2t=_j(piece_e2t),
             dseg_ix=_j(dseg_ix, jnp.int32),
-            atlas_packed=_j(atlas_packed, jnp.int32),
+            atlas_cols=_j(atlas_cols, jnp.bfloat16),
+            atlas_cm=_j(atlas_cm, jnp.int32),
         )
 
     @property
@@ -275,3 +295,17 @@ class DeviceLevel:
     @property
     def num_mobjs(self) -> int:
         return self.mobj_pos.shape[0]
+
+    @property
+    def atlas_rows(self) -> int:
+        return self.atlas_cols.shape[1]
+
+    @property
+    def col_flat_off(self) -> int:
+        """First flat column in atlas_cols."""
+        return self.tex_pixels.shape[0] * self.tex_pixels.shape[2]
+
+    @property
+    def col_spr_off(self) -> int:
+        """First sprite column in atlas_cols."""
+        return self.col_flat_off + self.flat_pixels.shape[0] * 64

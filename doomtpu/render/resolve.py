@@ -119,7 +119,8 @@ def resolve_frame(
     ay = f32(yy - tyl_p) / f32(by_p - tyl_p)
     tyv = as_i16(f32(th_p) + smul(ay, uy1_p)) + off_y_p
     tyv = wrap_tex(tyv, jnp.maximum(th_p, 1))
-    wall_index = jnp.maximum(A1, 0) + tyv * TW
+    ROWS = level.atlas_rows
+    wall_index = jnp.maximum(A1, 0) * ROWS + tyv
 
     # ---------------- plane texel index per pixel ---------------------------
     light_p = P1 >> 22
@@ -139,16 +140,15 @@ def resolve_frame(
     ftx = (as_i16(rx) + as_i16(f32(px)[:, None, None])) & (FLAT_SIZE - 1)
     fty = (as_i16(ry) + as_i16(f32(py)[:, None, None])) & (FLAT_SIZE - 1)
     flat_index = (
-        T * (TH * TW) + pflat_p * (FLAT_SIZE * FLAT_SIZE)
-        + fty * FLAT_SIZE + ftx
-    )
+        level.col_flat_off + pflat_p * FLAT_SIZE + ftx
+    ) * ROWS + fty
     plane_dist = as_i16(wx)
 
     # ---------------- unified texel fetch -----------------------------------
     use_plane = has_plane & ~is_sky
     index = jnp.where(use_plane, flat_index, wall_index)
-    packed = level.atlas_packed[
-        jnp.clip(index, 0, level.atlas_packed.shape[0] - 1)
+    packed = level.atlas_cm[
+        jnp.clip(index, 0, level.atlas_cm.shape[0] - 1)
     ]
     texel = packed & 0xFF
     opaque = (packed & 0x100) != 0
@@ -165,9 +165,9 @@ def resolve_frame(
     sty = as_i16(f32(yy) * f32(sth) * f32(2.0) / f32(H))
     sty = jnp.where(sty < 0, sty + sth, sty)
     sty = rem_trunc(sty, sth)
-    sky_index = level.sky_tex * (TH * TW) + sty * TW + stx
-    sky_packed = level.atlas_packed[
-        jnp.clip(sky_index, 0, level.atlas_packed.shape[0] - 1)
+    sky_index = (level.sky_tex * TW + stx) * ROWS + sty
+    sky_packed = level.atlas_cm[
+        jnp.clip(sky_index, 0, level.atlas_cm.shape[0] - 1)
     ]
     sky_opaque = (sky_packed & 0x100) != 0
 
@@ -181,8 +181,8 @@ def resolve_frame(
     wall_under_sky = is_sky & ~sky_opaque & has_wall
     wall_packed = jnp.where(
         wall_under_sky,
-        level.atlas_packed[
-            jnp.clip(wall_index, 0, level.atlas_packed.shape[0] - 1)
+        level.atlas_cm[
+            jnp.clip(wall_index, 0, level.atlas_cm.shape[0] - 1)
         ],
         0,
     )

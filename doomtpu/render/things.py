@@ -293,7 +293,7 @@ def deferred_pass(
         spr_i = dict(
             present=in_range & valid[..., None],
             ct=s_ct, cb=s_cb, by=s_by, ty=s_ty,
-            colbase=pic_s[..., None] * (PH * PW) + s_tx,
+            colbase=level.col_spr_off + pic_s[..., None] * PW + s_tx,
             off_y=jnp.zeros((B, MO, W), I32),
             th=jnp.broadcast_to(level.spr_h[pic_s][..., None], (B, MO, W)),
             light=jnp.broadcast_to(light_m[..., None], (B, MO, W)),
@@ -346,12 +346,10 @@ def deferred_pass(
     items = {k: cat(k) for k in (spr_i if MO > 0 else seg_i)}
 
     # ---------------- composite in sorted order ------------------------------
-    spr_packed_off = level.atlas_packed.shape[0]
-    atlas_all = jnp.concatenate([
-        level.atlas_packed,
-        (level.spr_pixels.reshape(-1)
-         | (level.spr_mask.reshape(-1).astype(I32) << 8)),
-    ])
+    ROWS = level.atlas_rows
+    C = level.atlas_cols.shape[0]
+    c_iota = jnp.arange(C, dtype=I32)
+    r_iota = jnp.arange(ROWS, dtype=I32)
 
     def body(i, carry):
         idx, light, dist, is_sky = carry
@@ -381,12 +379,24 @@ def deferred_pass(
         ) + off_y[:, None, :]
         tyv = wrap_tex(tyv, jnp.maximum(th, 1)[:, None, :])
 
-        row_w = jnp.where(is_spr, PW, TW)[:, None, :]
-        base = jnp.where(is_spr, colbase + spr_packed_off, colbase)[:, None, :]
-        t_ix = base + tyv * row_w
-        packed = atlas_all[jnp.clip(t_ix, 0, atlas_all.shape[0] - 1)]
-        texel = packed & 0xFF
-        opaque = (packed & 0x100) != 0
+        # MXU one-hot texel sampling: fetch each column's texture column,
+        # then select the pixel's row — both exact (one-hot selection of
+        # bf16-exact palette values; -1 marks transparent)
+        onehot_c = (colbase[..., None] == c_iota).astype(jnp.bfloat16)
+        texcol = lax.dot_general(
+            onehot_c, level.atlas_cols,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [B, W, ROWS]
+        onehot_r = (tyv[..., None] == r_iota).astype(jnp.bfloat16)
+        texel_f = lax.dot_general(
+            onehot_r.transpose(0, 2, 1, 3),                # [B, W, H, ROWS]
+            texcol.astype(jnp.bfloat16)[..., None],        # [B, W, ROWS, 1]
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        )[..., 0].transpose(0, 2, 1)                       # [B, H, W]
+        opaque = texel_f >= 0
+        texel = texel_f.astype(I32)
 
         write = cover & opaque
         idx = jnp.where(write, texel, idx)

@@ -186,7 +186,7 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             tw = level.tex_w[tex_safe][:, None]
             th = level.tex_h[tex_safe][:, None]
             tx = wrap_tex(tx_base, jnp.maximum(tw, 1))
-            d1 = tex_safe[:, None] * (TH * TW) + tx
+            d1 = tex_safe[:, None] * TW + tx          # atlas column id
             d2 = pack16(by, ty)
             d3 = pack16(seg["off_y"][:, p][:, None], th)
             d4 = pack16(light, zdist)
