@@ -177,23 +177,14 @@ def resolve_frame(
 
     idx = jnp.full((B, H, W), -1, I32)
     idx = jnp.where(use_wall, texel, idx)
-    # walls under a transparent-sky plane pixel still show through
-    wall_under_sky = is_sky & ~sky_opaque & has_wall
-    wall_packed = jnp.where(
-        wall_under_sky,
-        level.atlas_cm[
-            jnp.clip(wall_index, 0, level.atlas_cm.shape[0] - 1)
-        ],
-        0,
-    )
-    idx = jnp.where(
-        wall_under_sky & ((wall_packed & 0x100) != 0),
-        wall_packed & 0xFF, idx,
-    )
+    # walls under a transparent-sky plane pixel still show through; sky
+    # pixels are not `use_plane`, so `packed` already holds their WALL
+    # texel — no extra gather needed
+    under_sky_wall = is_sky & ~sky_opaque & has_wall & opaque
+    idx = jnp.where(under_sky_wall, texel, idx)
     idx = jnp.where(use_plane_px, texel, idx)
     idx = jnp.where(use_sky, sky_packed & 0xFF, idx)
 
-    under_sky_wall = wall_under_sky & ((wall_packed & 0x100) != 0)
     light = jnp.where(use_plane_px | use_sky, light_p, light_w)
     light = jnp.where(under_sky_wall, light_w, light)
     dist = jnp.where(use_plane_px | use_sky, plane_dist, dist_w)

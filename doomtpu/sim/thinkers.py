@@ -129,7 +129,7 @@ class ThinkerTables:
         """Initial countdowns: flash rand(1..=64), strobe rand(1..=8) or
         1 when synchronized, fire 4 (lights.rs:57-99, 104-164, 216-259)."""
         SEC = self.kind.shape[0]
-        r = jax.random.randint(key, (batch, SEC), 0, 1 << 30)
+        r = jax.random.randint(key, (batch, SEC), 0, 1 << 30, dtype=jnp.int32)
         flash = 1 + r % self.max_time[None]
         strobe = jnp.where(self.sync[None], 1, 1 + r % 8)
         count = jnp.where(self.kind[None] == K_FLASH, flash, 0)
@@ -143,8 +143,8 @@ def step_lights(tk: ThinkerTables, light, count, going_up, key):
     B, SEC = light.shape
     kind = tk.kind[None]
     r1, r2 = jax.random.split(key)
-    rnd = jax.random.randint(r1, (B, SEC), 0, 1 << 30)
-    rnd2 = jax.random.randint(r2, (B, SEC), 0, 1 << 30)
+    rnd = jax.random.randint(r1, (B, SEC), 0, 1 << 30, dtype=jnp.int32)
+    rnd2 = jax.random.randint(r2, (B, SEC), 0, 1 << 30, dtype=jnp.int32)
 
     # countdown thinkers (flash/strobe/fire) tick their counter first
     counting = (kind == K_FLASH) | (kind == K_STROBE) | (kind == K_FIRE)
@@ -197,7 +197,7 @@ def step_lights(tk: ThinkerTables, light, count, going_up, key):
     )
     light1 = jnp.where(is_glow, glow_light, light1)
 
-    return light1, count1, new_up
+    return light1.astype(jnp.int32), count1.astype(jnp.int32), new_up
 
 
 def step_mobjs(level: DeviceLevel, state, tics):
