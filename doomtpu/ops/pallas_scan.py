@@ -1,0 +1,314 @@
+"""Pallas TPU kernel for the occlusion wall scan.
+
+The XLA lax.scan formulation rewrites the whole [B, W, K] span pool in
+HBM on every emission of every seg step; here the pool, the occlusion
+arrays and the cursor live in VMEM for the entire seg loop, so emissions
+are pure VPU work (see PERF.md).  Grid = camera tiles; the seg loop runs
+inside the kernel via fori_loop.
+
+The kernel reproduces doomtpu.render.walls.wall_scan's emission order and
+data planes exactly; it is the fast path (plain f32 arithmetic — Mosaic
+may contract mul+add, so boundary pixels can differ from the strict-FP
+oracle by design, like any -ffast-math renderer build).  Enable with
+RenderConfig(use_pallas_scan=True); falls back to the lax.scan path on
+non-TPU backends.
+
+Per-piece inputs are precomputed by the camera stage and packed outside
+the kernel (flags bitfield below); all refs are [TILE_B, G(,4)] blocks.
+
+flags bits: 0-3 piece active, 4 two_sided, 5 draw_ceiling, 6-9 draws,
+10 floor-flat-is-sky, 11 ceiling-flat-is-sky.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from doomtpu.config import RenderConfig
+from doomtpu.render.device import DeviceLevel
+from doomtpu.render.jmath import I32, F32, as_i16, f32, wrap_tex
+from doomtpu.render.walls import (
+    KIND_CEIL, KIND_FLOOR, KIND_MID, KIND_WALL, N_PLANES, pack16, pack_span,
+)
+
+TILE_B = 8
+
+
+def _kernel(
+    # inputs, [TILE_B, G] / [TILE_B, G, 4]
+    g_ref, x0_ref, x1_ref, flags_ref, lsx_ref, lex_ref, length_ref,
+    soff_ref, offx_ref, light_ref,
+    ybs_ref, ybd_ref, yts_ref, ytd_ref, offy_ref, texbase_ref, thw_ref,
+    uy1_ref, pfl1_ref, pfl2_ref, pce1_ref, pce2_ref,
+    # outputs
+    spans_ref, d1_ref, d2_ref, d3_ref, d4_ref, d5_ref, cnt_ref, ovf_ref,
+    *, G, W, H, K, TW,
+):
+    xx = lax.broadcasted_iota(I32, (TILE_B, W), 1)
+    k_iota = lax.broadcasted_iota(I32, (TILE_B, W, K), 2)
+
+    def body(hor_s, fo_s, co_s):
+        # init VMEM state
+        hor_s[...] = jnp.zeros((TILE_B, W), I32)
+        fo_s[...] = jnp.full((TILE_B, W), H, I32)
+        co_s[...] = jnp.full((TILE_B, W), -1, I32)
+        cnt_ref[...] = jnp.zeros((TILE_B, W), I32)
+        ovf_ref[...] = jnp.zeros((TILE_B, 128), I32)
+        spans_ref[...] = jnp.zeros((TILE_B, W, K), I32)
+        for r in (d1_ref, d2_ref, d3_ref, d4_ref, d5_ref):
+            r[...] = jnp.zeros((TILE_B, W, K), I32)
+
+        def emit(mask, rec, data):
+            cnt = cnt_ref[...]
+            fits = cnt < K
+            do = mask & fits
+            write = do[..., None] & (k_iota == cnt[..., None])
+            spans_ref[...] = jnp.where(write, rec[..., None], spans_ref[...])
+            for r, d in zip((d1_ref, d2_ref, d3_ref, d4_ref, d5_ref), data):
+                r[...] = jnp.where(write, d[..., None], r[...])
+            cnt_ref[...] = cnt + do.astype(I32)
+            ovf = (mask & ~fits).sum(axis=-1).astype(I32)
+            ovf_ref[:, 0] = ovf_ref[:, 0] + ovf
+
+        def seg_step(gi, _):
+            gval = g_ref[:, gi]                        # [TILE_B]
+            flags = flags_ref[:, gi][:, None]
+            x0 = x0_ref[:, gi][:, None]
+            x0i = as_i16(x0)
+            x1i = as_i16(x1_ref[:, gi][:, None])
+            two_sided = (flags & 16) != 0
+            draw_c = (flags & 32) != 0
+            f_sky = (flags & 1024) != 0
+            c_sky = (flags & 2048) != 0
+            light = light_ref[:, gi][:, None]
+            item_base = (gval * 4)[:, None]
+
+            pfl_d1 = jnp.broadcast_to(pfl1_ref[:, gi][:, None], (TILE_B, W))
+            pfl_d2 = jnp.broadcast_to(pfl2_ref[:, gi][:, None], (TILE_B, W))
+            pce_d1 = jnp.broadcast_to(pce1_ref[:, gi][:, None], (TILE_B, W))
+            pce_d2 = jnp.broadcast_to(pce2_ref[:, gi][:, None], (TILE_B, W))
+            zero = jnp.zeros((TILE_B, W), I32)
+
+            one = f32(1.0)
+            ax = f32(xx - x0) / f32(x1_ref[:, gi][:, None] - x0)
+            uz0 = lsx_ref[:, gi][:, None]
+            uz1 = lex_ref[:, gi][:, None]
+            inv0 = one / uz0
+            inv1 = one / uz1
+            denom = (one - ax) * inv0 + ax * inv1
+            u = (
+                (one - ax) * (f32(0.0) / uz0)
+                + ax * (length_ref[:, gi][:, None] / uz1)
+            ) / denom
+            tx_base = (
+                as_i16(u)
+                + as_i16(soff_ref[:, gi])[:, None]
+                + offx_ref[:, gi][:, None]
+            )
+            zdist = as_i16(((one - ax) + ax) / denom)
+
+            state = {}
+            for p in range(4):
+                act = (flags & (1 << p)) != 0
+                draws_p = (flags & (64 << p)) != 0
+                hor = hor_s[...] != 0
+                fo = fo_s[...]
+                co = co_s[...]
+                covered = (xx >= x0i) & (xx <= x1i) & act
+                open_ = covered & ~hor
+
+                by = as_i16(
+                    f32(ybs_ref[:, gi, p])[:, None]
+                    + f32(xx - x0) * ybd_ref[:, gi, p][:, None]
+                )
+                ty = as_i16(
+                    f32(yts_ref[:, gi, p])[:, None]
+                    + f32(xx - x0) * ytd_ref[:, gi, p][:, None]
+                )
+                cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
+                ct = jnp.maximum(0, jnp.maximum(co, ty))
+                in_ver = (cb >= ct) & open_
+
+                item = item_base + p
+                thw = thw_ref[:, gi, p][:, None]
+                th = thw >> 16
+                tw = thw & 0xFFFF
+                tx = wrap_tex(tx_base, jnp.maximum(tw, 1))
+                w_d1 = texbase_ref[:, gi, p][:, None] + tx
+                w_d2 = pack16(by, ty)
+                w_d3 = pack16(offy_ref[:, gi, p][:, None], th)
+                w_d4 = pack16(light, zdist)
+                w_d5 = jnp.broadcast_to(
+                    lax.bitcast_convert_type(uy1_ref[:, gi, p], I32)[:, None],
+                    (TILE_B, W),
+                )
+                wall_data = (w_d1, w_d2, w_d3, w_d4, w_d5)
+
+                if p == 0:
+                    solid = ~two_sided
+                    rec = pack_span(KIND_WALL, item, ct, cb)
+                    rec = jnp.where(
+                        draws_p, rec, rec | jnp.int32(-(2**31))
+                    )
+                    emit(in_ver & solid, rec, wall_data)
+
+                    fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
+                    fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
+                    emit(
+                        fl_emit, pack_span(KIND_FLOOR, item, cb, fo),
+                        (pfl_d1, pfl_d2, zero, zero, zero),
+                    )
+                    ce_keep = c_sky | (
+                        jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
+                    )
+                    ce_emit = in_ver & draw_c & (ct > co) & ce_keep
+                    emit(
+                        ce_emit, pack_span(KIND_CEIL, item, co, ct),
+                        (pce_d1, pce_d2, zero, zero, zero),
+                    )
+
+                    gap = open_ & ~in_ver & (fo > co)
+                    keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
+                    gap_b = gap & (by <= co)
+                    emit(
+                        gap_b & (f_sky | keep_g),
+                        pack_span(KIND_FLOOR, item, co, fo),
+                        (pfl_d1, pfl_d2, zero, zero, zero),
+                    )
+                    gap_t = gap & draw_c & (ty >= fo)
+                    emit(
+                        gap_t & (c_sky | keep_g),
+                        pack_span(KIND_CEIL, item, co, fo),
+                        (pce_d1, pce_d2, zero, zero, zero),
+                    )
+                    gap_occl = gap_b | gap_t
+
+                    occl_m = in_ver & two_sided
+                    fo = jnp.where(occl_m, cb, fo)
+                    co = jnp.where(occl_m & draw_c, ct, co)
+                    solid_occl = (covered & solid) | gap_occl
+                    hor_s[...] = (hor | solid_occl).astype(I32)
+                    fo_s[...] = jnp.where(solid_occl, H // 2, fo)
+                    co_s[...] = jnp.where(solid_occl, H // 2, co)
+                elif p == 1:
+                    emit(in_ver, pack_span(KIND_MID, item, ct, cb), wall_data)
+                elif p == 2:
+                    rec = pack_span(KIND_WALL, item, ct, cb)
+                    rec = jnp.where(
+                        draws_p, rec, rec | jnp.int32(-(2**31))
+                    )
+                    emit(in_ver, rec, wall_data)
+                    fo_s[...] = jnp.where(in_ver, ct, fo)
+                else:
+                    rec = pack_span(KIND_WALL, item, ct, cb)
+                    rec = jnp.where(
+                        draws_p, rec, rec | jnp.int32(-(2**31))
+                    )
+                    emit(in_ver, rec, wall_data)
+                    co_s[...] = jnp.where(in_ver, cb, co)
+            return 0
+
+        lax.fori_loop(0, G, seg_step, 0)
+
+    pl.run_scoped(
+        body,
+        hor_s=pltpu.VMEM((TILE_B, W), I32),
+        fo_s=pltpu.VMEM((TILE_B, W), I32),
+        co_s=pltpu.VMEM((TILE_B, W), I32),
+    )
+
+
+def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
+    """Drop-in replacement for walls.wall_scan (fast path)."""
+    B, G = order.shape
+    W, H, K = cfg.width, cfg.height, cfg.span_capacity
+    TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
+    assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
+
+    def ordered(x):
+        if x.ndim == 2:
+            return jnp.take_along_axis(x, order, axis=1)
+        return jnp.take_along_axis(x, order[..., None], axis=1)
+
+    # pack per-seg flags
+    active = ordered(frame["active"])                # [B, G, 4] bool
+    draws = ordered(frame["draws"])
+    flags = (
+        active[..., 0].astype(I32)
+        | (active[..., 1].astype(I32) << 1)
+        | (active[..., 2].astype(I32) << 2)
+        | (active[..., 3].astype(I32) << 3)
+        | (ordered(frame["two_sided"]).astype(I32) << 4)
+        | (ordered(frame["draw_ceiling"]).astype(I32) << 5)
+        | (draws[..., 0].astype(I32) << 6)
+        | (draws[..., 1].astype(I32) << 7)
+        | (draws[..., 2].astype(I32) << 8)
+        | (draws[..., 3].astype(I32) << 9)
+        | (level.flat_is_sky[ordered(frame["floor_flat"])].astype(I32) << 10)
+        | (level.flat_is_sky[ordered(frame["ceil_flat"])].astype(I32) << 11)
+    )
+
+    light = ordered(frame["light"])
+    ffl = ordered(frame["floor_flat"])
+    cfl = ordered(frame["ceil_flat"])
+    f_sky = level.flat_is_sky[ffl].astype(I32)
+    c_sky = level.flat_is_sky[cfl].astype(I32)
+    pfl1 = (light << 22) | (ffl << 8) | (f_sky << 21)
+    pfl2 = pack16(ordered(frame["floor_h_i"]), 0)
+    pce1 = (light << 22) | (cfl << 8) | (c_sky << 21)
+    pce2 = pack16(ordered(frame["ceil_h_i"]), 0)
+
+    tex = ordered(frame["tex"])
+    tex_safe = jnp.maximum(tex, 0)
+    texbase = tex_safe * TW
+    thw = (level.tex_h[tex_safe] << 16) | level.tex_w[tex_safe]
+
+    bc = lambda x: x  # f32 refs passed natively
+
+    inputs = [
+        order.astype(I32),
+        ordered(frame["x0"]), ordered(frame["x1"]), flags,
+        ordered(frame["lsx"]), ordered(frame["lex"]),
+        ordered(frame["length"]), ordered(frame["start_offset"]),
+        ordered(frame["offset_x_total"]), light,
+        ordered(frame["yb_s"]), ordered(frame["yb_d"]),
+        ordered(frame["yt_s"]), ordered(frame["yt_d"]),
+        ordered(frame["off_y"]), texbase, thw, ordered(frame["uy1"]),
+        pfl1, pfl2, pce1, pce2,
+    ]
+
+    def spec(x):
+        blk = (TILE_B,) + x.shape[1:]
+        ix = lambda i: (i,) + (0,) * (x.ndim - 1)
+        return pl.BlockSpec(blk, ix, memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((B, W, K), jnp.int32) for _ in range(6)]
+        + [jax.ShapeDtypeStruct((B, W), jnp.int32),
+           jax.ShapeDtypeStruct((B, 128), jnp.int32)]
+    )
+    out_specs = (
+        [pl.BlockSpec((TILE_B, W, K), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM) for _ in range(6)]
+        + [pl.BlockSpec((TILE_B, W), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((TILE_B, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+
+    kernel = functools.partial(_kernel, G=G, W=W, H=H, K=K, TW=TW)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // TILE_B,),
+        in_specs=[spec(x) for x in inputs],
+        out_shape=out_shapes,
+        out_specs=out_specs,
+    )(*inputs)
+    spans, d1, d2, d3, d4, d5, cnt, ovf = outs
+    return (spans, [d1, d2, d3, d4, d5]), cnt, ovf[:, 0]
