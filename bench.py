@@ -36,11 +36,15 @@ def main() -> int:
     from doomtpu.config import RenderConfig
     from doomtpu.engine import DoomEngine
 
-    B = int(os.environ.get("DOOMTPU_BENCH_B", 2048))
-    iters = int(os.environ.get("DOOMTPU_BENCH_ITERS", 10))
+    B = int(os.environ.get("DOOMTPU_BENCH_B", 256))
+    iters = int(os.environ.get("DOOMTPU_BENCH_ITERS", 8))
     with_things = os.environ.get("DOOMTPU_BENCH_THINGS", "1") != "0"
+    use_pallas = os.environ.get("DOOMTPU_BENCH_PALLAS", "1") != "0"
 
-    cfg = RenderConfig(width=320, height=200)
+    cfg = RenderConfig(
+        width=320, height=200,
+        use_pallas_scan=use_pallas and jax.default_backend() != "cpu",
+    )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
     if os.path.exists(wad_path):
         engine = DoomEngine.from_wad(wad_path, "e1m1", config=cfg)

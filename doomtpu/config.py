@@ -47,6 +47,10 @@ class RenderConfig:
     # lax.map over chunks so the peak [chunk, H, W] working set stays
     # inside HBM while the output frames accumulate at full batch size.
     render_chunk: int = 256
+    # Run the occlusion wall scan as a Pallas TPU kernel (VMEM-resident
+    # span pool; see doomtpu/ops/pallas_scan.py).  Requires a TPU backend
+    # and batch % 8 == 0; the lax.scan path is used otherwise.
+    use_pallas_scan: bool = False
 
     @property
     def camera_focus_x(self) -> float:

@@ -144,6 +144,22 @@ class DoomEngine:
             "angle": float(state.angle[env]),
         })
 
+    def save_state(self, state: GameState, path: str) -> None:
+        """Checkpoint the FULL simulation state (every thinker counter,
+        mobj state and camera) — the reference can only round-trip the
+        player pose (game.rs:34-38, 376-384)."""
+        from dataclasses import fields
+
+        arrays = {
+            f.name: np.asarray(getattr(state, f.name))
+            for f in fields(state)
+        }
+        np.savez(path, **arrays)
+
+    def load_state(self, path: str) -> GameState:
+        data = np.load(path)
+        return GameState(**{k: jnp.asarray(v) for k, v in data.items()})
+
     def map_2d(self, state: GameState, env: int = 0) -> np.ndarray:
         from doomtpu.render.map2d import render_map_2d
 

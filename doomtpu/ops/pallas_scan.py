@@ -2,19 +2,20 @@
 
 The XLA lax.scan formulation rewrites the whole [B, W, K] span pool in
 HBM on every emission of every seg step; here the pool, the occlusion
-arrays and the cursor live in VMEM for the entire seg loop, so emissions
-are pure VPU work (see PERF.md).  Grid = camera tiles; the seg loop runs
-inside the kernel via fori_loop.
+arrays and the cursor stay resident in VMEM across the entire seg loop,
+so emissions are pure VPU work (see PERF.md).
 
-The kernel reproduces doomtpu.render.walls.wall_scan's emission order and
-data planes exactly; it is the fast path (plain f32 arithmetic — Mosaic
-may contract mul+add, so boundary pixels can differ from the strict-FP
-oracle by design, like any -ffast-math renderer build).  Enable with
-RenderConfig(use_pallas_scan=True); falls back to the lax.scan path on
-non-TPU backends.
+Grid = (camera tiles, segs): TPU grid steps run sequentially, the pool
+outputs use a g-constant index map so they stay in VMEM until the seg
+dimension completes, and the tiny per-seg parameter blocks are
+auto-pipelined by Pallas.  Occlusion state lives in scratch, initialized
+at g == 0.
 
-Per-piece inputs are precomputed by the camera stage and packed outside
-the kernel (flags bitfield below); all refs are [TILE_B, G(,4)] blocks.
+The kernel reproduces doomtpu.render.walls.wall_scan's emission order
+and data planes exactly; it is the fast path (plain f32 arithmetic —
+Mosaic may contract mul+add, so boundary pixels can differ from the
+strict-FP oracle, like any -ffast-math build).  Enable with
+RenderConfig(use_pallas_scan=True).
 
 flags bits: 0-3 piece active, 4 two_sided, 5 draw_ceiling, 6-9 draws,
 10 floor-flat-is-sky, 11 ceiling-flat-is-sky.
@@ -41,194 +42,179 @@ TILE_B = 8
 
 
 def _kernel(
-    # inputs, [TILE_B, G] / [TILE_B, G, 4]
+    # inputs, blocks [1, 1, 1|4, TILE_B] (dummy-axis layout: Mosaic
+    # requires the last two block dims to equal the array dims)
     g_ref, x0_ref, x1_ref, flags_ref, lsx_ref, lex_ref, length_ref,
     soff_ref, offx_ref, light_ref,
     ybs_ref, ybd_ref, yts_ref, ytd_ref, offy_ref, texbase_ref, thw_ref,
     uy1_ref, pfl1_ref, pfl2_ref, pce1_ref, pce2_ref,
-    # outputs
+    # outputs, g-constant blocks
     spans_ref, d1_ref, d2_ref, d3_ref, d4_ref, d5_ref, cnt_ref, ovf_ref,
-    *, G, W, H, K, TW,
+    # scratch
+    hor_s, fo_s, co_s,
+    *, W, H, K,
 ):
-    xx = lax.broadcasted_iota(I32, (TILE_B, W), 1)
-    k_iota = lax.broadcasted_iota(I32, (TILE_B, W, K), 2)
+    gi = pl.program_id(1)
 
-    def body(hor_s, fo_s, co_s):
-        # init VMEM state
+    @pl.when(gi == 0)
+    def _init():
         hor_s[...] = jnp.zeros((TILE_B, W), I32)
         fo_s[...] = jnp.full((TILE_B, W), H, I32)
         co_s[...] = jnp.full((TILE_B, W), -1, I32)
         cnt_ref[...] = jnp.zeros((TILE_B, W), I32)
         ovf_ref[...] = jnp.zeros((TILE_B, 128), I32)
-        spans_ref[...] = jnp.zeros((TILE_B, W, K), I32)
+        spans_ref[...] = jnp.zeros((TILE_B, K, W), I32)
         for r in (d1_ref, d2_ref, d3_ref, d4_ref, d5_ref):
-            r[...] = jnp.zeros((TILE_B, W, K), I32)
+            r[...] = jnp.zeros((TILE_B, K, W), I32)
 
-        def emit(mask, rec, data):
-            cnt = cnt_ref[...]
-            fits = cnt < K
-            do = mask & fits
-            write = do[..., None] & (k_iota == cnt[..., None])
-            spans_ref[...] = jnp.where(write, rec[..., None], spans_ref[...])
-            for r, d in zip((d1_ref, d2_ref, d3_ref, d4_ref, d5_ref), data):
-                r[...] = jnp.where(write, d[..., None], r[...])
-            cnt_ref[...] = cnt + do.astype(I32)
-            ovf = (mask & ~fits).sum(axis=-1).astype(I32)
-            ovf_ref[:, 0] = ovf_ref[:, 0] + ovf
+    xx = lax.broadcasted_iota(I32, (TILE_B, W), 1)
+    k_iota = lax.broadcasted_iota(I32, (TILE_B, K, W), 1)
 
-        def seg_step(gi, _):
-            gval = g_ref[:, gi]                        # [TILE_B]
-            flags = flags_ref[:, gi][:, None]
-            x0 = x0_ref[:, gi][:, None]
-            x0i = as_i16(x0)
-            x1i = as_i16(x1_ref[:, gi][:, None])
-            two_sided = (flags & 16) != 0
-            draw_c = (flags & 32) != 0
-            f_sky = (flags & 1024) != 0
-            c_sky = (flags & 2048) != 0
-            light = light_ref[:, gi][:, None]
-            item_base = (gval * 4)[:, None]
+    def emit(mask, rec, data):
+        cnt = cnt_ref[...]
+        fits = cnt < K
+        do = mask & fits
+        write = do[:, None, :] & (k_iota == cnt[:, None, :])
+        spans_ref[...] = jnp.where(write, rec[:, None, :], spans_ref[...])
+        for r, d in zip((d1_ref, d2_ref, d3_ref, d4_ref, d5_ref), data):
+            r[...] = jnp.where(write, d[:, None, :], r[...])
+        cnt_ref[...] = cnt + do.astype(I32)
+        ovf = (mask & ~fits).sum(axis=-1).astype(I32)
+        ovf_ref[:, 0] = ovf_ref[:, 0] + ovf
 
-            pfl_d1 = jnp.broadcast_to(pfl1_ref[:, gi][:, None], (TILE_B, W))
-            pfl_d2 = jnp.broadcast_to(pfl2_ref[:, gi][:, None], (TILE_B, W))
-            pce_d1 = jnp.broadcast_to(pce1_ref[:, gi][:, None], (TILE_B, W))
-            pce_d2 = jnp.broadcast_to(pce2_ref[:, gi][:, None], (TILE_B, W))
-            zero = jnp.zeros((TILE_B, W), I32)
+    gval = g_ref[0, 0, 0, :]                             # [TILE_B]
+    flags = flags_ref[0, 0, 0, :][:, None]
+    x0 = x0_ref[0, 0, 0, :][:, None]
+    x0i = as_i16(x0)
+    x1i = as_i16(x1_ref[0, 0, 0, :][:, None])
+    two_sided = (flags & 16) != 0
+    draw_c = (flags & 32) != 0
+    f_sky = (flags & 1024) != 0
+    c_sky = (flags & 2048) != 0
+    light = light_ref[0, 0, 0, :][:, None]
+    item_base = (gval * 4)[:, None]
 
-            one = f32(1.0)
-            ax = f32(xx - x0) / f32(x1_ref[:, gi][:, None] - x0)
-            uz0 = lsx_ref[:, gi][:, None]
-            uz1 = lex_ref[:, gi][:, None]
-            inv0 = one / uz0
-            inv1 = one / uz1
-            denom = (one - ax) * inv0 + ax * inv1
-            u = (
-                (one - ax) * (f32(0.0) / uz0)
-                + ax * (length_ref[:, gi][:, None] / uz1)
-            ) / denom
-            tx_base = (
-                as_i16(u)
-                + as_i16(soff_ref[:, gi])[:, None]
-                + offx_ref[:, gi][:, None]
-            )
-            zdist = as_i16(((one - ax) + ax) / denom)
+    pfl_d1 = jnp.broadcast_to(pfl1_ref[0, 0, 0, :][:, None], (TILE_B, W))
+    pfl_d2 = jnp.broadcast_to(pfl2_ref[0, 0, 0, :][:, None], (TILE_B, W))
+    pce_d1 = jnp.broadcast_to(pce1_ref[0, 0, 0, :][:, None], (TILE_B, W))
+    pce_d2 = jnp.broadcast_to(pce2_ref[0, 0, 0, :][:, None], (TILE_B, W))
+    zero = jnp.zeros((TILE_B, W), I32)
 
-            state = {}
-            for p in range(4):
-                act = (flags & (1 << p)) != 0
-                draws_p = (flags & (64 << p)) != 0
-                hor = hor_s[...] != 0
-                fo = fo_s[...]
-                co = co_s[...]
-                covered = (xx >= x0i) & (xx <= x1i) & act
-                open_ = covered & ~hor
-
-                by = as_i16(
-                    f32(ybs_ref[:, gi, p])[:, None]
-                    + f32(xx - x0) * ybd_ref[:, gi, p][:, None]
-                )
-                ty = as_i16(
-                    f32(yts_ref[:, gi, p])[:, None]
-                    + f32(xx - x0) * ytd_ref[:, gi, p][:, None]
-                )
-                cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
-                ct = jnp.maximum(0, jnp.maximum(co, ty))
-                in_ver = (cb >= ct) & open_
-
-                item = item_base + p
-                thw = thw_ref[:, gi, p][:, None]
-                th = thw >> 16
-                tw = thw & 0xFFFF
-                tx = wrap_tex(tx_base, jnp.maximum(tw, 1))
-                w_d1 = texbase_ref[:, gi, p][:, None] + tx
-                w_d2 = pack16(by, ty)
-                w_d3 = pack16(offy_ref[:, gi, p][:, None], th)
-                w_d4 = pack16(light, zdist)
-                w_d5 = jnp.broadcast_to(
-                    lax.bitcast_convert_type(uy1_ref[:, gi, p], I32)[:, None],
-                    (TILE_B, W),
-                )
-                wall_data = (w_d1, w_d2, w_d3, w_d4, w_d5)
-
-                if p == 0:
-                    solid = ~two_sided
-                    rec = pack_span(KIND_WALL, item, ct, cb)
-                    rec = jnp.where(
-                        draws_p, rec, rec | jnp.int32(-(2**31))
-                    )
-                    emit(in_ver & solid, rec, wall_data)
-
-                    fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
-                    fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
-                    emit(
-                        fl_emit, pack_span(KIND_FLOOR, item, cb, fo),
-                        (pfl_d1, pfl_d2, zero, zero, zero),
-                    )
-                    ce_keep = c_sky | (
-                        jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
-                    )
-                    ce_emit = in_ver & draw_c & (ct > co) & ce_keep
-                    emit(
-                        ce_emit, pack_span(KIND_CEIL, item, co, ct),
-                        (pce_d1, pce_d2, zero, zero, zero),
-                    )
-
-                    gap = open_ & ~in_ver & (fo > co)
-                    keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
-                    gap_b = gap & (by <= co)
-                    emit(
-                        gap_b & (f_sky | keep_g),
-                        pack_span(KIND_FLOOR, item, co, fo),
-                        (pfl_d1, pfl_d2, zero, zero, zero),
-                    )
-                    gap_t = gap & draw_c & (ty >= fo)
-                    emit(
-                        gap_t & (c_sky | keep_g),
-                        pack_span(KIND_CEIL, item, co, fo),
-                        (pce_d1, pce_d2, zero, zero, zero),
-                    )
-                    gap_occl = gap_b | gap_t
-
-                    occl_m = in_ver & two_sided
-                    fo = jnp.where(occl_m, cb, fo)
-                    co = jnp.where(occl_m & draw_c, ct, co)
-                    solid_occl = (covered & solid) | gap_occl
-                    hor_s[...] = (hor | solid_occl).astype(I32)
-                    fo_s[...] = jnp.where(solid_occl, H // 2, fo)
-                    co_s[...] = jnp.where(solid_occl, H // 2, co)
-                elif p == 1:
-                    emit(in_ver, pack_span(KIND_MID, item, ct, cb), wall_data)
-                elif p == 2:
-                    rec = pack_span(KIND_WALL, item, ct, cb)
-                    rec = jnp.where(
-                        draws_p, rec, rec | jnp.int32(-(2**31))
-                    )
-                    emit(in_ver, rec, wall_data)
-                    fo_s[...] = jnp.where(in_ver, ct, fo)
-                else:
-                    rec = pack_span(KIND_WALL, item, ct, cb)
-                    rec = jnp.where(
-                        draws_p, rec, rec | jnp.int32(-(2**31))
-                    )
-                    emit(in_ver, rec, wall_data)
-                    co_s[...] = jnp.where(in_ver, cb, co)
-            return 0
-
-        lax.fori_loop(0, G, seg_step, 0)
-
-    pl.run_scoped(
-        body,
-        hor_s=pltpu.VMEM((TILE_B, W), I32),
-        fo_s=pltpu.VMEM((TILE_B, W), I32),
-        co_s=pltpu.VMEM((TILE_B, W), I32),
+    one = f32(1.0)
+    ax = f32(xx - x0) / f32(x1_ref[0, 0, 0, :][:, None] - x0)
+    uz0 = lsx_ref[0, 0, 0, :][:, None]
+    uz1 = lex_ref[0, 0, 0, :][:, None]
+    inv0 = one / uz0
+    inv1 = one / uz1
+    denom = (one - ax) * inv0 + ax * inv1
+    u = (
+        (one - ax) * (f32(0.0) / uz0)
+        + ax * (length_ref[0, 0, 0, :][:, None] / uz1)
+    ) / denom
+    tx_base = (
+        as_i16(u) + as_i16(soff_ref[0, 0, 0, :])[:, None] + offx_ref[0, 0, 0, :][:, None]
     )
+    zdist = as_i16(((one - ax) + ax) / denom)
+
+    for p in range(4):
+        act = (flags & (1 << p)) != 0
+        draws_p = (flags & (64 << p)) != 0
+        hor = hor_s[...] != 0
+        fo = fo_s[...]
+        co = co_s[...]
+        covered = (xx >= x0i) & (xx <= x1i) & act
+        open_ = covered & ~hor
+
+        by = as_i16(
+            f32(ybs_ref[0, 0, p, :])[:, None]
+            + f32(xx - x0) * ybd_ref[0, 0, p, :][:, None]
+        )
+        ty = as_i16(
+            f32(yts_ref[0, 0, p, :])[:, None]
+            + f32(xx - x0) * ytd_ref[0, 0, p, :][:, None]
+        )
+        cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
+        ct = jnp.maximum(0, jnp.maximum(co, ty))
+        in_ver = (cb >= ct) & open_
+
+        item = item_base + p
+        thw = thw_ref[0, 0, p, :][:, None]
+        th = thw >> 16
+        tw = thw & 0xFFFF
+        tx = wrap_tex(tx_base, jnp.maximum(tw, 1))
+        w_d1 = texbase_ref[0, 0, p, :][:, None] + tx
+        w_d2 = pack16(by, ty)
+        w_d3 = pack16(offy_ref[0, 0, p, :][:, None], th)
+        w_d4 = pack16(light, zdist)
+        w_d5 = jnp.broadcast_to(
+            lax.bitcast_convert_type(uy1_ref[0, 0, p, :], I32)[:, None],
+            (TILE_B, W),
+        )
+        wall_data = (w_d1, w_d2, w_d3, w_d4, w_d5)
+
+        if p == 0:
+            solid = ~two_sided
+            rec = pack_span(KIND_WALL, item, ct, cb)
+            rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+            emit(in_ver & solid, rec, wall_data)
+
+            fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
+            fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
+            emit(
+                fl_emit, pack_span(KIND_FLOOR, item, cb, fo),
+                (pfl_d1, pfl_d2, zero, zero, zero),
+            )
+            ce_keep = c_sky | (
+                jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
+            )
+            ce_emit = in_ver & draw_c & (ct > co) & ce_keep
+            emit(
+                ce_emit, pack_span(KIND_CEIL, item, co, ct),
+                (pce_d1, pce_d2, zero, zero, zero),
+            )
+
+            gap = open_ & ~in_ver & (fo > co)
+            keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
+            gap_b = gap & (by <= co)
+            emit(
+                gap_b & (f_sky | keep_g),
+                pack_span(KIND_FLOOR, item, co, fo),
+                (pfl_d1, pfl_d2, zero, zero, zero),
+            )
+            gap_t = gap & draw_c & (ty >= fo)
+            emit(
+                gap_t & (c_sky | keep_g),
+                pack_span(KIND_CEIL, item, co, fo),
+                (pce_d1, pce_d2, zero, zero, zero),
+            )
+            gap_occl = gap_b | gap_t
+
+            occl_m = in_ver & two_sided
+            fo = jnp.where(occl_m, cb, fo)
+            co = jnp.where(occl_m & draw_c, ct, co)
+            solid_occl = (covered & solid) | gap_occl
+            hor_s[...] = (hor | solid_occl).astype(I32)
+            fo_s[...] = jnp.where(solid_occl, H // 2, fo)
+            co_s[...] = jnp.where(solid_occl, H // 2, co)
+        elif p == 1:
+            emit(in_ver, pack_span(KIND_MID, item, ct, cb), wall_data)
+        elif p == 2:
+            rec = pack_span(KIND_WALL, item, ct, cb)
+            rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+            emit(in_ver, rec, wall_data)
+            fo_s[...] = jnp.where(in_ver, ct, fo)
+        else:
+            rec = pack_span(KIND_WALL, item, ct, cb)
+            rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+            emit(in_ver, rec, wall_data)
+            co_s[...] = jnp.where(in_ver, cb, co)
 
 
 def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
-    """Drop-in replacement for walls.wall_scan (fast path)."""
+    """Drop-in replacement for walls.wall_scan (fast path, TPU only)."""
     B, G = order.shape
     W, H, K = cfg.width, cfg.height, cfg.span_capacity
-    TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
+    TW = level.tex_pixels.shape[2]
     assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
 
     def ordered(x):
@@ -236,8 +222,7 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
             return jnp.take_along_axis(x, order, axis=1)
         return jnp.take_along_axis(x, order[..., None], axis=1)
 
-    # pack per-seg flags
-    active = ordered(frame["active"])                # [B, G, 4] bool
+    active = ordered(frame["active"])
     draws = ordered(frame["draws"])
     flags = (
         active[..., 0].astype(I32)
@@ -269,9 +254,15 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
     texbase = tex_safe * TW
     thw = (level.tex_h[tex_safe] << 16) | level.tex_w[tex_safe]
 
-    bc = lambda x: x  # f32 refs passed natively
+    def tile4(x):
+        """[B, G(,4)] -> [B/T, G, 1|4, T] dummy-axis layout for Mosaic."""
+        if x.ndim == 2:
+            return x.reshape(B // TILE_B, TILE_B, G).transpose(0, 2, 1)[
+                :, :, None, :
+            ]
+        return x.reshape(B // TILE_B, TILE_B, G, 4).transpose(0, 2, 3, 1)
 
-    inputs = [
+    inputs = [tile4(x) for x in (
         order.astype(I32),
         ordered(frame["x0"]), ordered(frame["x1"]), flags,
         ordered(frame["lsx"]), ordered(frame["lex"]),
@@ -281,34 +272,47 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
         ordered(frame["yt_s"]), ordered(frame["yt_d"]),
         ordered(frame["off_y"]), texbase, thw, ordered(frame["uy1"]),
         pfl1, pfl2, pce1, pce2,
-    ]
+    )]
 
-    def spec(x):
-        blk = (TILE_B,) + x.shape[1:]
-        ix = lambda i: (i,) + (0,) * (x.ndim - 1)
-        return pl.BlockSpec(blk, ix, memory_space=pltpu.VMEM)
+    def in_spec(x):
+        last = x.shape[2]  # 1 or 4
+        return pl.BlockSpec(
+            (1, 1, last, TILE_B), lambda i, g: (i, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
+    pool_spec = pl.BlockSpec(
+        (TILE_B, K, W), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     out_shapes = (
-        [jax.ShapeDtypeStruct((B, W, K), jnp.int32) for _ in range(6)]
+        [jax.ShapeDtypeStruct((B, K, W), jnp.int32) for _ in range(6)]
         + [jax.ShapeDtypeStruct((B, W), jnp.int32),
            jax.ShapeDtypeStruct((B, 128), jnp.int32)]
     )
     out_specs = (
-        [pl.BlockSpec((TILE_B, W, K), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM) for _ in range(6)]
-        + [pl.BlockSpec((TILE_B, W), lambda i: (i, 0),
+        [pool_spec for _ in range(6)]
+        + [pl.BlockSpec((TILE_B, W), lambda i, g: (i, 0),
                         memory_space=pltpu.VMEM),
-           pl.BlockSpec((TILE_B, 128), lambda i: (i, 0),
+           pl.BlockSpec((TILE_B, 128), lambda i, g: (i, 0),
                         memory_space=pltpu.VMEM)]
     )
 
-    kernel = functools.partial(_kernel, G=G, W=W, H=H, K=K, TW=TW)
+    kernel = functools.partial(_kernel, W=W, H=H, K=K)
     outs = pl.pallas_call(
         kernel,
-        grid=(B // TILE_B,),
-        in_specs=[spec(x) for x in inputs],
+        grid=(B // TILE_B, G),
+        in_specs=[in_spec(x) for x in inputs],
         out_shape=out_shapes,
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((TILE_B, W), jnp.int32),
+            pltpu.VMEM((TILE_B, W), jnp.int32),
+            pltpu.VMEM((TILE_B, W), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
     )(*inputs)
     spans, d1, d2, d3, d4, d5, cnt, ovf = outs
-    return (spans, [d1, d2, d3, d4, d5]), cnt, ovf[:, 0]
+    tr = lambda x: jnp.swapaxes(x, 1, 2)          # [B, K, W] -> [B, W, K]
+    return (tr(spans), [tr(d1), tr(d2), tr(d3), tr(d4), tr(d5)]), cnt, ovf[:, 0]

@@ -24,7 +24,13 @@ def _stages_1_2(level, cfg, px, py, angle, floor_height, sector_light, timestamp
     )
     rank = cam.traversal_rank(level, px, py)
     order = cam.seg_order(level, rank)
-    pool, cnt, overflow = walls.wall_scan(level, cfg, frame, order)
+    B = px.shape[0]
+    if cfg.use_pallas_scan and B % 8 == 0 and jax.default_backend() != "cpu":
+        from doomtpu.ops.pallas_scan import wall_scan_pallas
+
+        pool, cnt, overflow = wall_scan_pallas(level, cfg, frame, order)
+    else:
+        pool, cnt, overflow = walls.wall_scan(level, cfg, frame, order)
     idx, light, dist, is_sky = res.resolve_frame(
         level, cfg, frame, pool, cnt, px, py, angle, floor_height
     )
