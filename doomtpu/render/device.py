@@ -124,15 +124,28 @@ class DeviceLevel:
     atlas_cols: jnp.ndarray
     atlas_cm: jnp.ndarray
 
+    # static (non-pytree) metadata
+    sky_is_opaque: bool = True
+
+    _STATIC_FIELDS = ("sky_is_opaque",)
+
     def tree_flatten(self):
         from dataclasses import fields
 
-        names = tuple(f.name for f in fields(self))
-        return tuple(getattr(self, n) for n in names), names
+        names = tuple(
+            f.name for f in fields(self) if f.name not in self._STATIC_FIELDS
+        )
+        aux = (names, tuple(
+            (n, getattr(self, n)) for n in self._STATIC_FIELDS
+        ))
+        return tuple(getattr(self, n) for n in names), aux
 
     @classmethod
-    def tree_unflatten(cls, names, values):
-        return cls(**dict(zip(names, values)))
+    def tree_unflatten(cls, aux, values):
+        names, static = aux
+        kw = dict(zip(names, values))
+        kw.update(dict(static))
+        return cls(**kw)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -282,6 +295,7 @@ class DeviceLevel:
             dseg_ix=_j(dseg_ix, jnp.int32),
             atlas_cols=_j(atlas_cols, jnp.bfloat16),
             atlas_cm=_j(atlas_cm, jnp.int32),
+            sky_is_opaque=bool(a.tex_mask[a.sky_tex].all()),
         )
 
     @property

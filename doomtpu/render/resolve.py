@@ -144,16 +144,7 @@ def resolve_frame(
     ) * ROWS + fty
     plane_dist = as_i16(wx)
 
-    # ---------------- unified texel fetch -----------------------------------
-    use_plane = has_plane & ~is_sky
-    index = jnp.where(use_plane, flat_index, wall_index)
-    packed = level.atlas_cm[
-        jnp.clip(index, 0, level.atlas_cm.shape[0] - 1)
-    ]
-    texel = packed & 0xFF
-    opaque = (packed & 0x100) != 0
-
-    # sky overlay (visplanes.rs:42-80)
+    # ---------------- sky texel index (visplanes.rs:42-80) -----------------
     stw, sth = SKY_TEXTURE_WIDTH, SKY_TEXTURE_HEIGHT
     tx_off = as_i16(
         -f32(stw) * f32(angle)[:, None, None] / f32(math.pi / 2.0)
@@ -166,9 +157,38 @@ def resolve_frame(
     sty = jnp.where(sty < 0, sty + sth, sty)
     sty = rem_trunc(sty, sth)
     sky_index = (level.sky_tex * TW + stx) * ROWS + sty
-    sky_packed = level.atlas_cm[
-        jnp.clip(sky_index, 0, level.atlas_cm.shape[0] - 1)
+
+    # ---------------- unified texel fetch -----------------------------------
+    use_plane = has_plane & ~is_sky
+    clipix = lambda ix: level.atlas_cm[
+        jnp.clip(ix, 0, level.atlas_cm.shape[0] - 1)
     ]
+
+    if level.sky_is_opaque:
+        # single gather: plane / sky / wall are mutually exclusive sources
+        index = jnp.where(
+            use_plane, flat_index, jnp.where(is_sky, sky_index, wall_index)
+        )
+        packed = clipix(index)
+        texel = packed & 0xFF
+        opaque = (packed & 0x100) != 0
+        use_sky = is_sky
+        use_wall = has_wall & opaque & ~has_plane
+        use_plane_px = use_plane & opaque
+
+        idx = jnp.full((B, H, W), -1, I32)
+        idx = jnp.where(use_wall | use_plane_px | use_sky, texel, idx)
+        light = jnp.where(use_plane_px | use_sky, light_p, light_w)
+        dist = jnp.where(use_plane_px | use_sky, plane_dist, dist_w)
+        return idx, light, dist, use_sky
+
+    # exact path for (pathological) masked sky textures: transparent sky
+    # texels show the wall drawn earlier
+    index = jnp.where(use_plane, flat_index, wall_index)
+    packed = clipix(index)
+    texel = packed & 0xFF
+    opaque = (packed & 0x100) != 0
+    sky_packed = clipix(sky_index)
     sky_opaque = (sky_packed & 0x100) != 0
 
     use_sky = is_sky & sky_opaque
@@ -177,9 +197,6 @@ def resolve_frame(
 
     idx = jnp.full((B, H, W), -1, I32)
     idx = jnp.where(use_wall, texel, idx)
-    # walls under a transparent-sky plane pixel still show through; sky
-    # pixels are not `use_plane`, so `packed` already holds their WALL
-    # texel — no extra gather needed
     under_sky_wall = is_sky & ~sky_opaque & has_wall & opaque
     idx = jnp.where(under_sky_wall, texel, idx)
     idx = jnp.where(use_plane_px, texel, idx)
