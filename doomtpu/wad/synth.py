@@ -551,6 +551,24 @@ def demo_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
     return rooms, things
 
 
+def sky_hack_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """Two adjacent sky-ceiling courtyards with different ceiling heights
+    (exercises the sky hack, segs.rs:459-477) plus a DONTPEGTOP portal."""
+    rooms = [
+        RoomSpec(0, 0, 512, 512, floor_h=0, ceil_h=256, light=208,
+                 ceil_flat="F_SKY1"),
+        RoomSpec(512, 64, 1024, 448, floor_h=24, ceil_h=192, light=176,
+                 ceil_flat="F_SKY1", floor_flat="FLOOR2",
+                 peg_flags=DONTPEGTOP),
+        # indoor room south of the first courtyard (normal ceiling, so its
+        # shared edge draws an upper wall against the sky sector)
+        RoomSpec(128, -384, 384, 0, floor_h=-16, ceil_h=120, light=144,
+                 ceil_flat="CEIL2", peg_flags=DONTPEGTOP | DONTPEGBOTTOM),
+    ]
+    things = [ThingSpec(256, 256, 0, 1), ThingSpec(700, 256, 180, 2035)]
+    return rooms, things
+
+
 def build_wad(rooms, things, map_name: str = "E1M1") -> bytes:
     b = WadBuilder("IWAD")
     standard_assets(b)
@@ -575,3 +593,7 @@ def two_room_wad() -> bytes:
 
 def demo_wad() -> bytes:
     return build_wad(*demo_level())
+
+
+def sky_hack_wad() -> bytes:
+    return build_wad(*sky_hack_level())

@@ -60,6 +60,7 @@ def main():
         "single": synth.single_room_wad,
         "two": synth.two_room_wad,
         "demo": synth.demo_wad,
+        "sky": synth.sky_hack_wad,
     }[args.level]()
     wad = WadFile(wad_bytes)
     mt = MapTables.load(wad, "E1M1")
@@ -72,6 +73,7 @@ def main():
         "single": synth.single_room_level,
         "two": synth.two_room_level,
         "demo": synth.demo_level,
+        "sky": synth.sky_hack_level,
     }[args.level]()
     rng = np.random.default_rng(args.seed)
     views = []

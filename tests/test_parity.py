@@ -13,7 +13,7 @@ import pytest
 
 from doomtpu.render.device import DeviceLevel
 from doomtpu.render.frame import render_frame, render_walls_planes
-from doomtpu.render.spec import Player, SpecRenderer
+from doomtpu.render.spec import Player, Player as SpecPlayer, SpecRenderer
 
 
 VIEWS = [
@@ -68,6 +68,42 @@ def test_full_frame_bit_exact(setup, demo_level, config):
         )
         np.testing.assert_array_equal(np.asarray(idx[b]), out["idx"])
         np.testing.assert_array_equal(rgb[b], out["rgb"])
+
+
+def test_sky_hack_level_bit_exact(info, config):
+    """Adjacent sky-ceiling sectors (sky hack, segs.rs:459-477) and
+    DONTPEGTOP texturing render bit-exactly."""
+    from doomtpu.assets.bundle import LevelAssets
+    from doomtpu.level.tables import MapTables
+    from doomtpu.utils.color import unpack_rgb
+    from doomtpu.wad import synth
+    from doomtpu.wad.reader import WadFile
+
+    wad = WadFile(synth.sky_hack_wad())
+    mt = MapTables.load(wad, "E1M1")
+    assets = LevelAssets.load(wad, mt, info.sprite_names)
+    level = DeviceLevel.build(mt, assets, info)
+    spec = SpecRenderer(mt, assets, info, config)
+
+    views = [(256.0, 256.0, 0.0), (900.0, 256.0, 3.3), (256.0, -200.0, 1.57)]
+    B = len(views)
+    px = jnp.asarray([v[0] for v in views], jnp.float32)
+    py = jnp.asarray([v[1] for v in views], jnp.float32)
+    pa = jnp.asarray([v[2] for v in views], jnp.float32)
+    fh = jnp.asarray(
+        [float(mt.sector_floor_h[mt.sector_at(v[0], v[1])]) for v in views],
+        jnp.float32,
+    )
+    sl = jnp.asarray(mt.sector_light, jnp.int32)[None].repeat(B, 0)
+    ts = jnp.zeros(B, jnp.float32)
+    idx, rgb, aux = render_walls_planes(level, config, px, py, pa, fh, sl, ts)
+    for b, v in enumerate(views):
+        sec = mt.sector_at(v[0], v[1])
+        out = spec.render(
+            SpecPlayer(v[0], v[1], v[2], float(mt.sector_floor_h[sec]))
+        )
+        np.testing.assert_array_equal(np.asarray(idx[b]), out["idx"])
+        np.testing.assert_array_equal(unpack_rgb(rgb[b]), out["rgb"])
 
 
 def test_batch_equals_single(setup, demo_level, config):
