@@ -52,7 +52,7 @@ def _kernel(
     spans_ref, d1_ref, d2_ref, d3_ref, d4_ref, d5_ref, cnt_ref, ovf_ref,
     # scratch
     hor_s, fo_s, co_s,
-    *, W, H, K,
+    *, W, H, K, TEX_POW2,
 ):
     gi = pl.program_id(1)
 
@@ -141,7 +141,7 @@ def _kernel(
         thw = thw_ref[0, 0, p, :][:, None]
         th = thw >> 16
         tw = thw & 0xFFFF
-        tx = wrap_tex(tx_base, jnp.maximum(tw, 1))
+        tx = wrap_tex(tx_base, jnp.maximum(tw, 1), pow2=TEX_POW2)
         w_d1 = texbase_ref[0, 0, p, :][:, None] + tx
         w_d2 = pack16(by, ty)
         w_d3 = pack16(offy_ref[0, 0, p, :][:, None], th)
@@ -297,7 +297,9 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
                         memory_space=pltpu.VMEM)]
     )
 
-    kernel = functools.partial(_kernel, W=W, H=H, K=K)
+    kernel = functools.partial(
+        _kernel, W=W, H=H, K=K, TEX_POW2=level.tex_sizes_pow2
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(B // TILE_B, G),

@@ -126,8 +126,9 @@ class DeviceLevel:
 
     # static (non-pytree) metadata
     sky_is_opaque: bool = True
+    tex_sizes_pow2: bool = False  # all wall texture dims are powers of two
 
-    _STATIC_FIELDS = ("sky_is_opaque",)
+    _STATIC_FIELDS = ("sky_is_opaque", "tex_sizes_pow2")
 
     def tree_flatten(self):
         from dataclasses import fields
@@ -296,6 +297,10 @@ class DeviceLevel:
             atlas_cols=_j(atlas_cols, jnp.bfloat16),
             atlas_cm=_j(atlas_cm, jnp.int32),
             sky_is_opaque=bool(a.tex_mask[a.sky_tex].all()),
+            tex_sizes_pow2=bool(
+                np.all((a.tex_w & (a.tex_w - 1)) == 0)
+                and np.all((a.tex_h & (a.tex_h - 1)) == 0)
+            ),
         )
 
     @property

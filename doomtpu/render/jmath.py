@@ -83,8 +83,15 @@ def rem_trunc(a, b):
     return a - div_trunc(a, b) * b
 
 
-def wrap_tex(t, size):
-    """if t < 0 { t += size * (1 - t / size) }; t %= size  (trunc div)."""
+def wrap_tex(t, size, pow2: bool = False):
+    """if t < 0 { t += size * (1 - t / size) }; t %= size  (trunc div).
+
+    With pow2=True (static, when every possible `size` is a power of
+    two), the whole idiom reduces exactly to t & (size - 1) — the
+    reference wrap always lands in [0, size) like a mathematical mod.
+    """
+    if pow2:
+        return t & (size - 1)
     t_neg = t + size * (1 - div_trunc(t, size))
     t = jnp.where(t < 0, t_neg, t)
     return rem_trunc(t, size)

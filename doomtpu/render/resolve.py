@@ -118,7 +118,7 @@ def resolve_frame(
     uy1_p = lax.bitcast_convert_type(A5, F32)
     ay = f32(yy - tyl_p) / f32(by_p - tyl_p)
     tyv = as_i16(f32(th_p) + smul(ay, uy1_p)) + off_y_p
-    tyv = wrap_tex(tyv, jnp.maximum(th_p, 1))
+    tyv = wrap_tex(tyv, jnp.maximum(th_p, 1), pow2=level.tex_sizes_pow2)
     ROWS = level.atlas_rows
     wall_index = jnp.maximum(A1, 0) * ROWS + tyv
 

@@ -185,7 +185,7 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             tex_safe = jnp.maximum(tex, 0)
             tw = level.tex_w[tex_safe][:, None]
             th = level.tex_h[tex_safe][:, None]
-            tx = wrap_tex(tx_base, jnp.maximum(tw, 1))
+            tx = wrap_tex(tx_base, jnp.maximum(tw, 1), pow2=level.tex_sizes_pow2)
             d1 = tex_safe[:, None] * TW + tx          # atlas column id
             d2 = pack16(by, ty)
             d3 = pack16(seg["off_y"][:, p][:, None], th)
