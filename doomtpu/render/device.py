@@ -123,6 +123,7 @@ class DeviceLevel:
     #   gathers (index = colid * ROWS + row)
     atlas_cols: jnp.ndarray
     atlas_cm: jnp.ndarray
+    palette_packed: jnp.ndarray  # [256] i32 0xRRGGBB
 
     # static (non-pytree) metadata
     sky_is_opaque: bool = True
@@ -296,6 +297,12 @@ class DeviceLevel:
             dseg_ix=_j(dseg_ix, jnp.int32),
             atlas_cols=_j(atlas_cols, jnp.bfloat16),
             atlas_cm=_j(atlas_cm, jnp.int32),
+            palette_packed=_j(
+                (a.palette[:, 0].astype(np.int32) << 16)
+                | (a.palette[:, 1].astype(np.int32) << 8)
+                | a.palette[:, 2].astype(np.int32),
+                jnp.int32,
+            ),
             sky_is_opaque=bool(a.tex_mask[a.sky_tex].all()),
             tex_sizes_pow2=bool(
                 np.all((a.tex_w & (a.tex_w - 1)) == 0)

@@ -22,6 +22,9 @@ def _stages_1_2(level, cfg, px, py, angle, floor_height, sector_light, timestamp
     frame = cam.build_seg_frame(
         level, cfg, px, py, angle, floor_height, sector_light, timestamp
     )
+    # materialize once: the frame fields feed many consumers and XLA
+    # otherwise re-fuses (recomputes) the camera stage into each
+    frame = jax.lax.optimization_barrier(frame)
     rank = cam.traversal_rank(level, px, py)
     order = cam.seg_order(level, rank)
     B = px.shape[0]

@@ -105,6 +105,11 @@ def resolve_frame(
         P1 = jnp.where(cover_p, sel(d1), P1)
         P2 = jnp.where(cover_p, sel(d2), P2)
 
+    # materialize the folded winners once: without the barrier XLA may
+    # re-fuse (recompute) the whole K-loop into each downstream consumer
+    A1, A2, A3, A4, A5, P1, P2 = lax.optimization_barrier(
+        (A1, A2, A3, A4, A5, P1, P2)
+    )
     has_wall = A1 >= 0
     has_plane = P1 >= 0
 
@@ -220,8 +225,9 @@ def shade(level: DeviceLevel, idx, light, dist, is_sky):
     factor = jnp.maximum(factor, 0.0)
     factor = jnp.where(is_sky, f32(1.0), factor)
     safe = jnp.maximum(idx, 0)
+    pal = level.palette_packed[safe]          # one gather for all channels
     packed = jnp.zeros_like(idx)
-    for c, shift in ((0, 16), (1, 8), (2, 0)):
-        chan = jnp.trunc(level.palette[:, c][safe] * factor).astype(I32)
-        packed = packed | (chan << shift)
+    for shift in (16, 8, 0):
+        chan = f32((pal >> shift) & 0xFF)
+        packed = packed | (jnp.trunc(chan * factor).astype(I32) << shift)
     return jnp.where(idx >= 0, packed, 0)

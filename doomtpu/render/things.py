@@ -198,6 +198,8 @@ def deferred_pass(
                 jnp.minimum(bsc, by_full[:, None, :]), bsc,
             )
 
+        tsc, bsc = lax.optimization_barrier((tsc, bsc))
+
         # back-to-front order: stable sort by as_i16(lsx) then reverse
         key_m = as_i16(lsx)
         asc = jnp.argsort(
@@ -344,6 +346,7 @@ def deferred_pass(
         return jnp.concatenate([spr_i[name], seg_i[name]], axis=1)
 
     items = {k: cat(k) for k in (spr_i if MO > 0 else seg_i)}
+    items = lax.optimization_barrier(items)
 
     # ---------------- composite in sorted order ------------------------------
     ROWS = level.atlas_rows
