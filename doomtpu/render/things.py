@@ -150,9 +150,33 @@ def deferred_pass(
             vpx[:, None, :], vpy[:, None, :],
         )                                                       # [B, G, MO]
 
-        e2b_static = level.piece_e2b                             # [G, 4]
-        e2t_static = level.piece_e2t
-        draw_ceil_static = level.seg_draw_ceiling                # [G]
+        # one MXU one-hot contraction answers, for every pool slot at
+        # once: is the slot's seg in front of each sprite, is it solid,
+        # does it draw its ceiling — replacing K rounds of per-slot
+        # gathers (exact: one-hot selection of 0/1 bits)
+        item_all = (spans >> 16) & 0x1FFF                        # [B, W, K]
+        g_all = item_all >> 2
+        p_all = item_all & 3
+        onehot_g = (
+            g_all[..., None] == jnp.arange(G, dtype=I32)
+        ).astype(jnp.bfloat16)                                   # [B, W, K, G]
+        rhs = jnp.concatenate([
+            (~behind).astype(jnp.bfloat16),                      # [B, G, MO]
+            jnp.broadcast_to(
+                (~level.seg_two_sided)[None, :, None], (B, G, 1)
+            ).astype(jnp.bfloat16),
+            jnp.broadcast_to(
+                level.seg_draw_ceiling[None, :, None], (B, G, 1)
+            ).astype(jnp.bfloat16),
+        ], axis=2)
+        lut = lax.dot_general(
+            onehot_g.reshape(B, W * K, G), rhs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, W, K, MO + 2) >= 0.5
+        front_all = lut[..., :MO]                                # [B, W, K, MO]
+        solid_all = lut[..., MO]                                 # [B, W, K]
+        dc_all = lut[..., MO + 1]
 
         tsc = jnp.full((B, MO, W), -1, I32)
         bsc = jnp.full((B, MO, W), H, I32)
@@ -160,21 +184,18 @@ def deferred_pass(
             slot = spans[:, :, k]                               # [B, W]
             k_ok = k < cnt
             kind = (slot >> 29) & 3
-            item = (slot >> 16) & 0x1FFF
-            g_s = item >> 2
-            p_s = item & 3
+            p_s = p_all[:, :, k]
             y0 = ((slot >> 8) & 255) - 1                        # clipped top
             y1 = (slot & 255) - 1                               # clipped bottom
 
-            front = ~jnp.take_along_axis(
-                behind, g_s[:, :, None], axis=1
-            )                                                   # [B, W, MO]
-            front = front & k_ok[:, :, None]
+            front = front_all[:, :, k, :] & k_ok[:, :, None]     # [B, W, MO]
             front = jnp.moveaxis(front, 2, 1)                    # [B, MO, W]
 
             is_wall = kind == KIND_WALL
-            e2b_k = e2b_static[g_s, p_s] & is_wall
-            e2t_k = e2t_static[g_s, p_s] & is_wall
+            solid_k = solid_all[:, :, k]
+            # extends flags from the piece id (bitmap_render extends rules)
+            e2b_k = ((p_s == 2) | ((p_s == 0) & solid_k)) & is_wall
+            e2t_k = ((p_s == 3) | ((p_s == 0) & solid_k)) & is_wall
             bsc = jnp.where(
                 front & e2b_k[:, None, :],
                 jnp.minimum(bsc, y0[:, None, :]), bsc,
@@ -188,7 +209,7 @@ def deferred_pass(
             is_mid = kind == KIND_MID
             by_full = unpack16_hi(d2[:, :, k])
             ty_full = unpack16_lo(d2[:, :, k])
-            dc_k = draw_ceil_static[g_s] & is_mid
+            dc_k = dc_all[:, :, k] & is_mid
             tsc = jnp.where(
                 front & dc_k[:, None, :],
                 jnp.maximum(tsc, ty_full[:, None, :]), tsc,
