@@ -153,13 +153,13 @@ def deferred_pass(
         # one MXU one-hot contraction answers, for every pool slot at
         # once: is the slot's seg in front of each sprite, is it solid,
         # does it draw its ceiling — replacing K rounds of per-slot
-        # gathers (exact: one-hot selection of 0/1 bits)
+        # gathers (exact: one-hot selection of 0/1 bits).  The one-hot
+        # materializes at [B, W, K, G] bf16, so large maps/batches fall
+        # back to per-slot gathers (static size check).
         item_all = (spans >> 16) & 0x1FFF                        # [B, W, K]
         g_all = item_all >> 2
         p_all = item_all & 3
-        onehot_g = (
-            g_all[..., None] == jnp.arange(G, dtype=I32)
-        ).astype(jnp.bfloat16)                                   # [B, W, K, G]
+        use_matmul = B * W * K * G * 2 <= 1_000_000_000
         rhs = jnp.concatenate([
             (~behind).astype(jnp.bfloat16),                      # [B, G, MO]
             jnp.broadcast_to(
@@ -169,11 +169,20 @@ def deferred_pass(
                 level.seg_draw_ceiling[None, :, None], (B, G, 1)
             ).astype(jnp.bfloat16),
         ], axis=2)
-        lut = lax.dot_general(
-            onehot_g.reshape(B, W * K, G), rhs,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(B, W, K, MO + 2) >= 0.5
+        if use_matmul:
+            onehot_g = (
+                g_all[..., None] == jnp.arange(G, dtype=I32)
+            ).astype(jnp.bfloat16)                               # [B, W, K, G]
+            lut = lax.dot_general(
+                onehot_g.reshape(B, W * K, G), rhs,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(B, W, K, MO + 2) >= 0.5
+        else:
+            rhs_bool = rhs >= 0.5                                # [B, G, MO+2]
+            lut = jnp.take_along_axis(
+                rhs_bool, g_all.reshape(B, -1)[:, :, None], axis=1
+            ).reshape(B, W, K, MO + 2)
         front_all = lut[..., :MO]                                # [B, W, K, MO]
         solid_all = lut[..., MO]                                 # [B, W, K]
         dc_all = lut[..., MO + 1]
@@ -374,6 +383,9 @@ def deferred_pass(
     C = level.atlas_cols.shape[0]
     c_iota = jnp.arange(C, dtype=I32)
     r_iota = jnp.arange(ROWS, dtype=I32)
+    # one-hot sampling materializes [B, W, C] per item; big atlases fall
+    # back to the per-pixel gather from the column-major packed atlas
+    use_onehot_sample = B * W * C * 2 <= 400_000_000
 
     def body(i, carry):
         idx, light, dist, is_sky = carry
@@ -403,24 +415,32 @@ def deferred_pass(
         ) + off_y[:, None, :]
         tyv = wrap_tex(tyv, jnp.maximum(th, 1)[:, None, :])
 
-        # MXU one-hot texel sampling: fetch each column's texture column,
-        # then select the pixel's row — both exact (one-hot selection of
-        # bf16-exact palette values; -1 marks transparent)
-        onehot_c = (colbase[..., None] == c_iota).astype(jnp.bfloat16)
-        texcol = lax.dot_general(
-            onehot_c, level.atlas_cols,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # [B, W, ROWS]
-        onehot_r = (tyv[..., None] == r_iota).astype(jnp.bfloat16)
-        texel_f = lax.dot_general(
-            onehot_r.transpose(0, 2, 1, 3),                # [B, W, H, ROWS]
-            texcol.astype(jnp.bfloat16)[..., None],        # [B, W, ROWS, 1]
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32,
-        )[..., 0].transpose(0, 2, 1)                       # [B, H, W]
-        opaque = texel_f >= 0
-        texel = texel_f.astype(I32)
+        if use_onehot_sample:
+            # MXU one-hot texel sampling: fetch each column's texture
+            # column, then select the pixel's row — both exact (one-hot
+            # selection of bf16-exact palette values; -1 = transparent)
+            onehot_c = (colbase[..., None] == c_iota).astype(jnp.bfloat16)
+            texcol = lax.dot_general(
+                onehot_c, level.atlas_cols,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [B, W, ROWS]
+            onehot_r = (tyv[..., None] == r_iota).astype(jnp.bfloat16)
+            texel_f = lax.dot_general(
+                onehot_r.transpose(0, 2, 1, 3),                # [B, W, H, ROWS]
+                texcol.astype(jnp.bfloat16)[..., None],        # [B, W, ROWS, 1]
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            )[..., 0].transpose(0, 2, 1)                       # [B, H, W]
+            opaque = texel_f >= 0
+            texel = texel_f.astype(I32)
+        else:
+            t_ix = colbase[:, None, :] * ROWS + tyv
+            packed = level.atlas_cm[
+                jnp.clip(t_ix, 0, level.atlas_cm.shape[0] - 1)
+            ]
+            texel = packed & 0xFF
+            opaque = (packed & 0x100) != 0
 
         write = cover & opaque
         idx = jnp.where(write, texel, idx)
