@@ -118,9 +118,11 @@ class DoomEngine:
             self.level, self.thinkers, state, controls, key, self.turbo
         )
 
-    def rollout(self, state: GameState, controls_seq, key):
+    def rollout(self, state: GameState, controls_seq, key,
+                return_frames: bool = True):
         return step_mod.rollout(
-            self.level, self.thinkers, self.config, state, controls_seq, key
+            self.level, self.thinkers, self.config, state, controls_seq, key,
+            return_frames=return_frames,
         )
 
     def kill_everything(self, state):

@@ -69,11 +69,13 @@ def rollout(
     state: GameState,
     controls_seq,       # [T, B] i32
     key,
-    render_every: int = 1,
+    return_frames: bool = True,
 ):
-    """lax.scan rollout: T ticks of step+render.
+    """lax.scan rollout: T ticks of step+render (the RL-env workload).
 
-    Returns (final_state, frames [T//render_every, B, H, W] palette idx).
+    With return_frames=True yields [T, B, H, W] palette-index frames —
+    mind HBM (T*B*H*W*4 bytes); with False, a cheap per-step checksum
+    [T, B] is emitted instead (frames are still fully rendered).
     """
     from doomtpu.render.frame import render_frame
 
@@ -87,7 +89,8 @@ def rollout(
             level, cfg, st.pos[:, 0], st.pos[:, 1], st.angle,
             st.floor_height, st.sector_light, st.mobj_state, st.timestamp,
         )
-        return st, idx
+        out = idx if return_frames else idx.sum(axis=(1, 2))
+        return st, out
 
     final, frames = jax.lax.scan(body, state, (controls_seq, keys))
     return final, frames

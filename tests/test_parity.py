@@ -126,3 +126,24 @@ def test_batch_equals_single(setup, demo_level, config):
     full_idx, _, _ = render_walls_planes(level, config, *args(range(B)))
     one_idx, _, _ = render_walls_planes(level, config, *args([1]))
     np.testing.assert_array_equal(np.asarray(full_idx[1]), np.asarray(one_idx[0]))
+
+
+def test_player_position_round_trip(demo_level, config):
+    """--player-position JSON round-trips through the engine
+    (main.rs:52-53, game.rs:34-38, 376-384)."""
+    import json
+
+    from doomtpu.engine import DoomEngine
+    from doomtpu.wad import synth
+
+    eng = DoomEngine.from_wad_bytes(synth.demo_wad(), "e1m1", config=config)
+    state = eng.new_game(1)
+    blob = eng.player_position_json(state)
+    op = json.loads(blob)
+    state2 = eng.new_game(
+        1,
+        pos=np.asarray([[op["position"]["x"], op["position"]["y"]]]),
+        angle=np.asarray([op["angle"]], np.float32),
+    )
+    np.testing.assert_allclose(np.asarray(state2.pos), np.asarray(state.pos))
+    assert float(state2.floor_height[0]) == float(state.floor_height[0])

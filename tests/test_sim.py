@@ -192,3 +192,28 @@ def test_full_tick_jits(demo_env):
     assert int(s2.tick[0]) == 1
     s3 = f(s2, c, jax.random.PRNGKey(2))
     assert float(s3.pos[0, 0]) > float(state.pos[0, 0])
+
+
+def test_rollout_scan(demo_env):
+    """step+render composes under lax.scan (the RL-env workload)."""
+    import jax
+
+    from doomtpu.config import RenderConfig
+    from doomtpu.sim.step import rollout
+
+    level, tkt = demo_env
+    cfg = RenderConfig(width=64, height=48, span_capacity=12)
+    state = GameState.initial(level, tkt, batch=2, key=jax.random.PRNGKey(0))
+    controls = jnp.full((4, 2), KEY_UP, jnp.int32)
+    final, frames = rollout(
+        level, tkt, cfg, state, controls, jax.random.PRNGKey(1)
+    )
+    assert frames.shape == (4, 2, 48, 64)
+    assert int(final.tick[0]) == 4
+    # frames change over time as the camera walks forward
+    assert (np.asarray(frames[0]) != np.asarray(frames[3])).any()
+    _, sums = rollout(
+        level, tkt, cfg, state, controls, jax.random.PRNGKey(1),
+        return_frames=False,
+    )
+    assert sums.shape == (4, 2)
