@@ -35,7 +35,8 @@ from doomtpu.config import RenderConfig
 from doomtpu.render.device import DeviceLevel
 from doomtpu.render.jmath import I32, F32, as_i16, f32, wrap_tex
 from doomtpu.render.walls import (
-    KIND_CEIL, KIND_FLOOR, KIND_MID, KIND_WALL, N_PLANES, pack16, pack_span,
+    KIND_CEIL, KIND_FLOOR, KIND_MID, KIND_WALL, N_PLANES,
+    SPAN_DC, SPAN_E2B, SPAN_E2T, SPAN_NODRAW, pack16, pack_span,
 )
 
 TILE_B = 8
@@ -49,7 +50,8 @@ def _kernel(
     ybs_ref, ybd_ref, yts_ref, ytd_ref, offy_ref, texbase_ref, thw_ref,
     uy1_ref, pfl1_ref, pfl2_ref, pce1_ref, pce2_ref,
     # outputs, g-constant blocks
-    spans_ref, d1_ref, d2_ref, d3_ref, d4_ref, d5_ref, cnt_ref, ovf_ref,
+    spans_ref, d1_ref, d2_ref, d3_ref, d4_ref, d5_ref, d6_ref,
+    cnt_ref, ovf_ref,
     # scratch
     hor_s, fo_s, co_s,
     *, W, H, K, TEX_POW2,
@@ -64,7 +66,7 @@ def _kernel(
         cnt_ref[...] = jnp.zeros((TILE_B, W), I32)
         ovf_ref[...] = jnp.zeros((TILE_B, 128), I32)
         spans_ref[...] = jnp.zeros((TILE_B, K, W), I32)
-        for r in (d1_ref, d2_ref, d3_ref, d4_ref, d5_ref):
+        for r in (d1_ref, d2_ref, d3_ref, d4_ref, d5_ref, d6_ref):
             r[...] = jnp.zeros((TILE_B, K, W), I32)
 
     xx = lax.broadcasted_iota(I32, (TILE_B, W), 1)
@@ -76,7 +78,9 @@ def _kernel(
         do = mask & fits
         write = do[:, None, :] & (k_iota == cnt[:, None, :])
         spans_ref[...] = jnp.where(write, rec[:, None, :], spans_ref[...])
-        for r, d in zip((d1_ref, d2_ref, d3_ref, d4_ref, d5_ref), data):
+        for r, d in zip(
+            (d1_ref, d2_ref, d3_ref, d4_ref, d5_ref, d6_ref), data
+        ):
             r[...] = jnp.where(write, d[:, None, :], r[...])
         cnt_ref[...] = cnt + do.astype(I32)
         ovf = (mask & ~fits).sum(axis=-1).astype(I32)
@@ -92,7 +96,7 @@ def _kernel(
     f_sky = (flags & 1024) != 0
     c_sky = (flags & 2048) != 0
     light = light_ref[0, 0, 0, :][:, None]
-    item_base = (gval * 4)[:, None]
+    g_bc = jnp.broadcast_to(gval[:, None], (TILE_B, W))
 
     pfl_d1 = jnp.broadcast_to(pfl1_ref[0, 0, 0, :][:, None], (TILE_B, W))
     pfl_d2 = jnp.broadcast_to(pfl2_ref[0, 0, 0, :][:, None], (TILE_B, W))
@@ -137,7 +141,6 @@ def _kernel(
         ct = jnp.maximum(0, jnp.maximum(co, ty))
         in_ver = (cb >= ct) & open_
 
-        item = item_base + p
         thw = thw_ref[0, 0, p, :][:, None]
         th = thw >> 16
         tw = thw & 0xFFFF
@@ -150,27 +153,27 @@ def _kernel(
             lax.bitcast_convert_type(uy1_ref[0, 0, p, :], I32)[:, None],
             (TILE_B, W),
         )
-        wall_data = (w_d1, w_d2, w_d3, w_d4, w_d5)
+        wall_data = (w_d1, w_d2, w_d3, w_d4, w_d5, g_bc)
 
         if p == 0:
             solid = ~two_sided
-            rec = pack_span(KIND_WALL, item, ct, cb)
-            rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
+            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
             emit(in_ver & solid, rec, wall_data)
 
             fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
             fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
             emit(
-                fl_emit, pack_span(KIND_FLOOR, item, cb, fo),
-                (pfl_d1, pfl_d2, zero, zero, zero),
+                fl_emit, pack_span(KIND_FLOOR, cb, fo),
+                (pfl_d1, pfl_d2, zero, zero, zero, g_bc),
             )
             ce_keep = c_sky | (
                 jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
             )
             ce_emit = in_ver & draw_c & (ct > co) & ce_keep
             emit(
-                ce_emit, pack_span(KIND_CEIL, item, co, ct),
-                (pce_d1, pce_d2, zero, zero, zero),
+                ce_emit, pack_span(KIND_CEIL, co, ct),
+                (pce_d1, pce_d2, zero, zero, zero, g_bc),
             )
 
             gap = open_ & ~in_ver & (fo > co)
@@ -178,14 +181,14 @@ def _kernel(
             gap_b = gap & (by <= co)
             emit(
                 gap_b & (f_sky | keep_g),
-                pack_span(KIND_FLOOR, item, co, fo),
-                (pfl_d1, pfl_d2, zero, zero, zero),
+                pack_span(KIND_FLOOR, co, fo),
+                (pfl_d1, pfl_d2, zero, zero, zero, g_bc),
             )
             gap_t = gap & draw_c & (ty >= fo)
             emit(
                 gap_t & (c_sky | keep_g),
-                pack_span(KIND_CEIL, item, co, fo),
-                (pce_d1, pce_d2, zero, zero, zero),
+                pack_span(KIND_CEIL, co, fo),
+                (pce_d1, pce_d2, zero, zero, zero, g_bc),
             )
             gap_occl = gap_b | gap_t
 
@@ -197,15 +200,16 @@ def _kernel(
             fo_s[...] = jnp.where(solid_occl, H // 2, fo)
             co_s[...] = jnp.where(solid_occl, H // 2, co)
         elif p == 1:
-            emit(in_ver, pack_span(KIND_MID, item, ct, cb), wall_data)
+            rec = pack_span(KIND_MID, ct, cb) | jnp.where(draw_c, SPAN_DC, 0)
+            emit(in_ver, rec, wall_data)
         elif p == 2:
-            rec = pack_span(KIND_WALL, item, ct, cb)
-            rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
+            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
             emit(in_ver, rec, wall_data)
             fo_s[...] = jnp.where(in_ver, ct, fo)
         else:
-            rec = pack_span(KIND_WALL, item, ct, cb)
-            rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
+            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
             emit(in_ver, rec, wall_data)
             co_s[...] = jnp.where(in_ver, cb, co)
 
@@ -285,12 +289,12 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
         (TILE_B, K, W), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM
     )
     out_shapes = (
-        [jax.ShapeDtypeStruct((B, K, W), jnp.int32) for _ in range(6)]
+        [jax.ShapeDtypeStruct((B, K, W), jnp.int32) for _ in range(7)]
         + [jax.ShapeDtypeStruct((B, W), jnp.int32),
            jax.ShapeDtypeStruct((B, 128), jnp.int32)]
     )
     out_specs = (
-        [pool_spec for _ in range(6)]
+        [pool_spec for _ in range(7)]
         + [pl.BlockSpec((TILE_B, W), lambda i, g: (i, 0),
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((TILE_B, 128), lambda i, g: (i, 0),
@@ -315,6 +319,8 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(*inputs)
-    spans, d1, d2, d3, d4, d5, cnt, ovf = outs
+    spans, d1, d2, d3, d4, d5, d6, cnt, ovf = outs
     tr = lambda x: jnp.swapaxes(x, 1, 2)          # [B, K, W] -> [B, W, K]
-    return (tr(spans), [tr(d1), tr(d2), tr(d3), tr(d4), tr(d5)]), cnt, ovf[:, 0]
+    return (
+        (tr(spans), [tr(d) for d in (d1, d2, d3, d4, d5, d6)]), cnt, ovf[:, 0]
+    )

@@ -60,11 +60,15 @@ def traversal_rank(level: DeviceLevel, px, py):
 
 
 def seg_order(level: DeviceLevel, rank):
-    """[B, G] seg indices in front-to-back draw order."""
-    G = level.num_segs
+    """[B, G] seg indices in front-to-back draw order.
+
+    Stable argsort on the subsector rank alone: ties (segs of the same
+    subsector) keep ascending seg order, exactly like the recursion —
+    no composite key, so no overflow at any map size (rank < 2^depth,
+    depth <= 31 is checked at level build).
+    """
     seg_rank = rank[:, level.seg_sub]                     # [B, G]
-    key = seg_rank * G + jnp.arange(G, dtype=I32)[None]
-    return jnp.argsort(key, axis=1, stable=True).astype(I32)
+    return jnp.argsort(seg_rank, axis=1, stable=True).astype(I32)
 
 
 # ---------------------------------------------------------------------------

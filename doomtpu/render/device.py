@@ -13,8 +13,9 @@ Piece model: every seg expands to 4 potential draw pieces, indexed
     3 upper portal wall
 
 mirroring the reference's process_sidedef call sequence
-(renderer/segs.rs:493-589).  item id = seg*4 + piece, packed into span
-records; the packing caps segs at 2047 per map for now.
+(renderer/segs.rs:493-589).  Span records carry the seg index in a full
+i32 G-buffer plane (doomtpu.render.walls), so seg counts are unbounded,
+matching the reference (src/map/segs.rs:17-42).
 """
 
 from __future__ import annotations
@@ -30,9 +31,6 @@ from doomtpu.assets.bundle import LevelAssets
 from doomtpu.config import RenderConfig
 from doomtpu.info.tables import InfoTables
 from doomtpu.level.tables import MapTables
-
-MAX_SEGS = 2048  # 13-bit item ids hold seg*4+piece (see span packing)
-
 
 def _j(x, dtype=None):
     return jnp.asarray(x, dtype=dtype)
@@ -110,9 +108,7 @@ class DeviceLevel:
     mobj_death_state: jnp.ndarray  # [MO] i32
     mobj_xdeath_state: jnp.ndarray # [MO] i32
 
-    # --- static piece metadata (for sprite clipping / deferred draw) ------
-    piece_e2b: jnp.ndarray     # [G,4] bool extends-to-bottom per piece
-    piece_e2t: jnp.ndarray     # [G,4] bool extends-to-top per piece
+    # --- static piece metadata (for the deferred masked-mid draw) ---------
     dseg_ix: jnp.ndarray       # [D] i32 segs with drawable two-sided mids
 
     # column-major sampling atlases, [C(, ROWS)] with C spanning
@@ -155,12 +151,12 @@ class DeviceLevel:
         cls, tables: MapTables, assets: LevelAssets, info: InfoTables
     ) -> "DeviceLevel":
         t, a = tables, assets
-        G = len(t.seg_line)
-        if G > MAX_SEGS - 1:
+        if t.sub_path_nodes.shape[1] > 31:
+            # traversal_rank packs one bit per BSP level into an i32
             raise NotImplementedError(
-                f"map has {G} segs; span packing caps at {MAX_SEGS - 1}"
+                f"BSP depth {t.sub_path_nodes.shape[1]} > 31; widen the "
+                "rank accumulator in camera.traversal_rank"
             )
-
         lines = t.seg_line
         front_side = t.line_sides[lines, t.seg_dir]
         back_side = t.line_sides[lines, 1 - t.seg_dir]
@@ -204,12 +200,7 @@ class DeviceLevel:
 
         i16c = lambda x: np.clip(np.trunc(x), -32768, 32767).astype(np.int32)
 
-        # static extends flags per piece (bitmap_render extends_to_* rules)
         two_sided_np = (flags & 4) != 0
-        solid_np = ~two_sided_np
-        zeros = np.zeros_like(solid_np)
-        piece_e2b = np.stack([solid_np, zeros, np.ones_like(solid_np), zeros], -1)
-        piece_e2t = np.stack([solid_np, zeros, zeros, np.ones_like(solid_np)], -1)
         dseg_ix = np.nonzero(
             two_sided_np & (np.asarray(a.side_middle_tex[fs_safe]) >= 0)
         )[0].astype(np.int32)
@@ -292,8 +283,6 @@ class DeviceLevel:
             mobj_spawn_state=_j(info.mobj_spawn[mobj_info_ix], jnp.int32),
             mobj_death_state=_j(info.mobj_death[mobj_info_ix], jnp.int32),
             mobj_xdeath_state=_j(info.mobj_xdeath[mobj_info_ix], jnp.int32),
-            piece_e2b=_j(piece_e2b),
-            piece_e2t=_j(piece_e2t),
             dseg_ix=_j(dseg_ix, jnp.int32),
             atlas_cols=_j(atlas_cols, jnp.bfloat16),
             atlas_cm=_j(atlas_cm, jnp.int32),

@@ -58,7 +58,7 @@ def resolve_frame(
     px, py, angle, floor_height,      # player state [B]
 ):
     """Walls + planes + sky -> (idx, light, dist, is_sky), each [B,H,W]."""
-    spans, (d1, d2, d3, d4, d5) = pool
+    spans, (d1, d2, d3, d4, d5, d6) = pool
     B, W, K = spans.shape
     H = cfg.height
     TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
@@ -229,5 +229,9 @@ def shade(level: DeviceLevel, idx, light, dist, is_sky):
     packed = jnp.zeros_like(idx)
     for shift in (16, 8, 0):
         chan = f32((pal >> shift) & 0xFF)
-        packed = packed | (jnp.trunc(chan * factor).astype(I32) << shift)
+        # Rust `as u8`: trunc toward zero, saturate to [0, 255] (factor
+        # can exceed 1 when the i16-saturated distance is negative, e.g.
+        # on the exact horizon row where the inverse projection hits inf)
+        byte = jnp.clip(jnp.trunc(chan * factor), 0.0, 255.0).astype(I32)
+        packed = packed | (byte << shift)
     return jnp.where(idx >= 0, packed, 0)

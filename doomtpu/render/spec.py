@@ -68,6 +68,24 @@ def as_i32(x) -> int:
     return int(math.trunc(x))
 
 
+def as_u8(x) -> int:
+    """Rust `as u8`: trunc toward zero, saturating to [0, 255] (NaN -> 0).
+
+    diminish_color (bitmap_render.rs:204-207) relies on this: on the
+    exact horizon row the inverse plane projection divides by vy == 0,
+    the i16-saturated distance can go negative and the light factor
+    exceeds 1 — Rust saturates the final u8 cast instead of wrapping.
+    """
+    x = float(x)
+    if math.isnan(x):
+        return 0
+    if x >= 255.0:
+        return 255
+    if x <= 0.0:
+        return 0
+    return int(math.trunc(x))
+
+
 def wrap_tex(t: int, size: int) -> int:
     """bitmap_render.rs:244-248 wrap idiom with Rust trunc division."""
     if t < 0:
@@ -635,9 +653,9 @@ class SpecRenderer:
             factor = f32(0.0)
         col = self.a.palette[pal_idx]
         return (
-            int(f32(col[0]) * factor),
-            int(f32(col[1]) * factor),
-            int(f32(col[2]) * factor),
+            as_u8(f32(col[0]) * factor),
+            as_u8(f32(col[1]) * factor),
+            as_u8(f32(col[2]) * factor),
         )
 
     def _set(self, x: int, y: int, rgb, pal_idx: int) -> None:
@@ -737,8 +755,12 @@ class SpecRenderer:
                     - f32(self.player.floor_height)
                     - f32(PLAYER_EYE_HEIGHT)
                 )
-                wx = f32(self.GAME_FOCUS * wz / vy)
-                wy = f32(wz * vx / vy)
+                # vy == 0 on the exact horizon row: inf/NaN propagate just
+                # like the reference's f32 math (visplanes.rs:113-114) and
+                # die in the saturating as_i16/as_u8 casts below
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    wx = f32(self.GAME_FOCUS * wz / vy)
+                    wy = f32(wz * vx / vy)
                 rx, ry = rotate(wx, wy, f32(self.player.angle))
                 tx = (as_i16(rx) + as_i16(self.player.x)) & (FLAT_SIZE - 1)
                 ty = (as_i16(ry) + as_i16(self.player.y)) & (FLAT_SIZE - 1)

@@ -39,7 +39,9 @@ from doomtpu.render.jmath import (
     F32, I32, as_i16, f32, is_left_of, rotate, smul, wrap_tex,
 )
 from doomtpu.render.resolve import unpack16_hi, unpack16_lo
-from doomtpu.render.walls import KIND_MID, KIND_WALL
+from doomtpu.render.walls import (
+    KIND_MID, KIND_WALL, SPAN_DC, SPAN_E2B, SPAN_E2T,
+)
 
 _PI = np.float32(math.pi)
 
@@ -80,7 +82,7 @@ def deferred_pass(
     idx, light, dist, is_sky,            # wall/plane resolve outputs
 ):
     """Composite sprites + masked mids over the resolved frame."""
-    spans, (d1, d2, d3, d4, d5) = pool
+    spans, (d1, d2, d3, d4, d5, d6) = pool
     B, W, K = spans.shape
     H = cfg.height
     G = level.num_segs
@@ -151,41 +153,28 @@ def deferred_pass(
         )                                                       # [B, G, MO]
 
         # one MXU one-hot contraction answers, for every pool slot at
-        # once: is the slot's seg in front of each sprite, is it solid,
-        # does it draw its ceiling — replacing K rounds of per-slot
-        # gathers (exact: one-hot selection of 0/1 bits).  The one-hot
-        # materializes at [B, W, K, G] bf16, so large maps/batches fall
-        # back to per-slot gathers (static size check).
-        item_all = (spans >> 16) & 0x1FFF                        # [B, W, K]
-        g_all = item_all >> 2
-        p_all = item_all & 3
+        # once: is the slot's seg in front of each sprite — replacing K
+        # rounds of per-slot gathers (exact: one-hot selection of 0/1
+        # bits).  The one-hot materializes at [B, W, K, G] bf16, so
+        # large maps/batches fall back to per-slot gathers (static size
+        # check).  Extends/draw-ceiling flags ride in the span word.
+        g_all = d6                                               # [B, W, K]
         use_matmul = B * W * K * G * 2 <= 1_000_000_000
-        rhs = jnp.concatenate([
-            (~behind).astype(jnp.bfloat16),                      # [B, G, MO]
-            jnp.broadcast_to(
-                (~level.seg_two_sided)[None, :, None], (B, G, 1)
-            ).astype(jnp.bfloat16),
-            jnp.broadcast_to(
-                level.seg_draw_ceiling[None, :, None], (B, G, 1)
-            ).astype(jnp.bfloat16),
-        ], axis=2)
+        rhs = (~behind).astype(jnp.bfloat16)                     # [B, G, MO]
         if use_matmul:
             onehot_g = (
                 g_all[..., None] == jnp.arange(G, dtype=I32)
             ).astype(jnp.bfloat16)                               # [B, W, K, G]
-            lut = lax.dot_general(
+            front_all = lax.dot_general(
                 onehot_g.reshape(B, W * K, G), rhs,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ).reshape(B, W, K, MO + 2) >= 0.5
+            ).reshape(B, W, K, MO) >= 0.5
         else:
-            rhs_bool = rhs >= 0.5                                # [B, G, MO+2]
-            lut = jnp.take_along_axis(
+            rhs_bool = rhs >= 0.5                                # [B, G, MO]
+            front_all = jnp.take_along_axis(
                 rhs_bool, g_all.reshape(B, -1)[:, :, None], axis=1
-            ).reshape(B, W, K, MO + 2)
-        front_all = lut[..., :MO]                                # [B, W, K, MO]
-        solid_all = lut[..., MO]                                 # [B, W, K]
-        dc_all = lut[..., MO + 1]
+            ).reshape(B, W, K, MO)
 
         tsc = jnp.full((B, MO, W), -1, I32)
         bsc = jnp.full((B, MO, W), H, I32)
@@ -193,18 +182,15 @@ def deferred_pass(
             slot = spans[:, :, k]                               # [B, W]
             k_ok = k < cnt
             kind = (slot >> 29) & 3
-            p_s = p_all[:, :, k]
             y0 = ((slot >> 8) & 255) - 1                        # clipped top
             y1 = (slot & 255) - 1                               # clipped bottom
 
             front = front_all[:, :, k, :] & k_ok[:, :, None]     # [B, W, MO]
             front = jnp.moveaxis(front, 2, 1)                    # [B, MO, W]
 
-            is_wall = kind == KIND_WALL
-            solid_k = solid_all[:, :, k]
-            # extends flags from the piece id (bitmap_render extends rules)
-            e2b_k = ((p_s == 2) | ((p_s == 0) & solid_k)) & is_wall
-            e2t_k = ((p_s == 3) | ((p_s == 0) & solid_k)) & is_wall
+            # extends flags recorded in the span word at emission
+            e2b_k = (slot & SPAN_E2B) != 0
+            e2t_k = (slot & SPAN_E2T) != 0
             bsc = jnp.where(
                 front & e2b_k[:, None, :],
                 jnp.minimum(bsc, y0[:, None, :]), bsc,
@@ -218,7 +204,7 @@ def deferred_pass(
             is_mid = kind == KIND_MID
             by_full = unpack16_hi(d2[:, :, k])
             ty_full = unpack16_lo(d2[:, :, k])
-            dc_k = dc_all[:, :, k] & is_mid
+            dc_k = ((slot & SPAN_DC) != 0) & is_mid
             tsc = jnp.where(
                 front & dc_k[:, None, :],
                 jnp.maximum(tsc, ty_full[:, None, :]), tsc,
@@ -336,7 +322,6 @@ def deferred_pass(
 
     if D > 0:
         # recover each masked seg's recorded columns + draw data from pool
-        want_item = dsegs_j * 4 + 1                              # [D]
         present = jnp.zeros((B, D, W), bool)
         ct = jnp.zeros((B, D, W), I32)
         cb = jnp.zeros((B, D, W), I32)
@@ -345,10 +330,10 @@ def deferred_pass(
             slot = spans[:, :, k]
             k_ok = k < cnt
             kind = (slot >> 29) & 3
-            item = (slot >> 16) & 0x1FFF
+            g_k = d6[:, :, k]
             hit = (kind == KIND_MID) & k_ok                      # [B, W]
             match = hit[:, None, :] & (
-                item[:, None, :] == want_item[None, :, None]
+                g_k[:, None, :] == dsegs_j[None, :, None]
             )
             y0 = ((slot >> 8) & 255) - 1
             y1 = (slot & 255) - 1

@@ -11,7 +11,8 @@ carries the fully-resolved draw parameters (computed right here, where
 all seg data is already in registers), so the resolve stage never
 gathers per-piece data:
 
-    span  kind(2) | item(13) | y0+1 (8) | y1+1 (8)
+    span  nodraw(1, sign bit) | kind(2) | dc(1) | e2b(1) | e2t(1)
+          | y0+1 (8) | y1+1 (8)
     d1    walls/mids: texel column base (tex*TH*TW + tx)
           planes:     light(8) << 22 | is_sky << 21 | flat(13) << 8
     d2    walls/mids: bottom_y(16) | top_y(16)   (full, for v interp)
@@ -19,6 +20,12 @@ gathers per-piece data:
     d3    walls/mids: off_y(16) | tex_h(16)
     d4    walls/mids: light(16) | z-dist(16)
     d5    walls/mids: uy1 (f32 bits)
+    d6    seg index g (full i32 — no seg-count cap from packing)
+
+e2b/e2t are the sprite-clip extends flags (set on solid/lower/upper wall
+spans at emission, where piece id + solidity are in registers); dc is the
+seg's draw_ceiling for two-sided mids.  The seg index rides in its own
+plane so maps of any size fit (the reference has no cap, segs.rs:17-42).
 
 Pool slot order encodes draw order within a stage (walls draw during the
 scan, planes after — so planes beat walls per pixel, and within a stage a
@@ -42,21 +49,25 @@ KIND_FLOOR = 1
 KIND_CEIL = 2
 KIND_MID = 3
 
-N_PLANES = 5  # d1..d5
+N_PLANES = 6  # d1..d6
+
+SPAN_E2T = 1 << 26     # wall span extends-to-top (sprite clip)
+SPAN_E2B = 1 << 27     # wall span extends-to-bottom
+SPAN_DC = 1 << 28      # mid span's seg draws its ceiling (sky hack)
+SPAN_NODRAW = -(2 ** 31)  # clip-only (texture-less) wall span
 
 
-def pack_span(kind, item, y0, y1):
+def pack_span(kind, y0, y1):
     y0c = jnp.clip(y0, -1, 254) + 1
     y1c = jnp.clip(y1, -1, 254) + 1
-    return (kind << 29) | (item << 16) | (y0c << 8) | y1c
+    return (kind << 29) | (y0c << 8) | y1c
 
 
 def unpack_span(slot):
     kind = (slot >> 29) & 3
-    item = (slot >> 16) & 0x1FFF
     y0 = ((slot >> 8) & 255) - 1
     y1 = (slot & 255) - 1
-    return kind, item, y0, y1
+    return kind, y0, y1
 
 
 def pack16(hi, lo):
@@ -115,7 +126,7 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     def step(state, seg):
         hor, fo, co, pool, cnt, overflow = state
-        item_base = seg["g"] * 4                       # [B]
+        g_b = jnp.broadcast_to(seg["g"][:, None], (B, W))  # d6 for all spans
         x0 = seg["x0"][:, None]                        # [B, 1] i32
         x0i = as_i16(seg["x0"])[:, None]
         x1i = as_i16(seg["x1"])[:, None]
@@ -139,7 +150,7 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         def plane_data(d1, d2):
             d1b = jnp.broadcast_to(d1, (B, W))
             d2b = jnp.broadcast_to(d2, (B, W))
-            return (d1b, d2b, zero, zero, zero)
+            return (d1b, d2b, zero, zero, zero, g_b)
 
         # perspective-correct texture u + column depth, shared per seg
         # (bitmap_render.rs:241-251)
@@ -177,7 +188,6 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             ct = jnp.maximum(0, jnp.maximum(co, ty))
             in_ver = (cb >= ct) & open_
 
-            item = item_base[:, None] + p
             draws_p = seg["draws"][:, p][:, None]
 
             # wall G-buffer words for this piece
@@ -194,13 +204,13 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 lax.bitcast_convert_type(seg["uy1"][:, p], I32)[:, None],
                 (B, W),
             )
-            wall_data = (d1, d2, d3, d4, d5)
+            wall_data = (d1, d2, d3, d4, d5, g_b)
 
             if p == 0:
                 solid = ~two_sided
-                rec = pack_span(KIND_WALL, item, ct, cb)
-                # bit 31 marks clip-only (texture-less) wall spans
-                rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+                rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
+                # sign bit marks clip-only (texture-less) wall spans
+                rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, in_ver & solid, rec, wall_data, K
                 )
@@ -210,7 +220,7 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, fl_emit,
-                    pack_span(KIND_FLOOR, item, cb, fo),
+                    pack_span(KIND_FLOOR, cb, fo),
                     plane_data(pfl_d1, pfl_d2), K,
                 )
                 ce_keep = c_sky | (
@@ -219,7 +229,7 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 ce_emit = in_ver & draw_c & (ct > co) & ce_keep
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, ce_emit,
-                    pack_span(KIND_CEIL, item, co, ct),
+                    pack_span(KIND_CEIL, co, ct),
                     plane_data(pce_d1, pce_d2), K,
                 )
 
@@ -229,13 +239,13 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 gap_b = gap & (by <= co)
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, gap_b & (f_sky | keep_g),
-                    pack_span(KIND_FLOOR, item, co, fo),
+                    pack_span(KIND_FLOOR, co, fo),
                     plane_data(pfl_d1, pfl_d2), K,
                 )
                 gap_t = gap & draw_c & (ty >= fo)
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, gap_t & (c_sky | keep_g),
-                    pack_span(KIND_CEIL, item, co, fo),
+                    pack_span(KIND_CEIL, co, fo),
                     plane_data(pce_d1, pce_d2), K,
                 )
                 gap_occl = gap_b | gap_t
@@ -250,22 +260,24 @@ def wall_scan(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 co = jnp.where(solid_occl, H // 2, co)
 
             elif p == 1:
-                rec = pack_span(KIND_MID, item, ct, cb)
+                rec = pack_span(KIND_MID, ct, cb) | jnp.where(
+                    draw_c, SPAN_DC, 0
+                )
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, in_ver, rec, wall_data, K
                 )
 
             elif p == 2:
-                rec = pack_span(KIND_WALL, item, ct, cb)
-                rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+                rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
+                rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, in_ver, rec, wall_data, K
                 )
                 fo = jnp.where(in_ver, ct, fo)         # segs.rs:329-331
 
             else:  # p == 3
-                rec = pack_span(KIND_WALL, item, ct, cb)
-                rec = jnp.where(draws_p, rec, rec | jnp.int32(-(2**31)))
+                rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
+                rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
                 pool, cnt, overflow = _emit(
                     pool, cnt, overflow, in_ver, rec, wall_data, K
                 )

@@ -569,6 +569,93 @@ def sky_hack_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
     return rooms, things
 
 
+def grid_level(
+    n_rows: int,
+    n_cols: int,
+    seed: int = 0,
+    cell: int = 192,
+    brick: bool = True,
+    things_per_room: float = 1.0,
+) -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """A deterministic rows x cols room grid at configurable scale.
+
+    Odd rows are brick-offset by half a cell so every north/south edge
+    fragments against two neighbors — this pushes the seg count per room
+    toward real-map density (e1m1: 475 linedefs / 747 segs / 85 sectors,
+    reference src/map/mod.rs:48-78).  Exercises every sector feature:
+    portals with upper+lower walls, sky ceilings (incl. adjacent-sky
+    hack), animated nukage floors, masked GRATE mids, zero-height closed
+    sectors, unpegged texturing and all eight light-special types
+    (thinkers.rs:14-80).
+    """
+    rng = np.random.default_rng(seed)
+    specials = [0, 0, 0, 1, 2, 3, 4, 8, 12, 13, 17]
+    rooms: list[RoomSpec] = []
+    things: list[ThingSpec] = [
+        ThingSpec(cell // 2, cell // 2, 0, 1)          # player 1 start
+    ]
+    deco = [2035, 2014, 2028, 34]  # barrel / bonus / lamp / candle
+    for gy in range(n_rows):
+        if brick and gy % 2 == 1:
+            xs = [0] + [
+                c * cell + cell // 2 for c in range(1, n_cols)
+            ] + [n_cols * cell]
+        else:
+            xs = [c * cell for c in range(n_cols + 1)]
+        y0, y1 = gy * cell, (gy + 1) * cell
+        for c in range(len(xs) - 1):
+            x0, x1 = xs[c], xs[c + 1]
+            ri = len(rooms)
+            # a sprinkle of zero-height closed "door" sectors (never
+            # containing things or the start), segs.rs:222-225
+            closed = ri % 37 == 19
+            floor_h = int(rng.integers(-4, 7)) * 8
+            ceil_h = floor_h if closed else int(rng.integers(13, 33)) * 8
+            rooms.append(RoomSpec(
+                x0, y0, x1, y1,
+                floor_h=floor_h, ceil_h=ceil_h,
+                light=int(rng.integers(96, 256)),
+                floor_flat=["FLOOR1", "FLOOR2", "STEP1", "NUKAGE1"][
+                    int(rng.integers(0, 4))
+                ],
+                ceil_flat=["CEIL1", "CEIL2", "CEIL1", "F_SKY1", "F_SKY1"][
+                    int(rng.integers(0, 5))
+                ],
+                special=specials[int(rng.integers(0, len(specials)))],
+                wall_tex=["WALL1", "WALL2", "STEP1"][int(rng.integers(0, 3))],
+                mid_tex=["-", "-", "-", "GRATE"][int(rng.integers(0, 4))],
+                peg_flags=[0, DONTPEGBOTTOM, DONTPEGTOP,
+                           DONTPEGBOTTOM | DONTPEGTOP][int(rng.integers(0, 4))],
+            ))
+            if not closed:
+                n_things = int(rng.random() < things_per_room) + int(
+                    rng.random() < things_per_room - 0.5
+                )
+                for _ in range(n_things):
+                    things.append(ThingSpec(
+                        x0 + int(rng.integers(36, max(37, x1 - x0 - 36))),
+                        y0 + int(rng.integers(36, cell - 36)),
+                        int(rng.integers(0, 360)),
+                        deco[int(rng.integers(0, len(deco)))],
+                    ))
+    return rooms, things
+
+
+def e1m1_scale_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """The benchmark/parity fixture at real-map scale.
+
+    Matches or exceeds doom1.wad e1m1's structural counts (85 sectors /
+    747 segs / ~140 things, reference src/map/mod.rs:48-78) so bench and
+    parity numbers are measured at the scale the north-star metric names.
+    """
+    return grid_level(10, 13, seed=101, things_per_room=1.2)
+
+
+def big_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """A >2047-seg map proving the span packing has no seg cap."""
+    return grid_level(22, 26, seed=202, things_per_room=0.05)
+
+
 def build_wad(rooms, things, map_name: str = "E1M1") -> bytes:
     b = WadBuilder("IWAD")
     standard_assets(b)
@@ -597,3 +684,11 @@ def demo_wad() -> bytes:
 
 def sky_hack_wad() -> bytes:
     return build_wad(*sky_hack_level())
+
+
+def e1m1_scale_wad() -> bytes:
+    return build_wad(*e1m1_scale_level())
+
+
+def big_wad() -> bytes:
+    return build_wad(*big_level())

@@ -85,10 +85,12 @@ def main():
     print("spec:", out["idx"][lo:hi, col])
     print("jax :", idx[lo:hi, col])
     pool = np.asarray(aux["pool"][0][0, col])
+    gplane = np.asarray(aux["pool"][1][5][0, col])
     cnt = int(np.asarray(aux["cnt"][0, col]))
     for k in range(cnt):
         s = pool[k]
-        print(f"slot {k}: kind {(s >> 29) & 3} item {(s >> 16) & 0x1fff} "
+        print(f"slot {k}: kind {(s >> 29) & 3} g {gplane[k]} "
+              f"e2b {(s >> 27) & 1} e2t {(s >> 26) & 1} dc {(s >> 28) & 1} "
               f"y0 {((s >> 8) & 255) - 1} y1 {(s & 255) - 1}")
     for vp in spec.visplanes:
         if vp.left <= col <= vp.right:

@@ -1,0 +1,109 @@
+"""Real-map-scale parity: the e1m1-scale fixture and a >2047-seg map.
+
+doom1.wad e1m1 is 475 linedefs / 747 segs / 85 sectors (reference
+src/map/mod.rs:48-78); no WAD ships with this environment, so
+synth.e1m1_scale_level() builds a deterministic synthetic map at that
+scale (736 segs / 130 sectors / 215 things, all eight light-special
+types).  The big_level() map (3338 segs) proves the span packing has no
+seg cap, like the reference (src/map/segs.rs:17-42).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doomtpu.assets.bundle import LevelAssets
+from doomtpu.config import RenderConfig
+from doomtpu.level.tables import MapTables
+from doomtpu.render.device import DeviceLevel
+from doomtpu.render.frame import render_frame
+from doomtpu.render.spec import Player, SpecRenderer
+from doomtpu.wad import synth
+from doomtpu.wad.reader import WadFile
+
+
+def _load(level_fn, info):
+    wad = WadFile(synth.build_wad(*level_fn()))
+    mt = MapTables.load(wad, "E1M1")
+    assets = LevelAssets.load(wad, mt, info.sprite_names)
+    return mt, assets, DeviceLevel.build(mt, assets, info)
+
+
+def _mobjs(mt, info):
+    dn = info.mobj_index_by_doomednum()
+    mp, ma, ms = [], [], []
+    for i in range(len(mt.thing_type)):
+        tt = int(mt.thing_type[i])
+        if 1 <= tt <= 4 or tt == 11:
+            continue
+        mp.append(mt.thing_pos[i])
+        ma.append(mt.thing_angle[i])
+        ms.append(int(info.mobj_spawn[dn[tt]]))
+    return (
+        np.asarray(mp, np.float32),
+        np.asarray(ma, np.float32),
+        np.asarray(ms, np.int32),
+    )
+
+
+def _assert_views_bit_exact(mt, assets, level, info, cfg, views):
+    spec = SpecRenderer(mt, assets, info, cfg)
+    mp, ma, ms = _mobjs(mt, info)
+    B = len(views)
+    px = jnp.asarray([v[0] for v in views], jnp.float32)
+    py = jnp.asarray([v[1] for v in views], jnp.float32)
+    pa = jnp.asarray([v[2] for v in views], jnp.float32)
+    fh = jnp.asarray(
+        [float(mt.sector_floor_h[mt.sector_at(v[0], v[1])]) for v in views],
+        jnp.float32,
+    )
+    sl = jnp.asarray(mt.sector_light, jnp.int32)[None].repeat(B, 0)
+    mstate = jnp.asarray(ms)[None].repeat(B, 0)
+    idx, rgb, aux = render_frame(
+        level, cfg, px, py, pa, fh, sl, mstate, jnp.zeros(B, jnp.float32)
+    )
+    assert int(np.asarray(aux["overflow"]).max()) == 0
+    idx = np.asarray(idx)
+    rgb = np.asarray(rgb)
+    for b, v in enumerate(views):
+        sec = mt.sector_at(v[0], v[1])
+        out = spec.render(
+            Player(v[0], v[1], v[2], float(mt.sector_floor_h[sec])),
+            mobj_pos=mp, mobj_angle=ma, mobj_state=ms,
+        )
+        np.testing.assert_array_equal(idx[b], out["idx"])
+        srgb = (
+            (out["rgb"][..., 0].astype(np.int32) << 16)
+            | (out["rgb"][..., 1].astype(np.int32) << 8)
+            | out["rgb"][..., 2].astype(np.int32)
+        )
+        np.testing.assert_array_equal(rgb[b], srgb)
+
+
+def test_e1m1_scale_counts():
+    wad = WadFile(synth.build_wad(*synth.e1m1_scale_level()))
+    mt = MapTables.load(wad, "E1M1")
+    assert len(mt.seg_line) >= 700          # e1m1: 747
+    assert len(mt.sector_floor_h) >= 80     # e1m1: 85
+    assert len(mt.thing_type) >= 100
+    assert set(np.unique(mt.sector_special)) >= {1, 2, 3, 4, 8, 12, 13, 17}
+
+
+def test_e1m1_scale_bit_exact(info):
+    cfg = RenderConfig(span_capacity=48)
+    mt, assets, level = _load(synth.e1m1_scale_level, info)
+    # view 1 places floor visplanes on the exact horizon row (vy == 0):
+    # the inverse projection hits inf and the saturating as_i16/as_u8
+    # cast chain (visplanes.rs:113-114 + bitmap_render.rs:204-207) must
+    # match the reference bit-for-bit, including in the rgb output
+    views = [(290.0, 300.0, 0.7), (1400.0, 900.0, 3.9)]
+    _assert_views_bit_exact(mt, assets, level, info, cfg, views)
+
+
+def test_big_map_over_2047_segs(info):
+    mt, assets, level = _load(synth.big_level, info)
+    assert level.num_segs > 2047
+    # long sightlines across the 22x26 grid stack up to 94 spans/column
+    cfg = RenderConfig(width=160, height=100, span_capacity=96)
+    views = [(300.0, 300.0, 0.8)]
+    _assert_views_bit_exact(mt, assets, level, info, cfg, views)
