@@ -214,8 +214,13 @@ def _kernel(
             co_s[...] = jnp.where(in_ver, cb, co)
 
 
-def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
-    """Drop-in replacement for walls.wall_scan (fast path, TPU only)."""
+def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
+                     interpret: bool = False):
+    """Drop-in replacement for walls.wall_scan (fast path, TPU only).
+
+    interpret=True runs the kernel program on CPU (tests/test_pallas.py
+    asserts pool bit-equality vs walls.wall_scan there).
+    """
     B, G = order.shape
     W, H, K = cfg.width, cfg.height, cfg.span_capacity
     TW = level.tex_pixels.shape[2]
@@ -318,6 +323,7 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
+        interpret=interpret,
     )(*inputs)
     spans, d1, d2, d3, d4, d5, d6, cnt, ovf = outs
     tr = lambda x: jnp.swapaxes(x, 1, 2)          # [B, K, W] -> [B, W, K]
