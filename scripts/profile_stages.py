@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Per-stage TPU timing for the render pipeline."""
+"""Per-stage TPU timing for the render pipeline on the e1m1-scale map.
+
+Env: B (default 256), PALLAS=0/1 (default 1 on TPU), LEVEL=demo|e1m1.
+Timing discipline (PERF.md): host-fetch a dependent scalar per
+measurement; arrays are jit args, not closure constants.
+"""
 import os
 import sys
 import time
@@ -12,71 +17,100 @@ import numpy as np
 
 
 def main():
-    B = int(os.environ.get("B", 32))
+    B = int(os.environ.get("B", 256))
+    use_pallas = os.environ.get("PALLAS", "1") != "0" and \
+        jax.default_backend() != "cpu"
+    level_name = os.environ.get("LEVEL", "e1m1")
     from doomtpu.config import RenderConfig
     from doomtpu.engine import DoomEngine
     from doomtpu.render import camera as cam, resolve as res, walls
     from doomtpu.wad import synth
 
-    cfg = RenderConfig()
-    eng = DoomEngine.from_wad_bytes(synth.demo_wad(), "e1m1", config=cfg)
+    cfg = RenderConfig(span_capacity=48)
+    wad = synth.demo_wad() if level_name == "demo" else synth.e1m1_scale_wad()
+    eng = DoomEngine.from_wad_bytes(wad, "e1m1", config=cfg)
     level = eng.level
+    print(f"backend={jax.default_backend()} B={B} pallas={use_pallas} "
+          f"G={level.num_segs} MO={level.num_mobjs} D={level.dseg_ix.shape[0]}",
+          flush=True)
     state = eng.new_game(B, key=jax.random.PRNGKey(0))
     px, py = state.pos[:, 0], state.pos[:, 1]
     ang, fh = state.angle, state.floor_height
     sl, ts = state.sector_light, state.timestamp
 
-    def timeit(name, fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    def timeit(name, fn, *args, n=5):
+        f = jax.jit(fn)
         t0 = time.time()
-        n = 5
+        out = f(*args)
+        _ = int(np.asarray(jax.tree_util.tree_leaves(out)[0].sum()))
+        compile_s = time.time() - t0
+        t0 = time.time()
         for _ in range(n):
-            out = fn(*args)
-            jax.block_until_ready(out)
+            out = f(*args)
+        _ = int(np.asarray(jax.tree_util.tree_leaves(out)[0].sum()))
         dt = (time.time() - t0) / n
-        print(f"{name:24s} {dt * 1000:8.1f} ms")
+        print(f"{name:26s} {dt * 1000:9.2f} ms   (compile {compile_s:.0f}s)",
+              flush=True)
         return out
 
-    f_frame = jax.jit(
-        lambda *a: cam.build_seg_frame(level, cfg, *a)
+    frame = timeit(
+        "build_seg_frame",
+        lambda lv, *a: cam.build_seg_frame(lv, cfg, *a),
+        level, px, py, ang, fh, sl, ts,
     )
-    frame = timeit("build_seg_frame", f_frame, px, py, ang, fh, sl, ts)
-
-    f_order = jax.jit(
-        lambda px, py: cam.seg_order(level, cam.traversal_rank(level, px, py))
+    order = timeit(
+        "order",
+        lambda lv, px, py: cam.seg_order(lv, cam.traversal_rank(lv, px, py)),
+        level, px, py,
     )
-    order = timeit("order", f_order, px, py)
 
-    f_scan = jax.jit(lambda fr, o: walls.wall_scan(level, cfg, fr, o))
-    pool, cnt, ov = timeit("wall_scan", f_scan, frame, order)
-    print("max cnt:", int(np.asarray(cnt).max()), "overflow:", int(np.asarray(ov).max()))
+    if use_pallas:
+        from doomtpu.ops.pallas_scan import wall_scan_pallas
 
-    f_win = jax.jit(lambda p, c: res.find_winners(p, c, cfg.height))
-    timeit("find_winners", f_win, pool, cnt)
-
-    f_res = jax.jit(
-        lambda fr, p, c, *a: res.resolve_frame(level, cfg, fr, p, c, *a)
-    )
-    outs = timeit("resolve_frame(all)", f_res, frame, pool, cnt, px, py, ang, fh)
-
-    f_shade = jax.jit(lambda i, l, d, s: res.shade(level, i, l, d, s))
-    timeit("shade", f_shade, *outs)
-
-    try:
-        from doomtpu.render import things
-
-        f_def = jax.jit(
-            lambda fr, p, c, o, ms, i, l, d, s: things.deferred_pass(
-                level, cfg, fr, p, c, o, px, py, ang, fh, sl, ms, i, l, d, s
-            )
+        pool, cnt, ov = timeit(
+            "wall_scan (pallas)",
+            lambda lv, fr, o: wall_scan_pallas(lv, cfg, fr, o),
+            level, frame, order,
         )
-        timeit(
-            "deferred_pass", f_def, frame, pool, cnt, order,
-            state.mobj_state, outs[0], outs[1], outs[2], outs[3],
+    else:
+        pool, cnt, ov = timeit(
+            "wall_scan (lax.scan)",
+            lambda lv, fr, o: walls.wall_scan(lv, cfg, fr, o),
+            level, frame, order,
         )
-    except Exception as e:
-        print("deferred fail:", e)
+    print("  max cnt:", int(np.asarray(cnt).max()),
+          "overflow:", int(np.asarray(ov).max()), flush=True)
+
+    outs = timeit(
+        "resolve_frame",
+        lambda lv, fr, p, c, *a: res.resolve_frame(lv, cfg, fr, p, c, *a),
+        level, frame, pool, cnt, px, py, ang, fh,
+    )
+    timeit(
+        "shade",
+        lambda lv, i, l, d, s: res.shade(lv, i, l, d, s),
+        level, *outs,
+    )
+
+    from doomtpu.render import things
+
+    timeit(
+        "deferred_pass",
+        lambda lv, fr, p, c, o, ms, i, l, d, s: things.deferred_pass(
+            lv, cfg, fr, p, c, o, px, py, ang, fh, sl, ms, i, l, d, s
+        ),
+        level, frame, pool, cnt, order,
+        state.mobj_state, outs[0], outs[1], outs[2], outs[3],
+    )
+
+    # end to end for reference
+    from doomtpu.render.frame import render_frame
+
+    timeit(
+        "render_frame (end2end)",
+        lambda lv, *a: render_frame(lv, cfg, *a)[:2],
+        level, px, py, ang, fh, sl, state.mobj_state, ts,
+    )
 
 
 if __name__ == "__main__":
