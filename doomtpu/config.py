@@ -40,9 +40,16 @@ class RenderConfig:
     # Fixed capacity of the per-column span pool the wall scan emits.
     # Doom-scale maps rarely exceed ~20 overlapping spans per column.
     span_capacity: int = 32
-    # Fixed capacity for deferred draw items (two-sided mids + sprites)
-    # considered per frame in the painter's pass.
-    max_visible_mobjs: int = 64
+    # Optional cap on deferred items (sprites + masked mids) per frame:
+    # 0 = draw all (bit-exact, reference behavior); N > 0 keeps only the
+    # nearest N in painter order and counts drops in
+    # aux["items_dropped"] (an RL-workload throughput knob — nearness is
+    # not visibility, so capping can drop drawable items).
+    max_visible_mobjs: int = 0
+    # Per-column capacity of the deferred item pool (overlapping
+    # sprites/masked-mids per screen column); the farthest overflow and
+    # are counted in aux["item_overflow"].
+    item_capacity: int = 8
     # Cameras rendered per inner chunk: large batches are processed as a
     # lax.map over chunks so the peak [chunk, H, W] working set stays
     # inside HBM while the output frames accumulate at full batch size.

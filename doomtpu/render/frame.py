@@ -37,6 +37,12 @@ def _stages_1_2(level, cfg, px, py, angle, floor_height, sector_light, timestamp
     idx, light, dist, is_sky = res.resolve_frame(
         level, cfg, frame, pool, cnt, px, py, angle, floor_height
     )
+    # materialize: the deferred pass consumes these in several composite
+    # steps and XLA otherwise re-fuses (recomputes) the resolve fold into
+    # each consumer (see PERF.md)
+    idx, light, dist, is_sky = jax.lax.optimization_barrier(
+        (idx, light, dist, is_sky)
+    )
     aux = {
         "frame": frame, "order": order, "pool": pool, "cnt": cnt,
         "overflow": overflow, "light": light, "dist": dist, "is_sky": is_sky,
@@ -78,10 +84,11 @@ def render_frame(
     idx, light, dist, is_sky, aux = _stages_1_2(
         level, cfg, px, py, angle, floor_height, sector_light, timestamp
     )
-    idx2, light2, dist2, is_sky = things.deferred_pass(
+    idx2, light2, dist2, is_sky, daux = things.deferred_pass(
         level, cfg, aux["frame"], aux["pool"], aux["cnt"], aux["order"],
         px, py, angle, floor_height, sector_light, mobj_state,
         idx, light, dist, is_sky,
     )
+    aux.update(daux)
     rgb = res.shade(level, idx2, light2, dist2, is_sky)
     return idx2, rgb, aux

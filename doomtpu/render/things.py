@@ -1,25 +1,30 @@
 """Deferred pass: map-object sprites + masked two-sided mid walls.
 
 Models renderer/map_objects.rs:19-241 without data-dependent control
-flow:
+flow, restructured for scale (the round-1 design ran one full-frame pass
+per item — 5.4 s at 215 mobjs):
 
-- each live mobj becomes a billboard line perpendicular to the view
-  (rotation frame chosen from player-vs-object angle), FOV-clipped and
-  projected exactly like a wall
-- per-column sprite clip bounds accumulate from the span pool: solid
-  pieces clip via their extends flags and clipped y values, two-sided
-  pieces clip to the portal opening with full (unclipped) edge values
-  read straight from the pool's G-buffer, honoring the sky-hack
-  draw_ceiling flag (:127-166)
-- the painter's interleave ("draw every not-yet-drawn masked seg behind
-  the sprite, then the sprite", :216-240) becomes a static sort key:
-  sprites sort back-to-front by clipped-start-x, a masked seg draws just
-  before the FIRST sprite it is behind (ties in reversed traversal
-  order), or after all sprites if behind none
+1. per-item scalars (billboard projection, painter keys) stay
+   vectorized over ALL items [B, I], I = mobjs + drawable mids
+2. the nearest max_visible_mobjs items in painter order are SELECTED;
+   farther items are dropped (counted in items_dropped)
+3. per-column draw data is computed only for selected items [B, N, W]:
+   sprites get perspective u + seg clip bounds, mids recover their
+   recorded columns from the span pool
+4. items are EMITTED nearest-first into a per-column ITEM POOL
+   [B, W, KI] (same shape discipline as the wall-span pool; overflow
+   drops the farthest items per column, counted in item_overflow)
+5. one composite fold per pool slot, farthest -> nearest, overwriting
+   where the item's texel is opaque — bit-identical to the reference's
+   back-to-front painter (renderer/map_objects.rs:216-240)
 
-Compositing runs as one fori_loop over the key-sorted item list, each
-step masking its pixels into the frame (transparent texels skipped, so
-overlapping masked walls/sprites layer exactly as the reference does).
+Sprite clipping reproduces :127-166 exactly: solid pieces clip via
+their extends flags and clipped y values, portals clip to the opening
+with full edge values, honoring the sky-hack draw_ceiling flag (all
+read straight from the span pool's flag bits + G-buffer).  The "is this
+seg in front of the sprite" test (bitmap_render.rs:137-165) is computed
+once per (seg, selected item) and fetched per pool slot with a
+slice-gather (per-index cost amortized over N lanes).
 """
 
 from __future__ import annotations
@@ -40,10 +45,11 @@ from doomtpu.render.jmath import (
 )
 from doomtpu.render.resolve import unpack16_hi, unpack16_lo
 from doomtpu.render.walls import (
-    KIND_MID, KIND_WALL, SPAN_DC, SPAN_E2B, SPAN_E2T,
+    KIND_MID, KIND_WALL, SPAN_DC, SPAN_E2B, SPAN_E2T, pack16,
 )
 
 _PI = np.float32(math.pi)
+MID_MARK = 1 << 30  # item-pool word flag: slot is a masked mid (fill pending)
 
 
 def _fmod(a, b):
@@ -81,7 +87,11 @@ def deferred_pass(
     mobj_state,                          # [B, MO]
     idx, light, dist, is_sky,            # wall/plane resolve outputs
 ):
-    """Composite sprites + masked mids over the resolved frame."""
+    """Composite sprites + masked mids over the resolved frame.
+
+    Returns (idx, light, dist, is_sky, daux) with daux counting dropped
+    items (beyond max_visible_mobjs) and item-pool column overflow.
+    """
     spans, (d1, d2, d3, d4, d5, d6) = pool
     B, W, K = spans.shape
     H = cfg.height
@@ -90,14 +100,20 @@ def deferred_pass(
 
     dsegs_j = level.dseg_ix
     D = dsegs_j.shape[0]
-    n_items = MO + D
-    if n_items == 0:
-        return idx, light, dist, is_sky
+    I = MO + D
+    zero_aux = {
+        "items_dropped": jnp.zeros((B,), I32),
+        "item_overflow": jnp.zeros((B,), I32),
+    }
+    if I == 0:
+        return idx, light, dist, is_sky, zero_aux
 
+    N = I if cfg.max_visible_mobjs <= 0 else min(cfg.max_visible_mobjs, I)
+    KI = cfg.item_capacity
     yy = jnp.arange(H, dtype=I32)[None, :, None]
     xcol = jnp.arange(W, dtype=I32)[None, :]
 
-    # ---------------- sprite setup [B, MO] --------------------------------
+    # ---------------- sprite scalars [B, MO] -------------------------------
     if MO > 0:
         state = mobj_state                                      # [B, MO]
         alive = state != 0                                      # S_NULL
@@ -145,77 +161,6 @@ def deferred_pass(
         yb_d = f32(yb_s - yb_e) / denom_x
         yt_d = f32(yt_s - yt_e) / denom_x
 
-        # ---------------- seg-based clip bounds from the pool -------------
-        behind = is_behind_vertex(
-            frame["lsx"][:, :, None], frame["lsy"][:, :, None],
-            frame["lex"][:, :, None], frame["ley"][:, :, None],
-            vpx[:, None, :], vpy[:, None, :],
-        )                                                       # [B, G, MO]
-
-        # one MXU one-hot contraction answers, for every pool slot at
-        # once: is the slot's seg in front of each sprite — replacing K
-        # rounds of per-slot gathers (exact: one-hot selection of 0/1
-        # bits).  The one-hot materializes at [B, W, K, G] bf16, so
-        # large maps/batches fall back to per-slot gathers (static size
-        # check).  Extends/draw-ceiling flags ride in the span word.
-        g_all = d6                                               # [B, W, K]
-        use_matmul = B * W * K * G * 2 <= 1_000_000_000
-        rhs = (~behind).astype(jnp.bfloat16)                     # [B, G, MO]
-        if use_matmul:
-            onehot_g = (
-                g_all[..., None] == jnp.arange(G, dtype=I32)
-            ).astype(jnp.bfloat16)                               # [B, W, K, G]
-            front_all = lax.dot_general(
-                onehot_g.reshape(B, W * K, G), rhs,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(B, W, K, MO) >= 0.5
-        else:
-            rhs_bool = rhs >= 0.5                                # [B, G, MO]
-            front_all = jnp.take_along_axis(
-                rhs_bool, g_all.reshape(B, -1)[:, :, None], axis=1
-            ).reshape(B, W, K, MO)
-
-        tsc = jnp.full((B, MO, W), -1, I32)
-        bsc = jnp.full((B, MO, W), H, I32)
-        for k in range(K):
-            slot = spans[:, :, k]                               # [B, W]
-            k_ok = k < cnt
-            kind = (slot >> 29) & 3
-            y0 = ((slot >> 8) & 255) - 1                        # clipped top
-            y1 = (slot & 255) - 1                               # clipped bottom
-
-            front = front_all[:, :, k, :] & k_ok[:, :, None]     # [B, W, MO]
-            front = jnp.moveaxis(front, 2, 1)                    # [B, MO, W]
-
-            # extends flags recorded in the span word at emission
-            e2b_k = (slot & SPAN_E2B) != 0
-            e2t_k = (slot & SPAN_E2T) != 0
-            bsc = jnp.where(
-                front & e2b_k[:, None, :],
-                jnp.minimum(bsc, y0[:, None, :]), bsc,
-            )
-            tsc = jnp.where(
-                front & e2t_k[:, None, :],
-                jnp.maximum(tsc, y1[:, None, :]), tsc,
-            )
-
-            # portals clip with the FULL edges, straight from the G-buffer
-            is_mid = kind == KIND_MID
-            by_full = unpack16_hi(d2[:, :, k])
-            ty_full = unpack16_lo(d2[:, :, k])
-            dc_k = ((slot & SPAN_DC) != 0) & is_mid
-            tsc = jnp.where(
-                front & dc_k[:, None, :],
-                jnp.maximum(tsc, ty_full[:, None, :]), tsc,
-            )
-            bsc = jnp.where(
-                front & is_mid[:, None, :],
-                jnp.minimum(bsc, by_full[:, None, :]), bsc,
-            )
-
-        tsc, bsc = lax.optimization_barrier((tsc, bsc))
-
         # back-to-front order: stable sort by as_i16(lsx) then reverse
         key_m = as_i16(lsx)
         asc = jnp.argsort(
@@ -230,7 +175,7 @@ def deferred_pass(
         valid = jnp.zeros((B, 0), bool)
         draw_order = jnp.zeros((B, 0), I32)
 
-    # ---------------- masked mid seg items --------------------------------
+    # ---------------- masked mid seg painter keys ---------------------------
     if D > 0:
         if MO > 0:
             midx = f32(f32(lsx + lex) / f32(2.0))
@@ -259,7 +204,7 @@ def deferred_pass(
         tie_d = jnp.zeros((B, 0), I32)
         dseg_valid = jnp.zeros((B, 0), bool)
 
-    # ---------------- unified item table -----------------------------------
+    # ---------------- painter keys + nearest-N selection --------------------
     TIE = G + 1
     if MO > 0:
         key_sprite = (2 * j_of_m + 1) * TIE
@@ -268,159 +213,299 @@ def deferred_pass(
     key_seg = (2 * j_first) * TIE + tie_d
     item_key = jnp.concatenate([key_sprite, key_seg], axis=1)    # [B, I]
     item_valid = jnp.concatenate([valid, dseg_valid], axis=1)
-    item_key = jnp.where(item_valid, item_key, jnp.iinfo(jnp.int32).max)
+    # invalid items get key -1 so the LAST N of the ascending sort are
+    # exactly the nearest N valid items (valid keys are >= 0)
+    item_key = jnp.where(item_valid, item_key, -1)
     item_sorted = jnp.argsort(item_key, axis=1, stable=True).astype(I32)
+    sel = item_sorted[:, I - N:]                                 # [B, N]
+    sel_valid = jnp.take_along_axis(item_valid, sel, axis=1)
+    n_valid = item_valid.sum(axis=1).astype(I32)
+    items_dropped = jnp.maximum(0, n_valid - N)
 
-    # ---------------- per-item column data [B, I, W] -------------------------
-    PH, PW = level.spr_pixels.shape[1], level.spr_pixels.shape[2]
-    TH, TW = level.tex_pixels.shape[1], level.tex_pixels.shape[2]
+    is_spr_sel = sel < MO if MO > 0 else jnp.zeros((B, N), bool)
+
+    def gspr(x):
+        """Gather a [B, MO] sprite scalar at the selected items."""
+        return jnp.take_along_axis(x, jnp.clip(sel, 0, max(MO - 1, 0)), axis=1)
+
+    # ---------------- sprite column data [B, N, W] --------------------------
+    ROWS = level.atlas_rows
+    PW = level.spr_pixels.shape[2]
 
     if MO > 0:
-        # sprite columns: perspective u + depth (bitmap_render.rs:241-251)
+        lsx_s, lsy_s = gspr(lsx), gspr(lsy)
+        lex_s, ley_s = gspr(lex), gspr(ley)
+        soff_s = gspr(start_off)
+        pic_sel = gspr(pic_s)
+        wpic_s = gspr(w_pic)
+        light_s = gspr(light_m)
+        bsx_s, bex_s = gspr(bsx), gspr(bex)
+        ybs_s, ybd_s = gspr(f32(yb_s)), gspr(yb_d)
+        yts_s, ytd_s = gspr(f32(yt_s)), gspr(yt_d)
+        uy1_s = gspr(top_h - bottom_h)
+
         one = f32(1.0)
-        ax = f32(xcol[:, None] - bsx[..., None]) / f32((bex - bsx)[..., None])
-        inv0 = (one / f32(lsx))[..., None]
-        inv1 = (one / f32(lex))[..., None]
+        ax = f32(xcol[:, None] - bsx_s[..., None]) / f32(
+            (bex_s - bsx_s)[..., None]
+        )
+        inv0 = (one / f32(lsx_s))[..., None]
+        inv1 = (one / f32(lex_s))[..., None]
         denom = smul(one - ax, inv0) + smul(ax, inv1)
         s_len = jnp.sqrt(
-            smul(lsx - lex, lsx - lex) + smul(lsy - ley, lsy - ley)
+            smul(lsx_s - lex_s, lsx_s - lex_s)
+            + smul(lsy_s - ley_s, lsy_s - ley_s)
         )
         u = (
-            smul(one - ax, (f32(0.0) / f32(lsx))[..., None])
-            + smul(ax, (s_len / f32(lex))[..., None])
+            smul(one - ax, (f32(0.0) / f32(lsx_s))[..., None])
+            + smul(ax, (s_len / f32(lex_s))[..., None])
         ) / denom
-        s_tx = as_i16(u) + as_i16(start_off)[..., None]
-        s_tx = wrap_tex(s_tx, jnp.maximum(w_pic, 1)[..., None])
+        s_tx = as_i16(u) + as_i16(soff_s)[..., None]
+        s_tx = wrap_tex(s_tx, jnp.maximum(wpic_s, 1)[..., None])
         s_zd = as_i16(((one - ax) + ax) / denom)
 
-        x0i = as_i16(bsx)
-        x1i = as_i16(bex)                                        # exclusive
+        x0i = as_i16(bsx_s)
+        x1i = as_i16(bex_s)                                      # exclusive
         in_range = (xcol[:, None] >= x0i[..., None]) & (
             xcol[:, None] < x1i[..., None]
         )
         s_by = as_i16(
-            f32(yb_s)[..., None]
-            + smul(f32(xcol[:, None] - bsx[..., None]), yb_d[..., None])
+            f32(ybs_s)[..., None]
+            + smul(f32(xcol[:, None] - bsx_s[..., None]), ybd_s[..., None])
         )
         s_ty = as_i16(
-            f32(yt_s)[..., None]
-            + smul(f32(xcol[:, None] - bsx[..., None]), yt_d[..., None])
+            f32(yts_s)[..., None]
+            + smul(f32(xcol[:, None] - bsx_s[..., None]), ytd_s[..., None])
         )
+
+        # ---------------- seg clip bounds for selected sprites ------------
+        # front[b, g, n]: is seg g in front of selected item n
+        vpx_s, vpy_s = gspr(vpx), gspr(vpy)
+        behind_sel = is_behind_vertex(
+            frame["lsx"][:, :, None], frame["lsy"][:, :, None],
+            frame["lex"][:, :, None], frame["ley"][:, :, None],
+            vpx_s[:, None, :], vpy_s[:, None, :],
+        )                                                        # [B, G, N]
+        # per-slot fetch, amortized over the N lanes (slice-gather)
+        front4 = jnp.take_along_axis(
+            ~behind_sel, d6.reshape(B, W * K)[:, :, None], axis=1
+        ).reshape(B, W, K, N)
+        k_ok4 = (
+            jnp.arange(K, dtype=I32)[None, None, :] < cnt[..., None]
+        )[..., None]                                             # [B, W, K, 1]
+        front4 = front4 & k_ok4
+
+        e2b_k = (spans & SPAN_E2B) != 0                          # [B, W, K]
+        e2t_k = (spans & SPAN_E2T) != 0
+        is_mid_k = ((spans >> 29) & 3) == KIND_MID
+        dc_k = ((spans & SPAN_DC) != 0) & is_mid_k
+        y0_k = ((spans >> 8) & 255) - 1
+        y1_k = (spans & 255) - 1
+        by_full = unpack16_hi(d2)
+        ty_full = unpack16_lo(d2)
+
+        def red_max(cond, val):
+            v = jnp.where(front4 & cond[..., None], val[..., None], -1)
+            return v.max(axis=2)                                 # [B, W, N]
+
+        def red_min(cond, val):
+            v = jnp.where(front4 & cond[..., None], val[..., None], H)
+            return v.min(axis=2)
+
+        tsc = jnp.maximum(red_max(e2t_k, y1_k), red_max(dc_k, ty_full))
+        bsc = jnp.minimum(red_min(e2b_k, y0_k), red_min(is_mid_k, by_full))
+        tsc = jnp.moveaxis(tsc, 2, 1)                            # [B, N, W]
+        bsc = jnp.moveaxis(bsc, 2, 1)
+
         s_ct = jnp.maximum(0, jnp.maximum(s_ty, tsc))
         s_cb = jnp.minimum(H - 1, jnp.minimum(s_by, bsc))
-        spr_i = dict(
-            present=in_range & valid[..., None],
+
+        spr_cols = dict(
+            present=in_range & is_spr_sel[..., None],
             ct=s_ct, cb=s_cb, by=s_by, ty=s_ty,
-            colbase=level.col_spr_off + pic_s[..., None] * PW + s_tx,
-            off_y=jnp.zeros((B, MO, W), I32),
-            th=jnp.broadcast_to(level.spr_h[pic_s][..., None], (B, MO, W)),
-            light=jnp.broadcast_to(light_m[..., None], (B, MO, W)),
+            colbase=level.col_spr_off + pic_sel[..., None] * PW + s_tx,
+            off_y=jnp.zeros((B, N, W), I32),
+            th=jnp.broadcast_to(
+                level.spr_h[pic_sel][..., None], (B, N, W)
+            ),
+            light=jnp.broadcast_to(light_s[..., None], (B, N, W)),
             zd=s_zd,
-            uy1=jnp.broadcast_to((top_h - bottom_h)[..., None], (B, MO, W)),
-            is_sprite=jnp.ones((B, MO, W), bool),
+            uy1=jnp.broadcast_to(uy1_s[..., None], (B, N, W)),
         )
+    else:
+        spr_cols = None
 
+    # ---------------- selected masked mids -----------------------------------
+    # A mid item's draw data IS its KIND_MID span-pool slot; copying it
+    # per selected item would cost K x [B, N, W].  Instead: precompute
+    # presence per (mid, column) once (cheap, [B, D, W] bool), emit mids
+    # into the item pool with just their seg id + a marker, and fill the
+    # slots' planes from the span pool afterwards (KI x K on [B, W]).
+    kind_k_all = (spans >> 29) & 3
+    k_ok_all = jnp.arange(K, dtype=I32)[None, None] < cnt[..., None]
+    mid_slot = (kind_k_all == KIND_MID) & k_ok_all               # [B, W, K]
     if D > 0:
-        # recover each masked seg's recorded columns + draw data from pool
-        present = jnp.zeros((B, D, W), bool)
-        ct = jnp.zeros((B, D, W), I32)
-        cb = jnp.zeros((B, D, W), I32)
-        sd = [jnp.zeros((B, D, W), I32) for _ in range(5)]
+        segsel = dsegs_j[jnp.clip(sel - MO, 0, D - 1)]           # [B, N]
+        want_mid = ~is_spr_sel if MO > 0 else jnp.ones((B, N), bool)
+        presence_d = jnp.zeros((B, D, W), bool)
         for k in range(K):
-            slot = spans[:, :, k]
-            k_ok = k < cnt
-            kind = (slot >> 29) & 3
-            g_k = d6[:, :, k]
-            hit = (kind == KIND_MID) & k_ok                      # [B, W]
-            match = hit[:, None, :] & (
-                g_k[:, None, :] == dsegs_j[None, :, None]
+            hit = mid_slot[:, :, k]                              # [B, W]
+            presence_d = presence_d | (
+                hit[:, None, :]
+                & (d6[:, :, k][:, None, :] == dsegs_j[None, :, None])
             )
-            y0 = ((slot >> 8) & 255) - 1
-            y1 = (slot & 255) - 1
-            present = present | match
-            ct = jnp.where(match, y0[:, None, :], ct)
-            cb = jnp.where(match, y1[:, None, :], cb)
-            for di, dplane in enumerate((d1, d2, d3, d4, d5)):
-                sd[di] = jnp.where(match, dplane[:, :, k][:, None, :], sd[di])
-        seg_i = dict(
-            present=present & dseg_valid[..., None],
-            ct=ct, cb=cb,
-            by=unpack16_hi(sd[1]), ty=unpack16_lo(sd[1]),
-            colbase=sd[0],
-            off_y=unpack16_hi(sd[2]), th=unpack16_lo(sd[2]),
-            light=unpack16_hi(sd[3]), zd=unpack16_lo(sd[3]),
-            uy1=lax.bitcast_convert_type(sd[4], F32),
-            is_sprite=jnp.zeros((B, D, W), bool),
+        present_m = jnp.take_along_axis(
+            presence_d, jnp.clip(sel - MO, 0, D - 1)[..., None], axis=1
+        ) & want_mid[..., None]                                  # [B, N, W]
+        zero_nw = jnp.zeros((B, N, W), I32)
+        mid_cols = dict(
+            present=present_m,
+            # placeholders; the post-pass fills the real values.  The
+            # seg id rides in colbase so the fill can match span slots.
+            ct=zero_nw, cb=zero_nw, by=zero_nw, ty=zero_nw,
+            colbase=jnp.broadcast_to(segsel[..., None], (B, N, W)),
+            off_y=zero_nw, th=zero_nw, light=zero_nw, zd=zero_nw,
+            uy1=jnp.zeros((B, N, W), F32),
         )
+    else:
+        mid_cols = None
 
-    def cat(name):
-        if MO == 0:
-            return seg_i[name]
-        if D == 0:
-            return spr_i[name]
-        return jnp.concatenate([spr_i[name], seg_i[name]], axis=1)
+    def merged(name):
+        if spr_cols is None:
+            return mid_cols[name]
+        if mid_cols is None:
+            return spr_cols[name]
+        pick = is_spr_sel[..., None]
+        return jnp.where(pick, spr_cols[name], mid_cols[name])
 
-    items = {k: cat(k) for k in (spr_i if MO > 0 else seg_i)}
+    items = {
+        k: merged(k)
+        for k in ("present", "ct", "cb", "by", "ty", "colbase", "off_y",
+                  "th", "light", "zd", "uy1")
+    }
+    items["present"] = items["present"] & sel_valid[..., None]
+    if MO > 0 and D > 0:
+        items["is_mid"] = jnp.broadcast_to(
+            ~is_spr_sel[..., None], (B, N, W)
+        )
+    else:
+        items["is_mid"] = jnp.broadcast_to(
+            jnp.asarray(MO == 0), (B, N, W)
+        )
     items = lax.optimization_barrier(items)
 
-    # ---------------- composite in sorted order ------------------------------
-    ROWS = level.atlas_rows
-    C = level.atlas_cols.shape[0]
-    c_iota = jnp.arange(C, dtype=I32)
-    r_iota = jnp.arange(ROWS, dtype=I32)
-    # one-hot sampling materializes [B, W, C] per item; big atlases fall
-    # back to the per-pixel gather from the column-major packed atlas
-    use_onehot_sample = B * W * C * 2 <= 400_000_000
+    # ---------------- emit into the per-column item pool --------------------
+    # nearest item first (slot 0 = nearest), so a full column drops the
+    # FARTHEST items; the composite then folds farthest -> nearest.
+    ki_iota = jnp.arange(KI, dtype=I32)[None, None, :]
 
-    def body(i, carry):
-        idx, light, dist, is_sky = carry
-        sel = item_sorted[:, i][:, None]                         # [B, 1]
+    def emit_body(i, carry):
+        ipool, icnt, ovf = carry
+        n_ix = jnp.full((B, 1), N - 1 - i, I32)                  # nearest first
 
         def g2(name):
             a = items[name]
-            return jnp.take_along_axis(a, sel[..., None], axis=1)[:, 0]
+            return jnp.take_along_axis(a, n_ix[..., None], axis=1)[:, 0]
 
         present = g2("present")                                   # [B, W]
-        ct, cb = g2("ct"), g2("cb")
-        by, ty = g2("by"), g2("ty")
-        colbase = g2("colbase")
-        off_y, th = g2("off_y"), g2("th")
-        light_i, zd = g2("light"), g2("zd")
-        uy1 = g2("uy1")
-        is_spr = g2("is_sprite")
-        ok = jnp.take_along_axis(item_valid, sel, axis=1)[:, 0]  # [B]
+        fits = icnt < KI
+        do = present & fits
+        write = do[..., None] & (ki_iota == icnt[..., None])
+        word = pack16(g2("ct") + 1, g2("cb") + 1) | jnp.where(
+            g2("is_mid"), MID_MARK, 0
+        )
+        data = (
+            word, g2("colbase"), pack16(g2("by"), g2("ty")),
+            pack16(g2("off_y"), g2("th")), pack16(g2("light"), g2("zd")),
+            lax.bitcast_convert_type(f32(g2("uy1")), I32),
+        )
+        ipool = tuple(
+            jnp.where(write, d[..., None], p) for p, d in zip(ipool, data)
+        )
+        icnt = icnt + do.astype(I32)
+        ovf = ovf + (present & ~fits).sum(axis=-1).astype(I32)
+        return ipool, icnt, ovf
+
+    ipool0 = tuple(jnp.zeros((B, W, KI), I32) for _ in range(6))
+    ipool, icnt, item_overflow = lax.fori_loop(
+        0, N, emit_body,
+        (ipool0, jnp.zeros((B, W), I32), jnp.zeros((B,), I32)),
+    )
+    # ---------------- fill mid slots from the span pool ----------------------
+    # (KI x K matching on [B, W] — the span slot with the same seg id)
+    iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = ipool
+    if D > 0:
+        new_planes = [iword, icolbase, ibyty, ioffth, ilightzd, iuy1]
+        for ki in range(KI):
+            is_mid_i = (iword[:, :, ki] & MID_MARK) != 0         # [B, W]
+            seg_i = icolbase[:, :, ki]
+            vals = [jnp.zeros((B, W), I32) for _ in range(6)]
+            for k in range(K):
+                m = is_mid_i & mid_slot[:, :, k] & (d6[:, :, k] == seg_i)
+                slot = spans[:, :, k]
+                w_new = pack16(
+                    ((slot >> 8) & 255), (slot & 255)
+                )  # already y+1 packed
+                src = (w_new, d1[:, :, k], d2[:, :, k], d3[:, :, k],
+                       d4[:, :, k], d5[:, :, k])
+                vals = [jnp.where(m, sv, v) for v, sv in zip(vals, src)]
+            for pi in range(6):
+                new_planes[pi] = jnp.where(
+                    is_mid_i[..., None] & (ki_iota == ki),
+                    vals[pi][..., None], new_planes[pi],
+                )
+        iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = new_planes
+    iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = (
+        lax.optimization_barrier(
+            (iword, icolbase, ibyty, ioffth, ilightzd, iuy1)
+        )
+    )
+
+    # ---------------- composite: farthest -> nearest ------------------------
+    use_onehot = jax.default_backend() != "cpu"
+    if use_onehot:
+        # texture columns for every pool slot in one slice-gather
+        # (per-index cost amortized over ROWS elements — see PERF.md)
+        texcols = level.atlas_cols[
+            jnp.clip(icolbase, 0, level.atlas_cols.shape[0] - 1)
+        ]                                                        # [B,W,KI,R]
+        r_iota = jnp.arange(ROWS, dtype=I32)
+
+    for k in reversed(range(KI)):
+        word = iword[:, :, k]
+        ok_k = k < icnt                                          # [B, W]
+        ct = (unpack16_hi(word) - 1)[:, None, :]
+        cb = (unpack16_lo(word) - 1)[:, None, :]
+        by = unpack16_hi(ibyty[:, :, k])[:, None, :]
+        ty = unpack16_lo(ibyty[:, :, k])[:, None, :]
+        off_y = unpack16_hi(ioffth[:, :, k])[:, None, :]
+        th = unpack16_lo(ioffth[:, :, k])[:, None, :]
+        light_i = unpack16_hi(ilightzd[:, :, k])[:, None, :]
+        zd = unpack16_lo(ilightzd[:, :, k])[:, None, :]
+        uy1 = lax.bitcast_convert_type(iuy1[:, :, k], F32)[:, None, :]
 
         cover = (
-            present[:, None, :] & ok[:, None, None]
-            & (yy >= ct[:, None, :]) & (yy <= cb[:, None, :])
+            ok_k[:, None, :] & (yy >= ct) & (yy <= cb)
         )                                                         # [B, H, W]
-        ay = f32(yy - ty[:, None, :]) / f32((by - ty)[:, None, :])
-        tyv = as_i16(
-            f32(th[:, None, :]) + smul(ay, uy1[:, None, :])
-        ) + off_y[:, None, :]
-        tyv = wrap_tex(tyv, jnp.maximum(th, 1)[:, None, :])
+        ay = f32(yy - ty) / f32(by - ty)
+        tyv = as_i16(f32(th) + smul(ay, uy1)) + off_y
+        tyv = wrap_tex(tyv, jnp.maximum(th, 1))
 
-        if use_onehot_sample:
-            # MXU one-hot texel sampling: fetch each column's texture
-            # column, then select the pixel's row — both exact (one-hot
-            # selection of bf16-exact palette values; -1 = transparent)
-            onehot_c = (colbase[..., None] == c_iota).astype(jnp.bfloat16)
-            texcol = lax.dot_general(
-                onehot_c, level.atlas_cols,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                  # [B, W, ROWS]
-            onehot_r = (tyv[..., None] == r_iota).astype(jnp.bfloat16)
+        if use_onehot:
+            # per-pixel row select from the slot's texture column via an
+            # exact bf16 one-hot contraction (palette values and -1 are
+            # bf16-exact); avoids the ~0.1 G/s per-pixel gather path
+            ohr = (tyv.transpose(0, 2, 1)[..., None] == r_iota).astype(
+                jnp.bfloat16
+            )                                                     # [B,W,H,R]
             texel_f = lax.dot_general(
-                onehot_r.transpose(0, 2, 1, 3),                # [B, W, H, ROWS]
-                texcol.astype(jnp.bfloat16)[..., None],        # [B, W, ROWS, 1]
+                ohr, texcols[:, :, k, :, None].astype(jnp.bfloat16),
                 dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
-            )[..., 0].transpose(0, 2, 1)                       # [B, H, W]
+            )[..., 0].transpose(0, 2, 1)                          # [B,H,W]
             opaque = texel_f >= 0
             texel = texel_f.astype(I32)
         else:
-            t_ix = colbase[:, None, :] * ROWS + tyv
+            t_ix = icolbase[:, :, k][:, None, :] * ROWS + tyv
             packed = level.atlas_cm[
                 jnp.clip(t_ix, 0, level.atlas_cm.shape[0] - 1)
             ]
@@ -429,12 +514,9 @@ def deferred_pass(
 
         write = cover & opaque
         idx = jnp.where(write, texel, idx)
-        light = jnp.where(write, light_i[:, None, :], light)
-        dist = jnp.where(write, zd[:, None, :], dist)
+        light = jnp.where(write, light_i, light)
+        dist = jnp.where(write, zd, dist)
         is_sky = is_sky & ~write
-        return idx, light, dist, is_sky
 
-    idx, light, dist, is_sky = lax.fori_loop(
-        0, n_items, body, (idx, light, dist, is_sky)
-    )
-    return idx, light, dist, is_sky
+    daux = {"items_dropped": items_dropped, "item_overflow": item_overflow}
+    return idx, light, dist, is_sky, daux

@@ -98,7 +98,7 @@ def main():
         "deferred_pass",
         lambda lv, fr, p, c, o, ms, i, l, d, s: things.deferred_pass(
             lv, cfg, fr, p, c, o, px, py, ang, fh, sl, ms, i, l, d, s
-        ),
+        )[:4],
         level, frame, pool, cnt, order,
         state.mobj_state, outs[0], outs[1], outs[2], outs[3],
     )
