@@ -102,7 +102,16 @@ class Player:
 
 
 def rotate(x: F32, y: F32, angle: F32) -> tuple[F32, F32]:
-    """map/vertexes.rs:20-25 (f32 trig)."""
+    """map/vertexes.rs:20-25 (f32 trig).
+
+    Callers may pass ±inf/NaN coordinates (visplane inverse projection on
+    the exact horizon row, visplanes.rs:112-114 — wz/vy with vy == 0); the
+    resulting NumPy "invalid value" RuntimeWarning is expected: Rust f32
+    propagates inf/NaN identically (IEEE 754) and the downstream `as i16`
+    saturating cast (jmath.as_i16 / Rust semantics: NaN -> 0, ±inf ->
+    i16::MIN/MAX) makes the final pixels match the reference bit-for-bit
+    (covered by test_scale.py's horizon-row view).
+    """
     c, s = f32(np.cos(f32(angle))), f32(np.sin(f32(angle)))
     return f32(x * c - y * s), f32(y * c + x * s)
 
@@ -484,7 +493,14 @@ class SpecRenderer:
 
     # -- projection (misc.rs:130-161) -----------------------------------------
     def _project(self, lsx, lsy, lex, ley, height):
-        """make_sidedef_non_vertical_line: two screen points (x, y) i32."""
+        """make_sidedef_non_vertical_line: two screen points (x, y) i32.
+
+        vx == 0.0 raises NumPy RuntimeWarnings (divide by zero / invalid
+        value) here; this matches the reference exactly: Rust f32 division
+        by zero is IEEE-defined (±inf, or NaN for 0/0, misc.rs:130-135) and
+        the following `as i32` saturates (inf -> i32::MAX, NaN -> 0), which
+        as_i32 reproduces.  The warnings are expected, not a defect.
+        """
         pts = []
         for (vx, vy) in ((lsx, lsy), (lex, ley)):
             # weak perspective: x = v.y, z = v.x
