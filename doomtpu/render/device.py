@@ -124,8 +124,12 @@ class DeviceLevel:
     # static (non-pytree) metadata
     sky_is_opaque: bool = True
     tex_sizes_pow2: bool = False  # all wall texture dims are powers of two
+    # every texture used on a solid/lower/upper wall piece is fully
+    # opaque (vanilla-asset invariant; guarantees the resolve winner-fold
+    # is exact — see build() and resolve.py)
+    wall_tex_all_opaque: bool = True
 
-    _STATIC_FIELDS = ("sky_is_opaque", "tex_sizes_pow2")
+    _STATIC_FIELDS = ("sky_is_opaque", "tex_sizes_pow2", "wall_tex_all_opaque")
 
     def tree_flatten(self):
         from dataclasses import fields
@@ -204,6 +208,39 @@ class DeviceLevel:
         dseg_ix = np.nonzero(
             two_sided_np & (np.asarray(a.side_middle_tex[fs_safe]) >= 0)
         )[0].astype(np.int32)
+
+        # Textures drawn as NON-masked wall pieces (solid mids, lowers,
+        # uppers).  When all of them are fully opaque — true for every
+        # vanilla asset set; transparency lives on two-sided mid textures,
+        # which take the exact per-texel deferred path — the resolve
+        # winner-fold is bit-exact (see resolve.py).  A transparent texel
+        # on one of these pieces deviates from the reference only at
+        # 1-pixel span-boundary overlaps (bitmap_render.rs:265 skips and
+        # keeps the earlier wall's pixel); flag it loudly at load time.
+        mid_np = np.asarray(a.side_middle_tex[fs_safe])
+        low_np = np.asarray(a.side_lower_tex[fs_safe])
+        up_np = np.asarray(a.side_upper_tex[fs_safe])
+        wall_piece_tex = np.unique(np.concatenate([
+            mid_np[~two_sided_np], low_np, up_np
+        ]))
+        wall_piece_tex = wall_piece_tex[wall_piece_tex >= 0]
+        tex_opaque = np.array([
+            bool(a.tex_mask[ti, : a.tex_h[ti], : a.tex_w[ti]].all())
+            for ti in wall_piece_tex
+        ])
+        wall_tex_all_opaque = bool(tex_opaque.all())
+        if not wall_tex_all_opaque:
+            import warnings
+
+            bad = wall_piece_tex[~tex_opaque]
+            warnings.warn(
+                "level uses texture(s) with transparent texels on "
+                f"solid/lower/upper wall pieces (tex ids {bad.tolist()}): "
+                "pixels where multiple drawn wall spans overlap (span "
+                "boundaries) may show black instead of the earlier wall "
+                "(reference skip behavior, bitmap_render.rs:265)",
+                stacklevel=2,
+            )
 
         # column-major sampling atlas (walls | flats | sprites)
         T_, TH_, TW_ = a.tex_pixels.shape
@@ -293,6 +330,7 @@ class DeviceLevel:
                 jnp.int32,
             ),
             sky_is_opaque=bool(a.tex_mask[a.sky_tex].all()),
+            wall_tex_all_opaque=wall_tex_all_opaque,
             tex_sizes_pow2=bool(
                 np.all((a.tex_w & (a.tex_w - 1)) == 0)
                 and np.all((a.tex_h & (a.tex_h - 1)) == 0)

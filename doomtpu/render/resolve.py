@@ -14,10 +14,17 @@ Arithmetic matches the reference exactly:
   (visplanes.rs:103-129)
 - sky: angle-scrolled, undiminished (visplanes.rs:42-80)
 
-Known deviation (documented): a transparent texel inside a DRAWN solid
-wall span falls back to black rather than to the wall behind it; standard
-wall textures are opaque, masked textures only appear on deferred
-two-sided mids which composite exactly (doomtpu.render.things).
+Exactness domain (checked at load time): the winner-fold takes the LAST
+covering drawn wall span per pixel, matching the reference's paint order
+— exactly, as long as every solid/lower/upper wall-piece texture is
+fully opaque (`DeviceLevel.wall_tex_all_opaque`, true for all vanilla
+asset sets; transparency lives on two-sided mid textures, which take the
+exact per-texel deferred path in doomtpu.render.things).  When a level
+violates the invariant, DeviceLevel.build warns: at the 1-pixel span-
+boundary overlaps a transparent winner texel shows black here, where the
+reference's per-texel skip (bitmap_render.rs:265) would keep the earlier
+wall's pixel.  tests/test_parity.py::test_wall_tex_opacity_invariant
+pins both the invariant and the warning.
 """
 
 from __future__ import annotations

@@ -147,3 +147,46 @@ def test_player_position_round_trip(demo_level, config):
     )
     np.testing.assert_allclose(np.asarray(state2.pos), np.asarray(state.pos))
     assert float(state2.floor_height[0]) == float(state.floor_height[0])
+
+
+def test_wall_tex_opacity_invariant(info, config):
+    """The resolve winner-fold is exact iff no solid/lower/upper wall
+    piece uses a texture with transparent texels (resolve.py docstring;
+    reference per-texel skip: bitmap_render.rs:265).  All standard
+    fixtures satisfy the invariant; violating it warns at load time."""
+    import warnings
+
+    from doomtpu.assets.bundle import LevelAssets
+    from doomtpu.level.tables import MapTables
+    from doomtpu.wad import synth
+    from doomtpu.wad.reader import WadFile
+
+    def build(level_fn, **room_kw):
+        rooms, things = level_fn()
+        for r in rooms:
+            for k, v in room_kw.items():
+                setattr(r, k, v)
+        wad = WadFile(synth.build_wad(rooms, things))
+        mt = MapTables.load(wad, "E1M1")
+        assets = LevelAssets.load(wad, mt, info.sprite_names)
+        return DeviceLevel.build(mt, assets, info)
+
+    # every standard fixture is inside the exactness domain
+    for fn in (synth.demo_level, synth.e1m1_scale_level,
+               synth.sky_hack_level):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            level = build(fn)
+        assert level.wall_tex_all_opaque
+
+    # a masked texture on SOLID walls leaves the domain and warns
+    with pytest.warns(UserWarning, match="transparent texels"):
+        level = build(synth.single_room_level, wall_tex="GRATE")
+    assert not level.wall_tex_all_opaque
+
+    # ... but the same masked texture on two-sided MIDS is fine (exact
+    # deferred path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        level = build(synth.two_room_level, mid_tex="GRATE")
+    assert level.wall_tex_all_opaque
