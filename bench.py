@@ -47,6 +47,7 @@ def main() -> int:
     iters = int(os.environ.get("DOOMTPU_BENCH_ITERS", 8))
     with_things = os.environ.get("DOOMTPU_BENCH_THINGS", "1") != "0"
     use_pallas = os.environ.get("DOOMTPU_BENCH_PALLAS", "1") != "0"
+    use_paint = os.environ.get("DOOMTPU_BENCH_PAINT", "1") != "0"
 
     cfg = RenderConfig(
         width=320, height=200,
@@ -54,6 +55,9 @@ def main() -> int:
         # spans/column (tests/test_scale.py measures this)
         span_capacity=48,
         use_pallas_scan=use_pallas and jax.default_backend() != "cpu",
+        # paint-at-emit kernel (ops/pallas_paint.py): the fast path when
+        # the level is eligible; frame.paint_available falls back cleanly
+        use_pallas_paint=use_paint and jax.default_backend() != "cpu",
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
     if os.path.exists(wad_path):

@@ -58,6 +58,13 @@ class RenderConfig:
     # span pool; see doomtpu/ops/pallas_scan.py).  Requires a TPU backend
     # and batch % 8 == 0; the lax.scan path is used otherwise.
     use_pallas_scan: bool = False
+    # Draw walls/planes/sky INSIDE the Pallas scan kernel (paint-at-emit,
+    # see doomtpu/ops/pallas_paint.py) instead of pool + resolve.  The
+    # fastest path; requires level.paint_ok and batch % 4 == 0.
+    use_pallas_paint: bool = False
+    # Per-column capacity of the masked-mid pool the paint kernel emits
+    # (overlapping drawable two-sided mids per screen column).
+    mid_capacity: int = 8
 
     @property
     def camera_focus_x(self) -> float:

@@ -1,0 +1,806 @@
+"""Pallas TPU paint kernel: walls, visplanes and sky drawn AT EMIT TIME.
+
+The pool-scan pipeline (ops/pallas_scan.py + render/resolve.py) spends
+its time on two things XLA cannot do fast on this chip: rewriting the
+[B, W, K] span pool per emission, and the per-pixel texel gather
+(~0.13 G idx/s, ~1 s per 2048-camera batch).  This kernel removes both:
+during the in-VMEM occlusion scan each drawable emission paints its
+pixels directly into VMEM framebuffers, using Mosaic's (8, 128)
+`tpu.dynamic_gather` (jnp.take_along_axis inside the kernel) for the
+texel fetch:
+
+- wall texels: texture columns are lane-aligned once per emission with a
+  LANE gather (the texture column `tx` is constant down a screen
+  column), then each 8-row pixel block selects its texel row with
+  SUBLANE gathers over row-packed words (4 texel rows per i32)
+- flat texels: the inverse projection (visplanes.rs:103-129) runs on the
+  VPU per pixel; (ftx, fty) feed per-element lane + sublane gathers into
+  the 64x64 flat (16 packed rows)
+- sky: angle-scrolled lookup (visplanes.rs:42-80); the lane pattern is
+  row-invariant so the lane gather happens once per 128-column block
+
+Draw-order semantics match render/resolve.py's winner fold exactly:
+walls paint front-to-back into the WALL framebuffer (a later emission
+beats an earlier one at the 1-px span-boundary overlaps — the
+reference's paint order), planes and sky paint in emission order into a
+separate PLANE framebuffer, and the final composite takes plane over
+wall (reference: visplanes draw after all walls, renderer/mod.rs:118-136).
+The shade stage (diminish + palette, bitmap_render.rs:190-208) also runs
+in-kernel on the composite: the 256-entry packed-RGB palette is two lane
+gathers, the factor math is VPU arithmetic.
+
+Masked two-sided mids and per-column clip records for the sprite pass
+are emitted into two small pools (mid: full draw G-buffer, clip: span
+word + full edge ys + seg id), consumed by render/things.py.
+
+Eligibility is static per level (`DeviceLevel.paint_ok`): wall-piece
+textures <= 128x128 and fully opaque, opaque sky.  Like pallas_scan,
+this is the fast path: plain f32 arithmetic (Mosaic may contract
+mul+add; boundary pixels can differ from the strict-FP oracle).  In
+interpret mode it is bit-identical to the XLA path (tests/test_paint.py).
+
+Mosaic layout rules this kernel obeys (scripts/probe_mosaic_layout.py):
+the grid owns one 128-lane column block per step, so no value is ever
+sliced at a lane offset; per-(seg, camera) quantities used inside the
+paint loops are SMEM rank-0 scalars, never (1, 1) value slices (a (1,1)
+slice broadcast into arithmetic is the one idiom the probe shows Mosaic
+rejects).
+
+flags bits: 0-3 piece active, 4 two_sided, 5 draw_ceiling, 6-9 draws,
+10 floor-flat-is-sky, 11 ceiling-flat-is-sky (as pallas_scan), plus
+12 = seg has a (drawable) middle texture.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from doomtpu.config import (
+    ASPECT_RATIO_CORRECTION,
+    FLAT_SIZE,
+    PLAYER_EYE_HEIGHT,
+    SKY_TEXTURE_HEIGHT,
+    SKY_TEXTURE_WIDTH,
+    RenderConfig,
+)
+from doomtpu.render.device import DeviceLevel
+from doomtpu.render.jmath import (
+    I32, F32, as_i16, f32, rem_trunc, smul, wrap_tex,
+)
+from doomtpu.render.walls import (
+    KIND_MID, KIND_WALL, SPAN_DC, SPAN_E2B, SPAN_E2T, SPAN_NODRAW,
+    pack16, pack_span,
+)
+
+TILE_B = 4
+SEG_UNROLL = 4
+LANES = 128
+
+LD_WRITTEN = 1 << 24
+LD_SKY = 1 << 25
+FLAT_SKY_BIT = 1 << 30   # smem flat id: flat is a SKY flat
+FLAG_HAS_MID = 1 << 12
+
+# pi_ref (per-seg SMEM i32 scalar rows): 0-3 thw per piece, 4-7 off_y
+# per piece, 8 light
+PI_THW = 0
+PI_OFFY = 4
+PI_LIGHT = 8
+PI_ROWS = 9
+
+
+def _gather_lane(tab, idx):
+    """(8,128) lane gather: out[s,l] = tab[s, idx[s,l]]."""
+    return jnp.take_along_axis(tab, idx, axis=1)
+
+
+def _gather_sub(tab, idx):
+    """(8,128) sublane gather: out[s,l] = tab[idx[s,l], l]."""
+    return jnp.take_along_axis(tab, idx, axis=0)
+
+
+def _byte(word, r):
+    """Texel byte r (mod 4) of a packed 4-row word."""
+    return (word >> ((r & 3) * 8)) & 0xFF
+
+
+def _select_q(gvs, q):
+    """Per-element select among len(gvs) row-packed vregs by packed-row
+    index q: sublane gather within each vreg + tree select.
+
+    ONLY valid when gvs were lane-gathered with a SUBLANE-INVARIANT lane
+    pattern (walls: tx per column; sky: stx per column) — the sublane
+    gather re-reads other sublanes, which must hold the same lanes."""
+    s8 = q & 7
+    acc = _gather_sub(gvs[0], s8)
+    if len(gvs) > 1:
+        qh = q >> 3
+        for j in range(1, len(gvs)):
+            acc = jnp.where(qh == j, _gather_sub(gvs[j], s8), acc)
+    return acc
+
+
+def _gather_2d(tvs, q, c):
+    """Fully per-element 2D lookup tab[4*q+? , c] over row-packed word
+    vregs, where BOTH q (packed-row) and c (column) vary per element
+    (flats: ftx/fty both depend on the pixel).  Realized as 8 sublane
+    variants: replicate each pixel sublane's (q, c) rows to all
+    sublanes (constant-index sublane gather — offset-slice lane
+    broadcasts are not Mosaic-safe), gather, and merge the matching
+    row."""
+    sub_iota = lax.broadcasted_iota(I32, (8, LANES), 0)
+    out = None
+    for s0 in range(8):
+        s0v = jnp.full((8, LANES), s0, I32)
+        cpat = _gather_sub(c, s0v)
+        qpat = _gather_sub(q, s0v)
+        g = [_gather_lane(t, cpat) for t in tvs]
+        row = _select_q(g, qpat)
+        out = row if out is None else jnp.where(sub_iota == s0, row, out)
+    return out
+
+
+def _kernel(
+    # SMEM scalar blocks
+    texid_ref,      # [1, U, 4, TILE_B] piece texture ids (clamped >= 0)
+    flatid_ref,     # [1, U, 2, TILE_B] floor/ceil flat ids | FLAT_SKY_BIT
+    pheight_ref,    # [1, U, 2, TILE_B] floor/ceil plane heights (i32)
+    pi_ref,         # [1, U, PI_ROWS, TILE_B] i32 per-piece scalars
+    pf_ref,         # [1, U, 4, TILE_B] f32 uy1 per piece
+    camf_ref,       # [1, 4, TILE_B] f32: cos, sin, floor_height, 0
+    cami_ref,       # [1, 4, TILE_B] i32: pxi, pyi, sky tx_off, 0
+    # VMEM vector blocks [1, U, 1|4, TILE_B]
+    g_ref, x0_ref, x1_ref, flags_ref, lsx_ref, lex_ref, length_ref,
+    soff_ref, offx_ref, light_ref, texv_ref,
+    ybs_ref, ybd_ref, yts_ref, ytd_ref, offy_ref, thw_ref, uy1_ref,
+    # VMEM tables (constant blocks)
+    texq_ref, flatq_ref, skyq_ref, pal_ref,
+    # outputs
+    idx_out, ld_out, rgb_out,
+    m_span, m_d1, m_d2, m_d3, m_d4, m_d5, m_d6,
+    c_span, c_d2, c_d6, cntm_ref, cntc_ref, ovf_ref,
+    # scratch
+    widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s,
+    *, W, H, TEX_POW2, U, KM, KC, TW_ATLAS,
+):
+    wb = pl.program_id(1)
+    gi = pl.program_id(2)
+    n_g = pl.num_programs(2)
+
+    @pl.when(gi == 0)
+    def _init():
+        hor_s[...] = jnp.zeros((TILE_B, LANES), I32)
+        fo_s[...] = jnp.full((TILE_B, LANES), H, I32)
+        co_s[...] = jnp.full((TILE_B, LANES), -1, I32)
+        widx_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
+        wld_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
+        pidx_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
+        pld_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
+        cntm_ref[...] = jnp.zeros((1, TILE_B, LANES), I32)
+        cntc_ref[...] = jnp.zeros((1, TILE_B, LANES), I32)
+        ovf_ref[...] = jnp.zeros((1, 1, TILE_B, 128), I32)
+        m_span[...] = jnp.zeros((TILE_B, KM, LANES), I32)
+        for r in (m_d1, m_d2, m_d3, m_d4, m_d5, m_d6):
+            r[...] = jnp.zeros((TILE_B, KM, LANES), I32)
+        c_span[...] = jnp.zeros((TILE_B, KC, LANES), I32)
+        c_d2[...] = jnp.zeros((TILE_B, KC, LANES), I32)
+        c_d6[...] = jnp.zeros((TILE_B, KC, LANES), I32)
+
+    # absolute screen column of each lane in this block
+    xx = lax.broadcasted_iota(I32, (TILE_B, LANES), 1) + wb * LANES
+    km_iota = lax.broadcasted_iota(I32, (TILE_B, KM, LANES), 1)
+    kc_iota = lax.broadcasted_iota(I32, (TILE_B, KC, LANES), 1)
+
+    def emit_mid(mask, rec, data):
+        @pl.when(mask.any())
+        def _():
+            cnt = cntm_ref[0]
+            fits = cnt < KM
+            do = mask & fits
+            write = do[:, None, :] & (km_iota == cnt[:, None, :])
+            m_span[...] = jnp.where(write, rec[:, None, :], m_span[...])
+            for r, d in zip((m_d1, m_d2, m_d3, m_d4, m_d5, m_d6), data):
+                r[...] = jnp.where(write, d[:, None, :], r[...])
+            cntm_ref[0] = cnt + do.astype(I32)
+            ovf_ref[0, 0, :, 0] = ovf_ref[0, 0, :, 0] + (
+                (mask & ~fits).sum(axis=-1).astype(I32)
+            )
+
+    def emit_clip(mask, rec, d2, d6):
+        @pl.when(mask.any())
+        def _():
+            cnt = cntc_ref[0]
+            fits = cnt < KC
+            do = mask & fits
+            write = do[:, None, :] & (kc_iota == cnt[:, None, :])
+            c_span[...] = jnp.where(write, rec[:, None, :], c_span[...])
+            c_d2[...] = jnp.where(write, d2[:, None, :], c_d2[...])
+            c_d6[...] = jnp.where(write, d6[:, None, :], c_d6[...])
+            cntc_ref[0] = cnt + do.astype(I32)
+            ovf_ref[0, 0, :, 1] = ovf_ref[0, 0, :, 1] + (
+                (mask & ~fits).sum(axis=-1).astype(I32)
+            )
+
+    # ---------------- paint: wall columns ------------------------------------
+    def paint_wall(u_, p, mask, ct, cb, by, ty, tx, zdist):
+        """Texture v by linear interpolation over the FULL (unclipped)
+        bottom..top edges + offset, wrapped (bitmap_render.rs:253-263)."""
+        @pl.when(mask.any())
+        def _():
+            for b in range(TILE_B):
+                @pl.when(mask[b:b + 1, :].any())
+                def _b(b=b):
+                    texid = texid_ref[0, u_, p, b]
+                    tv = [
+                        texq_ref[
+                            pl.ds(pl.multiple_of(texid * 32 + j * 8, 8), 8), :
+                        ]
+                        for j in range(4)
+                    ]
+                    # per-(seg, piece, camera) SMEM scalars — NEVER (1,1)
+                    # value slices (Mosaic probe: those fail to compile)
+                    th_b = jnp.maximum(pi_ref[0, u_, PI_THW + p, b] >> 16, 1)
+                    uy1_b = pf_ref[0, u_, p, b]
+                    offy_b = pi_ref[0, u_, PI_OFFY + p, b]
+                    light_b = pi_ref[0, u_, PI_LIGHT, b]
+                    ldc = (light_b << 16) | LD_WRITTEN
+                    mrow = mask[b:b + 1, :]
+                    ct_r = ct[b:b + 1, :]
+                    cb_r = cb[b:b + 1, :]
+                    ylo = jnp.min(jnp.where(mrow, ct_r, H))
+                    yhi = jnp.max(jnp.where(mrow, cb_r, -1))
+                    cpat = jnp.broadcast_to(
+                        jnp.clip(tx[b:b + 1, :], 0, LANES - 1),
+                        (8, LANES),
+                    )
+                    gv = [_gather_lane(t, cpat) for t in tv]
+                    ty_r = ty[b:b + 1, :]
+                    denom_v = f32(by[b:b + 1, :] - ty_r)
+                    ld_r = jnp.broadcast_to(
+                        zdist[b:b + 1, :] & 0xFFFF, (8, LANES)
+                    ) | ldc
+
+                    def body(yb, carry, mrow=mrow, ct_r=ct_r, cb_r=cb_r,
+                             ty_r=ty_r, denom_v=denom_v, gv=gv,
+                             th_b=th_b, uy1_b=uy1_b, offy_b=offy_b,
+                             ld_r=ld_r, b=b):
+                        ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+                        yy8 = lax.broadcasted_iota(
+                            I32, (8, LANES), 0) + yb * 8
+                        cover = mrow & (yy8 >= ct_r) & (yy8 <= cb_r)
+                        ay = f32(yy8 - ty_r) / denom_v
+                        tyv = as_i16(f32(th_b) + smul(ay, uy1_b)) + offy_b
+                        tyv = wrap_tex(tyv, th_b, pow2=TEX_POW2)
+                        word = _select_q(gv, tyv >> 2)
+                        texel = _byte(word, tyv)
+                        widx_s[b, ys, :] = jnp.where(
+                            cover, texel, widx_s[b, ys, :])
+                        wld_s[b, ys, :] = jnp.where(
+                            cover, ld_r, wld_s[b, ys, :])
+                        return carry
+
+                    lax.fori_loop(
+                        jnp.maximum(ylo, 0) // 8,
+                        jnp.minimum(yhi, H - 1) // 8 + 1,
+                        body, 0,
+                    )
+
+    # ---------------- paint: visplane / sky spans ---------------------------
+    def paint_plane(u_, which, m, y0, y1):
+        """Fill a span: per-pixel inverse projection + flat sample
+        (visplanes.rs:82-152) or sky columns (visplanes.rs:42-80)."""
+        y0c = jnp.maximum(jnp.clip(y0, -1, 254), 0)
+        y1c = jnp.minimum(jnp.clip(y1, -1, 254), H - 1)
+        stw, sth = SKY_TEXTURE_WIDTH, SKY_TEXTURE_HEIGHT
+
+        @pl.when(m.any())
+        def _():
+            for b in range(TILE_B):
+                @pl.when(m[b:b + 1, :].any())
+                def _b(b=b):
+                    fl = flatid_ref[0, u_, which, b]
+                    is_sky = (fl & FLAT_SKY_BIT) != 0
+                    fl_id = fl & ~FLAT_SKY_BIT
+                    h_s = pheight_ref[0, u_, which, b]
+                    cosv = camf_ref[0, 0, b]
+                    sinv = camf_ref[0, 1, b]
+                    fh = camf_ref[0, 2, b]
+                    pxi = cami_ref[0, 0, b]
+                    pyi = cami_ref[0, 1, b]
+                    txoff = cami_ref[0, 2, b]
+                    light_b = pi_ref[0, u_, PI_LIGHT, b]
+                    wz = f32(h_s) - fh - f32(PLAYER_EYE_HEIGHT)
+                    fv = [
+                        flatq_ref[
+                            pl.ds(pl.multiple_of(fl_id * 16 + j * 8, 8), 8), :
+                        ]
+                        for j in range(2)
+                    ]
+                    ldc = (light_b << 16) | LD_WRITTEN | jnp.where(
+                        is_sky, LD_SKY, 0
+                    )
+                    mrow = m[b:b + 1, :]
+                    y0_r = y0c[b:b + 1, :]
+                    y1_r = y1c[b:b + 1, :]
+                    ylo = jnp.min(jnp.where(mrow, y0_r, H))
+                    yhi = jnp.max(jnp.where(mrow, y1_r, -1))
+                    xw = xx[b:b + 1, :]
+                    # sky lane pattern is row-invariant per block
+                    stx = rem_trunc(
+                        as_i16(
+                            f32(xw) * f32(float(stw)) / f32(float(W))
+                        ) + txoff,
+                        stw,
+                    )
+                    spat = jnp.broadcast_to(stx & (LANES - 1), (8, LANES))
+                    shalf = jnp.broadcast_to(stx >= LANES, (8, LANES))
+                    skv = [
+                        jnp.where(
+                            shalf,
+                            _gather_lane(
+                                skyq_ref[j * 8:(j + 1) * 8, LANES:], spat
+                            ),
+                            _gather_lane(
+                                skyq_ref[j * 8:(j + 1) * 8, :LANES], spat
+                            ),
+                        )
+                        for j in range(4)
+                    ]
+                    vx = (
+                        f32(float(W) / 2.0) - f32(xw)
+                    ) / f32(float(ASPECT_RATIO_CORRECTION))
+
+                    def body(yb, carry, mrow=mrow, y0_r=y0_r, y1_r=y1_r,
+                             vx=vx, skv=skv, fv=fv, wz=wz, cosv=cosv,
+                             sinv=sinv, pxi=pxi, pyi=pyi, ldc=ldc,
+                             is_sky=is_sky, b=b):
+                        ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+                        yy8 = lax.broadcasted_iota(
+                            I32, (8, LANES), 0) + yb * 8
+                        cover = mrow & (yy8 >= y0_r) & (yy8 <= y1_r)
+                        # flat texel (visplanes.rs:103-129)
+                        vy = f32(float(H) / 2.0) - f32(yy8)
+                        wx = f32(
+                            float(W) / 2.0 / ASPECT_RATIO_CORRECTION
+                        ) * wz / vy
+                        wy = wz * vx / vy
+                        rx = smul(wx, cosv) - smul(wy, sinv)
+                        ry = smul(wy, cosv) + smul(wx, sinv)
+                        ftx = (as_i16(rx) + pxi) & (FLAT_SIZE - 1)
+                        fty = (as_i16(ry) + pyi) & (FLAT_SIZE - 1)
+                        fword = _gather_2d(fv, fty >> 2, ftx)
+                        flat_texel = _byte(fword, fty)
+                        pdist = as_i16(wx) & 0xFFFF
+                        # sky texel (visplanes.rs:42-80)
+                        sty = as_i16(
+                            f32(yy8) * f32(float(sth)) * f32(2.0)
+                            / f32(float(H))
+                        )
+                        sty = jnp.where(sty < 0, sty + sth, sty)
+                        sty = rem_trunc(sty, sth)
+                        sword = _select_q(skv, sty >> 2)
+                        sky_texel = _byte(sword, sty)
+                        texel = jnp.where(is_sky, sky_texel, flat_texel)
+                        ldw = ldc | pdist
+                        pidx_s[b, ys, :] = jnp.where(
+                            cover, texel, pidx_s[b, ys, :])
+                        pld_s[b, ys, :] = jnp.where(
+                            cover, ldw, pld_s[b, ys, :])
+                        return carry
+
+                    lax.fori_loop(
+                        jnp.maximum(ylo, 0) // 8,
+                        jnp.minimum(yhi, H - 1) // 8 + 1,
+                        body, 0,
+                    )
+
+    # ---------------- the seg loop ------------------------------------------
+    for u_ in range(U):
+        flags = flags_ref[0, u_, 0, :][:, None]
+        x0 = x0_ref[0, u_, 0, :][:, None]
+        x0i = as_i16(x0)
+        x1i = as_i16(x1_ref[0, u_, 0, :][:, None])
+
+        act_any = (flags & 15) != 0
+        seg_live = (
+            (xx >= x0i) & (xx <= x1i) & act_any & (hor_s[...] == 0)
+        ).any()
+
+        @pl.when(seg_live)
+        def _seg_body(u_=u_, flags=flags, x0=x0, x0i=x0i, x1i=x1i):
+            gval = g_ref[0, u_, 0, :]
+            two_sided = (flags & 16) != 0
+            draw_c = (flags & 32) != 0
+            f_sky = (flags & 1024) != 0
+            c_sky = (flags & 2048) != 0
+            has_mid = (flags & FLAG_HAS_MID) != 0
+            light = light_ref[0, u_, 0, :][:, None]
+            g_bc = jnp.broadcast_to(gval[:, None], (TILE_B, LANES))
+
+            one = f32(1.0)
+            ax = f32(xx - x0) / f32(x1_ref[0, u_, 0, :][:, None] - x0)
+            uz0 = lsx_ref[0, u_, 0, :][:, None]
+            uz1 = lex_ref[0, u_, 0, :][:, None]
+            inv0 = one / uz0
+            inv1 = one / uz1
+            denom = smul(one - ax, inv0) + smul(ax, inv1)
+            u = (
+                smul(one - ax, f32(0.0) / uz0)
+                + smul(ax, length_ref[0, u_, 0, :][:, None] / uz1)
+            ) / denom
+            tx_base = (
+                as_i16(u) + as_i16(soff_ref[0, u_, 0, :])[:, None]
+                + offx_ref[0, u_, 0, :][:, None]
+            )
+            zdist = as_i16(((one - ax) + ax) / denom)
+
+            for p in range(4):
+                act = (flags & (1 << p)) != 0
+                draws_p = (flags & (64 << p)) != 0
+                hor = hor_s[...] != 0
+                fo = fo_s[...]
+                co = co_s[...]
+                covered = (xx >= x0i) & (xx <= x1i) & act
+                open_ = covered & ~hor
+
+                by = as_i16(
+                    f32(ybs_ref[0, u_, p, :])[:, None]
+                    + smul(f32(xx - x0), ybd_ref[0, u_, p, :][:, None])
+                )
+                ty = as_i16(
+                    f32(yts_ref[0, u_, p, :])[:, None]
+                    + smul(f32(xx - x0), ytd_ref[0, u_, p, :][:, None])
+                )
+                cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
+                ct = jnp.maximum(0, jnp.maximum(co, ty))
+                in_ver = (cb >= ct) & open_
+
+                thw = thw_ref[0, u_, p, :][:, None]
+                th = thw >> 16
+                tw = thw & 0xFFFF
+                tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
+                              pow2=TEX_POW2)
+                cd2 = pack16(by, ty)
+
+                if p == 0:
+                    solid = ~two_sided
+                    rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
+                    rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                    emit_clip(in_ver & solid, rec, cd2, g_bc)
+                    paint_wall(
+                        u_, p, in_ver & solid & draws_p,
+                        ct, cb, by, ty, tx, zdist,
+                    )
+
+                    fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
+                    fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
+                    paint_plane(u_, 0, fl_emit, cb, fo)
+                    ce_keep = c_sky | (
+                        jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
+                    )
+                    ce_emit = in_ver & draw_c & (ct > co) & ce_keep
+                    paint_plane(u_, 1, ce_emit, co, ct)
+
+                    gap = open_ & ~in_ver & (fo > co)
+                    keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
+                    gap_b = gap & (by <= co)
+                    paint_plane(u_, 0, gap_b & (f_sky | keep_g), co, fo)
+                    gap_t = gap & draw_c & (ty >= fo)
+                    paint_plane(u_, 1, gap_t & (c_sky | keep_g), co, fo)
+                    gap_occl = gap_b | gap_t
+
+                    occl_m = in_ver & two_sided
+                    fo = jnp.where(occl_m, cb, fo)
+                    co = jnp.where(occl_m & draw_c, ct, co)
+                    solid_occl = (covered & solid) | gap_occl
+                    hor_s[...] = (hor | solid_occl).astype(I32)
+                    fo_s[...] = jnp.where(solid_occl, H // 2, fo)
+                    co_s[...] = jnp.where(solid_occl, H // 2, co)
+                elif p == 1:
+                    rec = pack_span(KIND_MID, ct, cb) | jnp.where(
+                        draw_c, SPAN_DC, 0
+                    )
+                    emit_clip(in_ver, rec, cd2, g_bc)
+                    md1 = texv_ref[0, u_, p, :][:, None] * TW_ATLAS + tx
+                    md3 = pack16(offy_ref[0, u_, p, :][:, None], th)
+                    md4 = pack16(light, zdist)
+                    md5 = jnp.broadcast_to(
+                        lax.bitcast_convert_type(
+                            uy1_ref[0, u_, p, :], I32
+                        )[:, None],
+                        (TILE_B, LANES),
+                    )
+                    emit_mid(
+                        in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
+                    )
+                elif p == 2:
+                    rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
+                    rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                    emit_clip(in_ver, rec, cd2, g_bc)
+                    paint_wall(
+                        u_, p, in_ver & draws_p,
+                        ct, cb, by, ty, tx, zdist,
+                    )
+                    fo_s[...] = jnp.where(in_ver, ct, fo)
+                else:
+                    rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
+                    rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                    emit_clip(in_ver, rec, cd2, g_bc)
+                    paint_wall(
+                        u_, p, in_ver & draws_p,
+                        ct, cb, by, ty, tx, zdist,
+                    )
+                    co_s[...] = jnp.where(in_ver, cb, co)
+
+    # ---------------- composite + shade at the last grid step ---------------
+    @pl.when(gi == n_g - 1)
+    def _finish():
+        zero8 = jnp.zeros((8, LANES), I32)
+        pal0 = _gather_sub(pal_ref[...], zero8)
+        pal1 = _gather_sub(pal_ref[...], zero8 + 1)
+        for b in range(TILE_B):
+            for yb in range(H // 8):
+                ys = slice(yb * 8, yb * 8 + 8)
+                pw = pld_s[b, ys, :]
+                ww = wld_s[b, ys, :]
+                use_p = (pw & LD_WRITTEN) != 0
+                ldw = jnp.where(use_p, pw, ww)
+                texel = jnp.where(
+                    use_p, pidx_s[b, ys, :], widx_s[b, ys, :])
+                written = (ldw & LD_WRITTEN) != 0
+                is_sky = (ldw & LD_SKY) != 0
+                light = (ldw >> 16) & 0xFF
+                dist = ((ldw & 0xFFFF) << 16) >> 16
+                rgbw = jnp.where(
+                    texel >= LANES,
+                    _gather_lane(pal1, texel & (LANES - 1)),
+                    _gather_lane(pal0, texel & (LANES - 1)),
+                )
+                # diminish (bitmap_render.rs:190-208); sky undimmed
+                factor = f32(light) / f32(255.0) - smul(
+                    f32(dist), 1.0 / (16.0 * 256.0)
+                )
+                factor = jnp.maximum(factor, 0.0)
+                factor = jnp.where(is_sky, f32(1.0), factor)
+                packed = jnp.zeros_like(texel)
+                for shift in (16, 8, 0):
+                    chan = f32((rgbw >> shift) & 0xFF)
+                    byte = jnp.clip(
+                        jnp.trunc(chan * factor), 0.0, 255.0
+                    ).astype(I32)
+                    packed = packed | (byte << shift)
+                idx_out[b, ys, :] = jnp.where(written, texel, -1)
+                ld_out[b, ys, :] = ldw
+                rgb_out[b, ys, :] = jnp.where(written, packed, 0)
+
+
+def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
+                 angle, px, py, floor_height, interpret: bool = False):
+    """Run the paint kernel over B cameras.
+
+    Returns dict with idx/ld/rgb [B, H, W], mid pool (7 x [B, W, KM]),
+    cnt_mid, clip pool (3 x [B, W, KC]), cnt_clip, overflow [B, 2].
+    ld packs light(8)<<16 | dist(u16) | written<<24 | sky<<25.
+    """
+    from doomtpu.render import jmath
+    from doomtpu.render.jmath import cos_sin
+
+    assert level.paint_ok, "level not eligible for the paint kernel"
+    # strict-FP smul lowers to f64 + reduce_precision — interpret only
+    assert interpret or not jmath.strict_fp_enabled(), (
+        "strict-FP mode is CPU/interpret-only for the paint kernel"
+    )
+    B, G = order.shape
+    W, H, KC = cfg.width, cfg.height, cfg.span_capacity
+    KM = cfg.mid_capacity
+    NBW = (W + LANES - 1) // LANES
+    Wp = NBW * LANES
+    assert H % 8 == 0, f"height {H} must be a multiple of 8"
+    TW_ATLAS = level.tex_pixels.shape[2]
+    assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
+    U = min(SEG_UNROLL, G)
+    Gp = ((G + U - 1) // U) * U
+
+    def ordered(x):
+        if x.ndim == 2:
+            return jnp.take_along_axis(x, order, axis=1)
+        return jnp.take_along_axis(x, order[..., None], axis=1)
+
+    def padg(x):
+        if Gp == G:
+            return x
+        return jnp.pad(x, [(0, 0), (0, Gp - G)] + [(0, 0)] * (x.ndim - 2))
+
+    active = ordered(frame["active"])
+    draws = ordered(frame["draws"])
+    tex = ordered(frame["tex"])
+    flags = (
+        active[..., 0].astype(I32)
+        | (active[..., 1].astype(I32) << 1)
+        | (active[..., 2].astype(I32) << 2)
+        | (active[..., 3].astype(I32) << 3)
+        | (ordered(frame["two_sided"]).astype(I32) << 4)
+        | (ordered(frame["draw_ceiling"]).astype(I32) << 5)
+        | (draws[..., 0].astype(I32) << 6)
+        | (draws[..., 1].astype(I32) << 7)
+        | (draws[..., 2].astype(I32) << 8)
+        | (draws[..., 3].astype(I32) << 9)
+        | (level.flat_is_sky[ordered(frame["floor_flat"])].astype(I32) << 10)
+        | (level.flat_is_sky[ordered(frame["ceil_flat"])].astype(I32) << 11)
+        | ((tex[..., 1] >= 0).astype(I32) << 12)
+    )
+
+    tex_safe = jnp.maximum(tex, 0)
+    thw = (level.tex_h[tex_safe] << 16) | level.tex_w[tex_safe]
+    light_o = ordered(frame["light"])
+    offy_o = ordered(frame["off_y"])
+    uy1_o = ordered(frame["uy1"])
+    # per-seg SMEM scalar pack: thw x4, off_y x4, light
+    pi_sm = jnp.concatenate([thw, offy_o, light_o[..., None]], axis=-1)
+
+    ffl = ordered(frame["floor_flat"])
+    cfl = ordered(frame["ceil_flat"])
+    f_sky = level.flat_is_sky[ffl].astype(I32)
+    c_sky = level.flat_is_sky[cfl].astype(I32)
+    flat_sm = jnp.stack(
+        [ffl | (f_sky << 30), cfl | (c_sky << 30)], axis=-1
+    )                                                           # [B, G, 2]
+    ph_sm = jnp.stack(
+        [ordered(frame["floor_h_i"]), ordered(frame["ceil_h_i"])], axis=-1
+    )
+
+    # per-camera scalars
+    c, s = cos_sin(f32(angle))
+    camf = jnp.stack(
+        [c, s, f32(floor_height), jnp.zeros_like(c)], axis=-1
+    )                                                           # [B, 4]
+    stw = SKY_TEXTURE_WIDTH
+    tx_off = as_i16(
+        -f32(float(stw)) * f32(angle) / f32(math.pi / 2.0)
+    ) + stw
+    from doomtpu.render.jmath import div_trunc
+
+    tx_off = jnp.where(
+        tx_off < 0, tx_off + stw * (1 - div_trunc(tx_off, stw)), tx_off
+    )
+    cami = jnp.stack(
+        [as_i16(f32(px)), as_i16(f32(py)), tx_off, jnp.zeros_like(tx_off)],
+        axis=-1,
+    )                                                           # [B, 4]
+
+    def tile4(x):
+        x = padg(x)
+        if x.ndim == 2:
+            return x.reshape(B // TILE_B, TILE_B, Gp).transpose(0, 2, 1)[
+                :, :, None, :
+            ]
+        n = x.shape[2]
+        return x.reshape(B // TILE_B, TILE_B, Gp, n).transpose(0, 2, 3, 1)
+
+    def tile_cam(x):
+        return x.reshape(B // TILE_B, TILE_B, x.shape[1]).transpose(0, 2, 1)
+
+    smem_inputs = [
+        tile4(tex_safe),                         # texid (already ordered)
+        tile4(flat_sm),                          # flatid
+        tile4(ph_sm),                            # pheight
+        tile4(pi_sm),                            # per-piece i32 scalars
+        tile4(uy1_o),                            # per-piece f32 uy1
+    ]
+    cam_inputs = [tile_cam(camf), tile_cam(cami)]   # [B/T, 4, T]
+
+    vmem_inputs = [tile4(x) for x in (
+        order.astype(I32),
+        ordered(frame["x0"]), ordered(frame["x1"]), flags,
+        ordered(frame["lsx"]), ordered(frame["lex"]),
+        ordered(frame["length"]), ordered(frame["start_offset"]),
+        ordered(frame["offset_x_total"]), light_o,
+        tex_safe,
+        ordered(frame["yb_s"]), ordered(frame["yb_d"]),
+        ordered(frame["yt_s"]), ordered(frame["yt_d"]),
+        offy_o, thw, uy1_o,
+    )]
+    tables = [level.tex_q, level.flat_q, level.sky_q, level.palette_words]
+
+    def seg_spec(x, space):
+        last = x.shape[2]
+        return pl.BlockSpec(
+            (1, U, last, TILE_B), lambda i, w, g: (i, g, 0, 0),
+            memory_space=space,
+        )
+
+    def cam_spec(space):
+        return pl.BlockSpec(
+            (1, 4, TILE_B), lambda i, w, g: (i, 0, 0), memory_space=space
+        )
+
+    def table_spec(x):
+        return pl.BlockSpec(
+            x.shape, lambda i, w, g: tuple(0 for _ in x.shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = (
+        [seg_spec(x, pltpu.SMEM) for x in smem_inputs]
+        + [cam_spec(pltpu.SMEM) for _ in cam_inputs]
+        + [seg_spec(x, pltpu.VMEM) for x in vmem_inputs]
+        + [table_spec(x) for x in tables]
+    )
+
+    fb_spec = pl.BlockSpec(
+        (TILE_B, H, LANES), lambda i, w, g: (i, 0, w), memory_space=pltpu.VMEM
+    )
+    mpool_spec = pl.BlockSpec(
+        (TILE_B, KM, LANES), lambda i, w, g: (i, 0, w),
+        memory_space=pltpu.VMEM,
+    )
+    cpool_spec = pl.BlockSpec(
+        (TILE_B, KC, LANES), lambda i, w, g: (i, 0, w),
+        memory_space=pltpu.VMEM,
+    )
+    # 2D [B, Wp] outputs would give (TILE_B, Wp) blocks, which Mosaic
+    # rejects for TILE_B < 8; shape them [B//T, T, Wp] so the block
+    # equals the trailing array dims exactly
+    cnt_spec = pl.BlockSpec(
+        (1, TILE_B, LANES), lambda i, w, g: (i, 0, w),
+        memory_space=pltpu.VMEM,
+    )
+    ovf_spec = pl.BlockSpec(
+        (1, 1, TILE_B, 128), lambda i, w, g: (i, w, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32) for _ in range(3)]
+        + [jax.ShapeDtypeStruct((B, KM, Wp), jnp.int32) for _ in range(7)]
+        + [jax.ShapeDtypeStruct((B, KC, Wp), jnp.int32) for _ in range(3)]
+        + [jax.ShapeDtypeStruct((B // TILE_B, TILE_B, Wp), jnp.int32)
+           for _ in range(2)]
+        + [jax.ShapeDtypeStruct((B // TILE_B, NBW, TILE_B, 128), jnp.int32)]
+    )
+    out_specs = (
+        [fb_spec] * 3 + [mpool_spec] * 7 + [cpool_spec] * 3
+        + [cnt_spec] * 2 + [ovf_spec]
+    )
+
+    kernel = functools.partial(
+        _kernel, W=W, H=H, TEX_POW2=level.tex_sizes_pow2, U=U,
+        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // TILE_B, NBW, Gp // U),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((TILE_B, H, LANES), jnp.int32) for _ in range(4)
+        ] + [
+            pltpu.VMEM((TILE_B, LANES), jnp.int32) for _ in range(3)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*smem_inputs, *cam_inputs, *vmem_inputs, *tables)
+
+    idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
+    tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]
+    midpool = tuple(tr(o) for o in outs[3:10])
+    clippool = tuple(tr(o) for o in outs[10:13])
+    cnt_mid = outs[13].reshape(B, Wp)[:, :W]
+    cnt_clip = outs[14].reshape(B, Wp)[:, :W]
+    overflow = outs[15].sum(axis=1).reshape(B, 128)[:, :2]
+    return {
+        "idx": idx, "ld": ld, "rgb": rgb,
+        "midpool": midpool, "cnt_mid": cnt_mid,
+        "clippool": clippool, "cnt_clip": cnt_clip,
+        "overflow": overflow,
+    }

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from doomtpu.config import RenderConfig
 from doomtpu.render.device import DeviceLevel
-from doomtpu.render.jmath import I32, F32, as_i16, f32, wrap_tex
+from doomtpu.render.jmath import I32, F32, as_i16, f32, smul, wrap_tex
 from doomtpu.render.walls import (
     KIND_CEIL, KIND_FLOOR, KIND_MID, KIND_WALL, N_PLANES,
     SPAN_DC, SPAN_E2B, SPAN_E2T, SPAN_NODRAW, pack16, pack_span,
@@ -146,10 +146,10 @@ def _one_seg(
         uz1 = lex_ref[0, u_, 0, :][:, None]
         inv0 = one / uz0
         inv1 = one / uz1
-        denom = (one - ax) * inv0 + ax * inv1
+        denom = smul(one - ax, inv0) + smul(ax, inv1)
         u = (
-            (one - ax) * (f32(0.0) / uz0)
-            + ax * (length_ref[0, u_, 0, :][:, None] / uz1)
+            smul(one - ax, f32(0.0) / uz0)
+            + smul(ax, length_ref[0, u_, 0, :][:, None] / uz1)
         ) / denom
         tx_base = (
             as_i16(u) + as_i16(soff_ref[0, u_, 0, :])[:, None]
@@ -168,11 +168,11 @@ def _one_seg(
 
             by = as_i16(
                 f32(ybs_ref[0, u_, p, :])[:, None]
-                + f32(xx - x0) * ybd_ref[0, u_, p, :][:, None]
+                + smul(f32(xx - x0), ybd_ref[0, u_, p, :][:, None])
             )
             ty = as_i16(
                 f32(yts_ref[0, u_, p, :])[:, None]
-                + f32(xx - x0) * ytd_ref[0, u_, p, :][:, None]
+                + smul(f32(xx - x0), ytd_ref[0, u_, p, :][:, None])
             )
             cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
             ct = jnp.maximum(0, jnp.maximum(co, ty))
@@ -258,10 +258,16 @@ def wall_scan_pallas(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     interpret=True runs the kernel program on CPU (tests/test_pallas.py
     asserts pool bit-equality vs walls.wall_scan there).
     """
+    from doomtpu.render import jmath
+
     B, G = order.shape
     W, H, K = cfg.width, cfg.height, cfg.span_capacity
     TW = level.tex_pixels.shape[2]
     assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
+    # strict-FP smul lowers to f64 + reduce_precision — interpret only
+    assert interpret or not jmath.strict_fp_enabled(), (
+        "strict-FP mode is CPU/interpret-only for the scan kernel"
+    )
     U = min(SEG_UNROLL, G)
     Gp = ((G + U - 1) // U) * U
 

@@ -121,6 +121,14 @@ class DeviceLevel:
     atlas_cm: jnp.ndarray
     palette_packed: jnp.ndarray  # [256] i32 0xRRGGBB
 
+    # packed tables for the Pallas paint kernel (ops/pallas_paint.py):
+    # texel rows packed 4-per-word; see build()
+    atlas_cols4: jnp.ndarray   # [C, ROWS, 4] bf16 (idx, r, g, b)
+    tex_q: jnp.ndarray       # [T*32, 128] i32
+    flat_q: jnp.ndarray      # [F*16, 128] i32
+    sky_q: jnp.ndarray       # [32, 256] i32
+    palette_words: jnp.ndarray  # [8, 128] i32 (256 packed 0xRRGGBB rows)
+
     # static (non-pytree) metadata
     sky_is_opaque: bool = True
     tex_sizes_pow2: bool = False  # all wall texture dims are powers of two
@@ -128,8 +136,13 @@ class DeviceLevel:
     # opaque (vanilla-asset invariant; guarantees the resolve winner-fold
     # is exact — see build() and resolve.py)
     wall_tex_all_opaque: bool = True
+    # static eligibility for the Pallas paint kernel (texture dims <= 128,
+    # opaque wall pieces + opaque sky)
+    paint_ok: bool = False
 
-    _STATIC_FIELDS = ("sky_is_opaque", "tex_sizes_pow2", "wall_tex_all_opaque")
+    _STATIC_FIELDS = (
+        "sky_is_opaque", "tex_sizes_pow2", "wall_tex_all_opaque", "paint_ok"
+    )
 
     def tree_flatten(self):
         from dataclasses import fields
@@ -261,8 +274,75 @@ class DeviceLevel:
         atlas_cm = np.where(
             atlas_cols >= 0, atlas_cols.astype(np.int32) | (1 << 8), 0
         ).reshape(-1)
+        # 4-plane atlas for the paint-path deferred composite: palette
+        # index + the three palette rgb bytes per texel (each <= 255, so
+        # bf16-exact); lets one one-hot contraction yield idx AND rgb
+        pal_u8 = a.palette.astype(np.int64)
+        safe_ix = np.maximum(atlas_cols.astype(np.int64), 0)
+        atlas_cols4 = np.stack(
+            [
+                atlas_cols,
+                np.where(atlas_cols >= 0, pal_u8[safe_ix, 0], 0),
+                np.where(atlas_cols >= 0, pal_u8[safe_ix, 1], 0),
+                np.where(atlas_cols >= 0, pal_u8[safe_ix, 2], 0),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+        # ---- packed sampling tables for the Pallas paint kernel --------
+        # Texel rows packed 4-per-i32 word (byte j = row 4q+j) so the
+        # in-kernel 2D lookup needs only 4 sublane-gathers per 8-row
+        # pixel block (see ops/pallas_paint.py).  Requires texture dims
+        # <= 128; `paint_ok` gates the fast path statically.
+        def pack_rows4(img_u8):
+            """[h, w] u8 -> [ceil(h/4), w] i32 with 4 rows per word."""
+            h, w = img_u8.shape
+            hp = (h + 3) & ~3
+            p = np.zeros((hp, w), np.int64)
+            p[:h] = img_u8
+            p = p.reshape(hp // 4, 4, w)
+            return (
+                p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16) | (p[:, 3] << 24)
+            ).astype(np.uint32).astype(np.int64).astype(np.int32)
+
+        QT = 32  # q-rows per texture (128 rows / 4)
+        tex_q = np.zeros((T_ * QT, 128), np.int32)
+        # the paint kernel draws only wall-piece textures (mids/sprites
+        # take the deferred path, sky has its own table), so eligibility
+        # depends on THOSE textures' dims, not the atlas padding
+        paint_ok = bool(wall_tex_all_opaque) and all(
+            a.tex_w[ti] <= 128 and a.tex_h[ti] <= 128
+            for ti in wall_piece_tex
+        )
+        for ti in range(T_):
+            win = a.tex_pixels[ti][:128, :128].astype(np.uint8)
+            q = pack_rows4(win)
+            tex_q[ti * QT : ti * QT + q.shape[0], : win.shape[1]] = q
+        QF = 16  # 64 flat rows / 4
+        flat_q = np.zeros((F_ * QF, 128), np.int32)
+        for fi in range(F_):
+            flat_q[fi * QF : (fi + 1) * QF, :64] = pack_rows4(
+                a.flat_pixels[fi].astype(np.uint8)
+            )
+        # sky: [128, 256] rows packed -> [32, 256]
+        sky_np = np.asarray(a.tex_pixels[a.sky_tex], np.uint8)
+        sky_q = np.zeros((32, 256), np.int32)
+        sh, sw = min(sky_np.shape[0], 128), min(sky_np.shape[1], 256)
+        sky_q[: (sh + 3) // 4, :sw] = pack_rows4(sky_np[:sh, :sw])
+        paint_ok = paint_ok and bool(a.tex_mask[a.sky_tex].all())
+        pal_words = np.zeros((8, 128), np.int32)
+        pal_words.reshape(-1)[:256] = (
+            (a.palette[:, 0].astype(np.int64) << 16)
+            | (a.palette[:, 1].astype(np.int64) << 8)
+            | a.palette[:, 2].astype(np.int64)
+        ).astype(np.int32)
 
         return cls(
+            tex_q=_j(tex_q, jnp.int32),
+            flat_q=_j(flat_q, jnp.int32),
+            sky_q=_j(sky_q, jnp.int32),
+            palette_words=_j(pal_words, jnp.int32),
+            paint_ok=paint_ok,
             seg_v1=_j(t.vertexes[t.seg_v[:, 0]], jnp.float32),
             seg_v2=_j(t.vertexes[t.seg_v[:, 1]], jnp.float32),
             seg_offset=_j(t.seg_offset, jnp.int32),
@@ -322,6 +402,7 @@ class DeviceLevel:
             mobj_xdeath_state=_j(info.mobj_xdeath[mobj_info_ix], jnp.int32),
             dseg_ix=_j(dseg_ix, jnp.int32),
             atlas_cols=_j(atlas_cols, jnp.bfloat16),
+            atlas_cols4=_j(atlas_cols4, jnp.bfloat16),
             atlas_cm=_j(atlas_cm, jnp.int32),
             palette_packed=_j(
                 (a.palette[:, 0].astype(np.int32) << 16)

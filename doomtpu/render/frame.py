@@ -18,6 +18,48 @@ from doomtpu.render import walls
 from doomtpu.render.device import DeviceLevel
 
 
+def paint_available(level, cfg, B) -> bool:
+    """Static eligibility of the paint-kernel fast path."""
+    import jax as _jax
+
+    return (
+        cfg.use_pallas_paint
+        and level.paint_ok
+        and B % 4 == 0
+        and cfg.height % 8 == 0
+        and _jax.default_backend() != "cpu"
+    )
+
+
+def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
+                  timestamp, interpret=False):
+    """Fast path: walls/planes/sky painted in-kernel (pallas_paint)."""
+    from doomtpu.ops.pallas_paint import LD_SKY, render_paint
+
+    frame = cam.build_seg_frame(
+        level, cfg, px, py, angle, floor_height, sector_light, timestamp
+    )
+    frame = jax.lax.optimization_barrier(frame)
+    rank = cam.traversal_rank(level, px, py)
+    order = cam.seg_order(level, rank)
+    out = render_paint(
+        level, cfg, frame, order, angle, px, py, floor_height,
+        interpret=interpret,
+    )
+    ld = out["ld"]
+    light = (ld >> 16) & 0xFF
+    dist = ((ld & 0xFFFF) << 16) >> 16
+    is_sky = (ld & LD_SKY) != 0
+    aux = {
+        "frame": frame, "order": order,
+        "midpool": out["midpool"], "cnt_mid": out["cnt_mid"],
+        "clippool": out["clippool"], "cnt_clip": out["cnt_clip"],
+        "overflow": out["overflow"],
+        "light": light, "dist": dist, "is_sky": is_sky,
+    }
+    return out["idx"], light, dist, is_sky, out["rgb"], aux
+
+
 def _stages_1_2(level, cfg, px, py, angle, floor_height, sector_light, timestamp):
     frame = cam.build_seg_frame(
         level, cfg, px, py, angle, floor_height, sector_light, timestamp
@@ -58,6 +100,11 @@ def render_walls_planes(
     timestamp,                             # [B]
 ):
     """Stages 1-2 only: solid walls + visplanes/sky -> (idx, rgb, aux)."""
+    if paint_available(level, cfg, px.shape[0]):
+        idx, light, dist, is_sky, rgb, aux = _stages_paint(
+            level, cfg, px, py, angle, floor_height, sector_light, timestamp
+        )
+        return idx, rgb, aux
     idx, light, dist, is_sky, aux = _stages_1_2(
         level, cfg, px, py, angle, floor_height, sector_light, timestamp
     )
@@ -81,11 +128,26 @@ def render_frame(
     """
     from doomtpu.render import things
 
+    if paint_available(level, cfg, px.shape[0]):
+        idx, light, dist, is_sky, rgb, aux = _stages_paint(
+            level, cfg, px, py, angle, floor_height, sector_light, timestamp
+        )
+        pools = things.pools_from_paint(aux)
+        idx2, light2, dist2, is_sky, daux = things.deferred_pass(
+            level, cfg, aux["frame"], pools, aux["order"],
+            px, py, angle, floor_height, sector_light, mobj_state,
+            idx, light, dist, is_sky, rgb=rgb,
+        )
+        rgb2 = daux.pop("rgb")
+        aux.update(daux)
+        return idx2, rgb2, aux
+
     idx, light, dist, is_sky, aux = _stages_1_2(
         level, cfg, px, py, angle, floor_height, sector_light, timestamp
     )
     idx2, light2, dist2, is_sky, daux = things.deferred_pass(
-        level, cfg, aux["frame"], aux["pool"], aux["cnt"], aux["order"],
+        level, cfg, aux["frame"],
+        things.pools_from_unified(aux["pool"], aux["cnt"]), aux["order"],
         px, py, angle, floor_height, sector_light, mobj_state,
         idx, light, dist, is_sky,
     )

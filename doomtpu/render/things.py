@@ -77,22 +77,55 @@ def is_behind_vertex(lsx, lsy, lex, ley, vx, vy):
     )
 
 
+def pools_from_unified(pool, cnt):
+    """View the unified span pool as the (clip, mid) pool pair the
+    deferred pass consumes.  Non-wall slots are inert in the clip view
+    (their kind/flag bits never match), and mid draw data is read from
+    the same slots the KIND_MID records live in — semantically identical
+    to the paint kernel's dedicated pools (ops/pallas_paint.py)."""
+    spans, (d1, d2, d3, d4, d5, d6) = pool
+    clip = {"span": spans, "d2": d2, "d6": d6, "cnt": cnt}
+    mid = {
+        "span": spans, "d1": d1, "d2": d2, "d3": d3, "d4": d4,
+        "d5": d5, "d6": d6, "cnt": cnt,
+    }
+    return clip, mid
+
+
+def pools_from_paint(out_or_aux):
+    """(clip, mid) pools from the paint kernel's output dict / aux."""
+    c_span, c_d2, c_d6 = out_or_aux["clippool"]
+    m = out_or_aux["midpool"]
+    clip = {
+        "span": c_span, "d2": c_d2, "d6": c_d6, "cnt": out_or_aux["cnt_clip"]
+    }
+    mid = {
+        "span": m[0], "d1": m[1], "d2": m[2], "d3": m[3], "d4": m[4],
+        "d5": m[5], "d6": m[6], "cnt": out_or_aux["cnt_mid"],
+    }
+    return clip, mid
+
+
 def deferred_pass(
     level: DeviceLevel,
     cfg: RenderConfig,
     frame: dict,
-    pool, cnt, order,
+    pools, order,
     px, py, angle, floor_height,        # [B]
     sector_light,                        # [B, SEC]
     mobj_state,                          # [B, MO]
     idx, light, dist, is_sky,            # wall/plane resolve outputs
+    rgb=None,                            # paint path: pre-shaded packed rgb
 ):
     """Composite sprites + masked mids over the resolved frame.
 
-    Returns (idx, light, dist, is_sky, daux) with daux counting dropped
-    items (beyond max_visible_mobjs) and item-pool column overflow.
+    `pools` is the (clip, mid) pair from pools_from_unified /
+    pools_from_paint.  Returns (idx, light, dist, is_sky, daux) with
+    daux counting dropped items (beyond max_visible_mobjs) and item-pool
+    column overflow.
     """
-    spans, (d1, d2, d3, d4, d5, d6) = pool
+    clip, midp = pools
+    spans, d2, d6, cnt = clip["span"], clip["d2"], clip["d6"], clip["cnt"]
     B, W, K = spans.shape
     H = cfg.height
     G = level.num_segs
@@ -106,6 +139,8 @@ def deferred_pass(
         "item_overflow": jnp.zeros((B,), I32),
     }
     if I == 0:
+        if rgb is not None:
+            zero_aux = dict(zero_aux, rgb=rgb)
         return idx, light, dist, is_sky, zero_aux
 
     N = I if cfg.max_visible_mobjs <= 0 else min(cfg.max_visible_mobjs, I)
@@ -335,23 +370,26 @@ def deferred_pass(
         spr_cols = None
 
     # ---------------- selected masked mids -----------------------------------
-    # A mid item's draw data IS its KIND_MID span-pool slot; copying it
+    # A mid item's draw data IS its KIND_MID mid-pool slot; copying it
     # per selected item would cost K x [B, N, W].  Instead: precompute
     # presence per (mid, column) once (cheap, [B, D, W] bool), emit mids
     # into the item pool with just their seg id + a marker, and fill the
-    # slots' planes from the span pool afterwards (KI x K on [B, W]).
-    kind_k_all = (spans >> 29) & 3
-    k_ok_all = jnp.arange(K, dtype=I32)[None, None] < cnt[..., None]
-    mid_slot = (kind_k_all == KIND_MID) & k_ok_all               # [B, W, K]
+    # slots' planes from the mid pool afterwards (KI x KMID on [B, W]).
+    m_span, m_d6 = midp["span"], midp["d6"]
+    KMID = m_span.shape[2]
+    m_ok = (
+        jnp.arange(KMID, dtype=I32)[None, None] < midp["cnt"][..., None]
+    )
+    mid_slot = (((m_span >> 29) & 3) == KIND_MID) & m_ok         # [B,W,KMID]
     if D > 0:
         segsel = dsegs_j[jnp.clip(sel - MO, 0, D - 1)]           # [B, N]
         want_mid = ~is_spr_sel if MO > 0 else jnp.ones((B, N), bool)
         presence_d = jnp.zeros((B, D, W), bool)
-        for k in range(K):
+        for k in range(KMID):
             hit = mid_slot[:, :, k]                              # [B, W]
             presence_d = presence_d | (
                 hit[:, None, :]
-                & (d6[:, :, k][:, None, :] == dsegs_j[None, :, None])
+                & (m_d6[:, :, k][:, None, :] == dsegs_j[None, :, None])
             )
         present_m = jnp.take_along_axis(
             presence_d, jnp.clip(sel - MO, 0, D - 1)[..., None], axis=1
@@ -430,23 +468,25 @@ def deferred_pass(
         0, N, emit_body,
         (ipool0, jnp.zeros((B, W), I32), jnp.zeros((B,), I32)),
     )
-    # ---------------- fill mid slots from the span pool ----------------------
-    # (KI x K matching on [B, W] — the span slot with the same seg id)
+    # ---------------- fill mid slots from the mid pool -----------------------
+    # (KI x KMID matching on [B, W] — the mid slot with the same seg id)
     iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = ipool
     if D > 0:
+        m_d1, m_d2, m_d3 = midp["d1"], midp["d2"], midp["d3"]
+        m_d4, m_d5 = midp["d4"], midp["d5"]
         new_planes = [iword, icolbase, ibyty, ioffth, ilightzd, iuy1]
         for ki in range(KI):
             is_mid_i = (iword[:, :, ki] & MID_MARK) != 0         # [B, W]
             seg_i = icolbase[:, :, ki]
             vals = [jnp.zeros((B, W), I32) for _ in range(6)]
-            for k in range(K):
-                m = is_mid_i & mid_slot[:, :, k] & (d6[:, :, k] == seg_i)
-                slot = spans[:, :, k]
+            for k in range(KMID):
+                m = is_mid_i & mid_slot[:, :, k] & (m_d6[:, :, k] == seg_i)
+                slot = m_span[:, :, k]
                 w_new = pack16(
                     ((slot >> 8) & 255), (slot & 255)
                 )  # already y+1 packed
-                src = (w_new, d1[:, :, k], d2[:, :, k], d3[:, :, k],
-                       d4[:, :, k], d5[:, :, k])
+                src = (w_new, m_d1[:, :, k], m_d2[:, :, k], m_d3[:, :, k],
+                       m_d4[:, :, k], m_d5[:, :, k])
                 vals = [jnp.where(m, sv, v) for v, sv in zip(vals, src)]
             for pi in range(6):
                 new_planes[pi] = jnp.where(
@@ -462,12 +502,18 @@ def deferred_pass(
 
     # ---------------- composite: farthest -> nearest ------------------------
     use_onehot = jax.default_backend() != "cpu"
+    want_rgb = rgb is not None
+    rgb24 = jnp.zeros_like(idx) if want_rgb else None
+    touched = jnp.zeros(idx.shape, bool) if want_rgb else None
     if use_onehot:
         # texture columns for every pool slot in one slice-gather
-        # (per-index cost amortized over ROWS elements — see PERF.md)
-        texcols = level.atlas_cols[
-            jnp.clip(icolbase, 0, level.atlas_cols.shape[0] - 1)
-        ]                                                        # [B,W,KI,R]
+        # (per-index cost amortized over ROWS elements — see PERF.md).
+        # With rgb requested, the 4-plane atlas yields idx AND the three
+        # palette rgb bytes (each <= 255, bf16-exact) from ONE contraction.
+        cols_src = level.atlas_cols4 if want_rgb else level.atlas_cols
+        texcols = cols_src[
+            jnp.clip(icolbase, 0, cols_src.shape[0] - 1)
+        ]                                     # [B,W,KI,R(,4)]
         r_iota = jnp.arange(ROWS, dtype=I32)
 
     for k in reversed(range(KI)):
@@ -490,6 +536,7 @@ def deferred_pass(
         tyv = as_i16(f32(th) + smul(ay, uy1)) + off_y
         tyv = wrap_tex(tyv, jnp.maximum(th, 1))
 
+        k_rgb24 = None
         if use_onehot:
             # per-pixel row select from the slot's texture column via an
             # exact bf16 one-hot contraction (palette values and -1 are
@@ -497,11 +544,24 @@ def deferred_pass(
             ohr = (tyv.transpose(0, 2, 1)[..., None] == r_iota).astype(
                 jnp.bfloat16
             )                                                     # [B,W,H,R]
-            texel_f = lax.dot_general(
-                ohr, texcols[:, :, k, :, None].astype(jnp.bfloat16),
-                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32,
-            )[..., 0].transpose(0, 2, 1)                          # [B,H,W]
+            if want_rgb:
+                out4 = lax.dot_general(
+                    ohr, texcols[:, :, k, :, :].astype(jnp.bfloat16),
+                    dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32,
+                )                                                 # [B,W,H,4]
+                texel_f = out4[..., 0].transpose(0, 2, 1)
+                k_rgb24 = (
+                    (out4[..., 1].astype(I32) << 16)
+                    | (out4[..., 2].astype(I32) << 8)
+                    | out4[..., 3].astype(I32)
+                ).transpose(0, 2, 1)
+            else:
+                texel_f = lax.dot_general(
+                    ohr, texcols[:, :, k, :, None].astype(jnp.bfloat16),
+                    dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32,
+                )[..., 0].transpose(0, 2, 1)                      # [B,H,W]
             opaque = texel_f >= 0
             texel = texel_f.astype(I32)
         else:
@@ -511,12 +571,29 @@ def deferred_pass(
             ]
             texel = packed & 0xFF
             opaque = (packed & 0x100) != 0
+            if want_rgb:
+                k_rgb24 = level.palette_packed[texel]
 
         write = cover & opaque
         idx = jnp.where(write, texel, idx)
         light = jnp.where(write, light_i, light)
         dist = jnp.where(write, zd, dist)
         is_sky = is_sky & ~write
+        if want_rgb:
+            rgb24 = jnp.where(write, k_rgb24, rgb24)
+            touched = touched | write
 
     daux = {"items_dropped": items_dropped, "item_overflow": item_overflow}
+    if want_rgb:
+        # shade the composited item pixels (bitmap_render.rs:190-208)
+        # and merge over the kernel-shaded background
+        factor = f32(light) / f32(255.0) - smul(dist, 1.0 / (16.0 * 256.0))
+        factor = jnp.maximum(factor, 0.0)
+        packed = jnp.zeros_like(idx)
+        for shift in (16, 8, 0):
+            chan = f32((rgb24 >> shift) & 0xFF)
+            byte = jnp.clip(jnp.trunc(chan * factor), 0.0, 255.0).astype(I32)
+            packed = packed | (byte << shift)
+        rgb = jnp.where(touched, packed, rgb)
+        daux = dict(daux, rgb=rgb)
     return idx, light, dist, is_sky, daux

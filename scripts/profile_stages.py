@@ -97,18 +97,51 @@ def main():
     timeit(
         "deferred_pass",
         lambda lv, fr, p, c, o, ms, i, l, d, s: things.deferred_pass(
-            lv, cfg, fr, p, c, o, px, py, ang, fh, sl, ms, i, l, d, s
+            lv, cfg, fr, things.pools_from_unified(p, c), o,
+            px, py, ang, fh, sl, ms, i, l, d, s
         )[:4],
         level, frame, pool, cnt, order,
         state.mobj_state, outs[0], outs[1], outs[2], outs[3],
     )
 
+    # paint-at-emit kernel path (walls+planes+sky+shade in one kernel)
+    if use_pallas and level.paint_ok:
+        from doomtpu.ops.pallas_paint import render_paint
+
+        pout = timeit(
+            "render_paint (kernel)",
+            lambda lv, fr, o, *a: render_paint(lv, cfg, fr, o, *a)["rgb"],
+            level, frame, order, ang, px, py, fh,
+        )
+
+        def _deferred_paint(lv, fr, o, an, x, y, f, s_l, ms):
+            out = render_paint(lv, cfg, fr, o, an, x, y, f)
+            ld = out["ld"]
+            return things.deferred_pass(
+                lv, cfg, fr, things.pools_from_paint(out), o,
+                x, y, an, f, s_l, ms,
+                out["idx"], (ld >> 16) & 0xFF,
+                ((ld & 0xFFFF) << 16) >> 16, (ld & (1 << 25)) != 0,
+                rgb=out["rgb"],
+            )[:4]
+
+        timeit(
+            "paint + deferred",
+            _deferred_paint,
+            level, frame, order, ang, px, py, fh, sl, state.mobj_state,
+        )
+
     # end to end for reference
     from doomtpu.render.frame import render_frame
 
+    cfg_paint = cfg
+    if use_pallas and level.paint_ok:
+        import dataclasses
+
+        cfg_paint = dataclasses.replace(cfg, use_pallas_paint=True)
     timeit(
         "render_frame (end2end)",
-        lambda lv, *a: render_frame(lv, cfg, *a)[:2],
+        lambda lv, *a: render_frame(lv, cfg_paint, *a)[:2],
         level, px, py, ang, fh, sl, state.mobj_state, ts,
     )
 

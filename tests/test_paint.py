@@ -1,0 +1,123 @@
+"""Paint-kernel parity on CPU (interpret mode).
+
+ops/pallas_paint.py is the TPU fast path: walls/planes/sky painted (and
+shaded) inside the occlusion-scan kernel, mid/clip pools for the
+deferred pass.  The tests run in strict-FP mode (conftest default): the
+kernel routes every parity-critical product through jmath.smul, so in
+interpret mode each output is bit-identical to the XLA pipeline
+(wall_scan + resolve + shade) BY CONSTRUCTION — not by hoping XLA:CPU
+makes the same FMA-contraction choice in both lowerings (it does not:
+a plain-f32 run flips `as i16` truncations at span boundaries, e.g. the
+rx = -280.99998697 ceiling texel found during bring-up).  On TPU
+(strict off) the only permitted deviation is FMA contraction (header).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doomtpu.config import RenderConfig
+from doomtpu.render import camera as cam, jmath, resolve as res, things, walls
+from doomtpu.render.device import DeviceLevel
+from doomtpu.wad import synth
+
+VIEWS = [
+    (384.0, 256.0, 0.0),
+    (900.0, 256.0, 2.5),
+    (300.0, 700.0, 4.6),
+    (384.0, 256.0, 3.1),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(demo_level):
+    level = DeviceLevel.build(
+        demo_level.tables, demo_level.assets, demo_level.info
+    )
+    assert level.paint_ok
+    return level
+
+
+def _state(demo_level, views, B=None):
+    t = demo_level.tables
+    B = len(views)
+    px = jnp.asarray([v[0] for v in views], jnp.float32)
+    py = jnp.asarray([v[1] for v in views], jnp.float32)
+    pa = jnp.asarray([v[2] for v in views], jnp.float32)
+    fh = jnp.asarray(
+        [float(t.sector_floor_h[t.sector_at(v[0], v[1])]) for v in views],
+        jnp.float32,
+    )
+    sl = jnp.asarray(t.sector_light, jnp.int32)[None].repeat(B, 0)
+    ts = jnp.full(B, 0.4, jnp.float32)
+    return px, py, pa, fh, sl, ts
+
+
+def test_paint_walls_planes_bit_exact(setup, demo_level, config):
+    from doomtpu.ops.pallas_paint import LD_SKY, render_paint
+
+    level = setup
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    pool, cnt, _ = walls.wall_scan(level, config, frame, order)
+    idx_r, light_r, dist_r, sky_r = res.resolve_frame(
+        level, config, frame, pool, cnt, px, py, pa, fh
+    )
+    rgb_r = res.shade(level, idx_r, light_r, dist_r, sky_r, onehot=False)
+
+    out = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True
+    )
+    ld = np.asarray(out["ld"])
+    idx_r = np.asarray(idx_r)
+    wr = idx_r >= 0
+    np.testing.assert_array_equal(np.asarray(out["idx"]), idx_r)
+    np.testing.assert_array_equal(
+        ((ld >> 16) & 0xFF)[wr], np.asarray(light_r)[wr]
+    )
+    np.testing.assert_array_equal(
+        (ld & 0xFFFF)[wr], (np.asarray(dist_r) & 0xFFFF)[wr]
+    )
+    np.testing.assert_array_equal((ld & LD_SKY) != 0, np.asarray(sky_r))
+    np.testing.assert_array_equal(np.asarray(out["rgb"]), np.asarray(rgb_r))
+    assert int(np.asarray(out["overflow"]).max()) == 0
+
+
+def test_paint_full_frame_bit_exact(setup, demo_level, config):
+    """Full pipeline: paint kernel + split-pool deferred pass (sprites +
+    masked mids, shaded rgb merge) == XLA render_frame."""
+    from doomtpu.render.frame import render_frame
+    from doomtpu.ops.pallas_paint import LD_SKY, render_paint
+
+    level = setup
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    mp, ma, ms = demo_level.spawn_mobjs()
+    B = len(VIEWS)
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
+
+    idx_r, rgb_r, aux_r = render_frame(
+        level, config, px, py, pa, fh, sl, mstate, ts
+    )
+
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    out = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True
+    )
+    ld = out["ld"]
+    light = (ld >> 16) & 0xFF
+    dist = ((ld & 0xFFFF) << 16) >> 16
+    is_sky = (ld & LD_SKY) != 0
+    pools = things.pools_from_paint(out)
+    idx_p, _, _, _, daux = things.deferred_pass(
+        level, config, frame, pools, order,
+        px, py, pa, fh, sl, mstate,
+        out["idx"], light, dist, is_sky, rgb=out["rgb"],
+    )
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
+    np.testing.assert_array_equal(
+        np.asarray(daux["rgb"]), np.asarray(rgb_r)
+    )

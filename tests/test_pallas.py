@@ -2,9 +2,11 @@
 
 The kernel (doomtpu/ops/pallas_scan.py) is the TPU fast path for the
 occlusion scan; it must reproduce walls.wall_scan's span pool exactly.
-On TPU the only permitted deviation is FMA contraction (documented in
-the kernel header); in interpret mode both paths run the same XLA CPU
-arithmetic, so with strict-FP off the pools must be bit-identical.
+The test runs in strict-FP mode (conftest default): the kernel uses
+jmath.smul for every parity-critical product, so interpret-mode
+bit-equality holds by construction rather than by both lowerings
+happening to make the same FMA-contraction choice.  On TPU (strict
+off) the only permitted deviation is FMA contraction (kernel header).
 """
 
 import jax
@@ -54,26 +56,20 @@ def _device_level(level_obj):
 
 @pytest.mark.parametrize("n_views", [8])
 def test_pallas_scan_matches_lax_scan(demo_level, n_views):
-    # plain f32 in both paths (the kernel has no strict-FP mode; on CPU
-    # interpret mode both lower to the same scalar ops)
-    jmath.set_strict_fp(False)
-    try:
-        cfg = RenderConfig(span_capacity=16)
-        t = demo_level.tables
-        rng = np.random.default_rng(3)
-        left, right, top, bottom = [float(v) for v in t.bbox]
-        views = []
-        while len(views) < n_views:
-            x = rng.uniform(left, right)
-            y = rng.uniform(top, bottom)
-            s = t.sector_at(x, y)
-            if s >= 0 and t.sector_floor_h[s] < t.sector_ceil_h[s]:
-                views.append((x, y, rng.uniform(0, 2 * np.pi)))
-        (rp, rc, ro), (pp, pc, po) = _pool_pair(demo_level, cfg, views)
-        np.testing.assert_array_equal(np.asarray(rc), np.asarray(pc))
-        np.testing.assert_array_equal(np.asarray(ro), np.asarray(po))
-        np.testing.assert_array_equal(np.asarray(rp[0]), np.asarray(pp[0]))
-        for d_ref, d_pal in zip(rp[1], pp[1]):
-            np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_pal))
-    finally:
-        jmath.set_strict_fp(True)
+    cfg = RenderConfig(span_capacity=16)
+    t = demo_level.tables
+    rng = np.random.default_rng(3)
+    left, right, top, bottom = [float(v) for v in t.bbox]
+    views = []
+    while len(views) < n_views:
+        x = rng.uniform(left, right)
+        y = rng.uniform(top, bottom)
+        s = t.sector_at(x, y)
+        if s >= 0 and t.sector_floor_h[s] < t.sector_ceil_h[s]:
+            views.append((x, y, rng.uniform(0, 2 * np.pi)))
+    (rp, rc, ro), (pp, pc, po) = _pool_pair(demo_level, cfg, views)
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(pc))
+    np.testing.assert_array_equal(np.asarray(ro), np.asarray(po))
+    np.testing.assert_array_equal(np.asarray(rp[0]), np.asarray(pp[0]))
+    for d_ref, d_pal in zip(rp[1], pp[1]):
+        np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_pal))
