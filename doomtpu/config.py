@@ -65,6 +65,11 @@ class RenderConfig:
     # Per-column capacity of the masked-mid pool the paint kernel emits
     # (overlapping drawable two-sided mids per screen column).
     mid_capacity: int = 8
+    # Per-column capacity of the paint kernel's sprite-CLIP pool (wall +
+    # mid spans only — plane spans never clip sprites, so this can be
+    # much smaller than span_capacity; the deferred pass's per-slot
+    # clip reductions scale with it).  Overflow is counted at runtime.
+    clip_capacity: int = 16
 
     @property
     def camera_focus_x(self) -> float:

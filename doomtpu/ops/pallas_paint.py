@@ -79,7 +79,6 @@ from doomtpu.render.walls import (
     pack16, pack_span,
 )
 
-TILE_B = 4
 SEG_UNROLL = 4
 LANES = 128
 
@@ -149,14 +148,14 @@ def _gather_2d(tvs, q, c):
 
 def _kernel(
     # SMEM scalar blocks
-    texid_ref,      # [1, U, 4, TILE_B] piece texture ids (clamped >= 0)
-    flatid_ref,     # [1, U, 2, TILE_B] floor/ceil flat ids | FLAT_SKY_BIT
-    pheight_ref,    # [1, U, 2, TILE_B] floor/ceil plane heights (i32)
-    pi_ref,         # [1, U, PI_ROWS, TILE_B] i32 per-piece scalars
-    pf_ref,         # [1, U, 4, TILE_B] f32 uy1 per piece
-    camf_ref,       # [1, 4, TILE_B] f32: cos, sin, floor_height, 0
-    cami_ref,       # [1, 4, TILE_B] i32: pxi, pyi, sky tx_off, 0
-    # VMEM vector blocks [1, U, 1|4, TILE_B]
+    texid_ref,      # [1, U, 4, TB] piece texture ids (clamped >= 0)
+    flatid_ref,     # [1, U, 2, TB] floor/ceil flat ids | FLAT_SKY_BIT
+    pheight_ref,    # [1, U, 2, TB] floor/ceil plane heights (i32)
+    pi_ref,         # [1, U, PI_ROWS, TB] i32 per-piece scalars
+    pf_ref,         # [1, U, 4, TB] f32 uy1 per piece
+    camf_ref,       # [1, 4, TB] f32: cos, sin, floor_height, 0
+    cami_ref,       # [1, 4, TB] i32: pxi, pyi, sky tx_off, 0
+    # VMEM vector blocks [1, U, 1|4, TB]
     g_ref, x0_ref, x1_ref, flags_ref, lsx_ref, lex_ref, length_ref,
     soff_ref, offx_ref, light_ref, texv_ref,
     ybs_ref, ybd_ref, yts_ref, ytd_ref, offy_ref, thw_ref, uy1_ref,
@@ -168,7 +167,7 @@ def _kernel(
     c_span, c_d2, c_d6, cntm_ref, cntc_ref, ovf_ref,
     # scratch
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s,
-    *, W, H, TEX_POW2, U, KM, KC, TW_ATLAS,
+    *, W, H, TEX_POW2, U, KM, KC, TW_ATLAS, TB,
 ):
     wb = pl.program_id(1)
     gi = pl.program_id(2)
@@ -176,27 +175,27 @@ def _kernel(
 
     @pl.when(gi == 0)
     def _init():
-        hor_s[...] = jnp.zeros((TILE_B, LANES), I32)
-        fo_s[...] = jnp.full((TILE_B, LANES), H, I32)
-        co_s[...] = jnp.full((TILE_B, LANES), -1, I32)
-        widx_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
-        wld_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
-        pidx_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
-        pld_s[...] = jnp.zeros((TILE_B, H, LANES), I32)
-        cntm_ref[...] = jnp.zeros((1, TILE_B, LANES), I32)
-        cntc_ref[...] = jnp.zeros((1, TILE_B, LANES), I32)
-        ovf_ref[...] = jnp.zeros((1, 1, TILE_B, 128), I32)
-        m_span[...] = jnp.zeros((TILE_B, KM, LANES), I32)
+        hor_s[...] = jnp.zeros((TB, LANES), I32)
+        fo_s[...] = jnp.full((TB, LANES), H, I32)
+        co_s[...] = jnp.full((TB, LANES), -1, I32)
+        widx_s[...] = jnp.zeros((TB, H, LANES), I32)
+        wld_s[...] = jnp.zeros((TB, H, LANES), I32)
+        pidx_s[...] = jnp.zeros((TB, H, LANES), I32)
+        pld_s[...] = jnp.zeros((TB, H, LANES), I32)
+        cntm_ref[...] = jnp.zeros((1, TB, LANES), I32)
+        cntc_ref[...] = jnp.zeros((1, TB, LANES), I32)
+        ovf_ref[...] = jnp.zeros((1, 1, TB, 128), I32)
+        m_span[...] = jnp.zeros((TB, KM, LANES), I32)
         for r in (m_d1, m_d2, m_d3, m_d4, m_d5, m_d6):
-            r[...] = jnp.zeros((TILE_B, KM, LANES), I32)
-        c_span[...] = jnp.zeros((TILE_B, KC, LANES), I32)
-        c_d2[...] = jnp.zeros((TILE_B, KC, LANES), I32)
-        c_d6[...] = jnp.zeros((TILE_B, KC, LANES), I32)
+            r[...] = jnp.zeros((TB, KM, LANES), I32)
+        c_span[...] = jnp.zeros((TB, KC, LANES), I32)
+        c_d2[...] = jnp.zeros((TB, KC, LANES), I32)
+        c_d6[...] = jnp.zeros((TB, KC, LANES), I32)
 
     # absolute screen column of each lane in this block
-    xx = lax.broadcasted_iota(I32, (TILE_B, LANES), 1) + wb * LANES
-    km_iota = lax.broadcasted_iota(I32, (TILE_B, KM, LANES), 1)
-    kc_iota = lax.broadcasted_iota(I32, (TILE_B, KC, LANES), 1)
+    xx = lax.broadcasted_iota(I32, (TB, LANES), 1) + wb * LANES
+    km_iota = lax.broadcasted_iota(I32, (TB, KM, LANES), 1)
+    kc_iota = lax.broadcasted_iota(I32, (TB, KC, LANES), 1)
 
     def emit_mid(mask, rec, data):
         @pl.when(mask.any())
@@ -234,7 +233,7 @@ def _kernel(
         bottom..top edges + offset, wrapped (bitmap_render.rs:253-263)."""
         @pl.when(mask.any())
         def _():
-            for b in range(TILE_B):
+            for b in range(TB):
                 @pl.when(mask[b:b + 1, :].any())
                 def _b(b=b):
                     texid = texid_ref[0, u_, p, b]
@@ -302,7 +301,7 @@ def _kernel(
 
         @pl.when(m.any())
         def _():
-            for b in range(TILE_B):
+            for b in range(TB):
                 @pl.when(m[b:b + 1, :].any())
                 def _b(b=b):
                     fl = flatid_ref[0, u_, which, b]
@@ -422,7 +421,7 @@ def _kernel(
             c_sky = (flags & 2048) != 0
             has_mid = (flags & FLAG_HAS_MID) != 0
             light = light_ref[0, u_, 0, :][:, None]
-            g_bc = jnp.broadcast_to(gval[:, None], (TILE_B, LANES))
+            g_bc = jnp.broadcast_to(gval[:, None], (TB, LANES))
 
             one = f32(1.0)
             ax = f32(xx - x0) / f32(x1_ref[0, u_, 0, :][:, None] - x0)
@@ -515,7 +514,7 @@ def _kernel(
                         lax.bitcast_convert_type(
                             uy1_ref[0, u_, p, :], I32
                         )[:, None],
-                        (TILE_B, LANES),
+                        (TB, LANES),
                     )
                     emit_mid(
                         in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
@@ -545,7 +544,7 @@ def _kernel(
         zero8 = jnp.zeros((8, LANES), I32)
         pal0 = _gather_sub(pal_ref[...], zero8)
         pal1 = _gather_sub(pal_ref[...], zero8 + 1)
-        for b in range(TILE_B):
+        for b in range(TB):
             for yb in range(H // 8):
                 ys = slice(yb * 8, yb * 8 + 8)
                 pw = pld_s[b, ys, :]
@@ -598,13 +597,15 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         "strict-FP mode is CPU/interpret-only for the paint kernel"
     )
     B, G = order.shape
-    W, H, KC = cfg.width, cfg.height, cfg.span_capacity
+    W, H, KC = cfg.width, cfg.height, cfg.clip_capacity
     KM = cfg.mid_capacity
     NBW = (W + LANES - 1) // LANES
     Wp = NBW * LANES
     assert H % 8 == 0, f"height {H} must be a multiple of 8"
     TW_ATLAS = level.tex_pixels.shape[2]
-    assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
+    assert B % 4 == 0, f"batch {B} must be a multiple of 4"
+    # full-vreg camera tiles when the batch allows it (tests use B=4)
+    TB = 8 if B % 8 == 0 else 4
     U = min(SEG_UNROLL, G)
     Gp = ((G + U - 1) // U) * U
 
@@ -678,14 +679,14 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     def tile4(x):
         x = padg(x)
         if x.ndim == 2:
-            return x.reshape(B // TILE_B, TILE_B, Gp).transpose(0, 2, 1)[
+            return x.reshape(B // TB, TB, Gp).transpose(0, 2, 1)[
                 :, :, None, :
             ]
         n = x.shape[2]
-        return x.reshape(B // TILE_B, TILE_B, Gp, n).transpose(0, 2, 3, 1)
+        return x.reshape(B // TB, TB, Gp, n).transpose(0, 2, 3, 1)
 
     def tile_cam(x):
-        return x.reshape(B // TILE_B, TILE_B, x.shape[1]).transpose(0, 2, 1)
+        return x.reshape(B // TB, TB, x.shape[1]).transpose(0, 2, 1)
 
     smem_inputs = [
         tile4(tex_safe),                         # texid (already ordered)
@@ -712,13 +713,13 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     def seg_spec(x, space):
         last = x.shape[2]
         return pl.BlockSpec(
-            (1, U, last, TILE_B), lambda i, w, g: (i, g, 0, 0),
+            (1, U, last, TB), lambda i, w, g: (i, g, 0, 0),
             memory_space=space,
         )
 
     def cam_spec(space):
         return pl.BlockSpec(
-            (1, 4, TILE_B), lambda i, w, g: (i, 0, 0), memory_space=space
+            (1, 4, TB), lambda i, w, g: (i, 0, 0), memory_space=space
         )
 
     def table_spec(x):
@@ -735,25 +736,25 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     )
 
     fb_spec = pl.BlockSpec(
-        (TILE_B, H, LANES), lambda i, w, g: (i, 0, w), memory_space=pltpu.VMEM
+        (TB, H, LANES), lambda i, w, g: (i, 0, w), memory_space=pltpu.VMEM
     )
     mpool_spec = pl.BlockSpec(
-        (TILE_B, KM, LANES), lambda i, w, g: (i, 0, w),
+        (TB, KM, LANES), lambda i, w, g: (i, 0, w),
         memory_space=pltpu.VMEM,
     )
     cpool_spec = pl.BlockSpec(
-        (TILE_B, KC, LANES), lambda i, w, g: (i, 0, w),
+        (TB, KC, LANES), lambda i, w, g: (i, 0, w),
         memory_space=pltpu.VMEM,
     )
-    # 2D [B, Wp] outputs would give (TILE_B, Wp) blocks, which Mosaic
-    # rejects for TILE_B < 8; shape them [B//T, T, Wp] so the block
+    # 2D [B, Wp] outputs would give (TB, Wp) blocks, which Mosaic
+    # rejects for TB < 8; shape them [B//T, T, Wp] so the block
     # equals the trailing array dims exactly
     cnt_spec = pl.BlockSpec(
-        (1, TILE_B, LANES), lambda i, w, g: (i, 0, w),
+        (1, TB, LANES), lambda i, w, g: (i, 0, w),
         memory_space=pltpu.VMEM,
     )
     ovf_spec = pl.BlockSpec(
-        (1, 1, TILE_B, 128), lambda i, w, g: (i, w, 0, 0),
+        (1, 1, TB, 128), lambda i, w, g: (i, w, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -761,9 +762,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32) for _ in range(3)]
         + [jax.ShapeDtypeStruct((B, KM, Wp), jnp.int32) for _ in range(7)]
         + [jax.ShapeDtypeStruct((B, KC, Wp), jnp.int32) for _ in range(3)]
-        + [jax.ShapeDtypeStruct((B // TILE_B, TILE_B, Wp), jnp.int32)
+        + [jax.ShapeDtypeStruct((B // TB, TB, Wp), jnp.int32)
            for _ in range(2)]
-        + [jax.ShapeDtypeStruct((B // TILE_B, NBW, TILE_B, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((B // TB, NBW, TB, 128), jnp.int32)]
     )
     out_specs = (
         [fb_spec] * 3 + [mpool_spec] * 7 + [cpool_spec] * 3
@@ -772,18 +773,18 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     kernel = functools.partial(
         _kernel, W=W, H=H, TEX_POW2=level.tex_sizes_pow2, U=U,
-        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS,
+        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(B // TILE_B, NBW, Gp // U),
+        grid=(B // TB, NBW, Gp // U),
         in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((TILE_B, H, LANES), jnp.int32) for _ in range(4)
+            pltpu.VMEM((TB, H, LANES), jnp.int32) for _ in range(4)
         ] + [
-            pltpu.VMEM((TILE_B, LANES), jnp.int32) for _ in range(3)
+            pltpu.VMEM((TB, LANES), jnp.int32) for _ in range(3)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),

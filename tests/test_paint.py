@@ -54,11 +54,14 @@ def _state(demo_level, views, B=None):
     return px, py, pa, fh, sl, ts
 
 
-def test_paint_walls_planes_bit_exact(setup, demo_level, config):
+@pytest.mark.parametrize("nviews", [4, 8])
+def test_paint_walls_planes_bit_exact(setup, demo_level, config, nviews):
+    """nviews=4 exercises the TB=4 camera tile, nviews=8 the TB=8 one."""
     from doomtpu.ops.pallas_paint import LD_SKY, render_paint
 
     level = setup
-    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    views = (VIEWS * 2)[:nviews]
+    px, py, pa, fh, sl, ts = _state(demo_level, views)
     frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
     order = cam.seg_order(level, cam.traversal_rank(level, px, py))
 
