@@ -1,0 +1,256 @@
+"""Pallas TPU kernel for the deferred ITEM composite (sprites + mids).
+
+The XLA composite folds KI item-pool slots into the frame with one
+one-hot MXU row-select per slot (~14 ms/slot at B=256: the [B,W,H,R]
+one-hot operand is materialized in HBM and the [H,R]x[R,4] matmuls pad
+their tiny N dim to the full MXU tile).  This kernel does the same fold
+as pure VPU work in VMEM:
+
+- XLA pre-gathers each slot's texture column as 32 packed words (4
+  texel rows per i32, `DeviceLevel.atlas_colsq`) plus 4 opacity-bit
+  words (`atlas_maskq`) — a cheap [B, W, KI]-indexed slice-gather
+- in-kernel, per 8-row pixel block and slot: the texel row select is a
+  per-element SUBLANE dynamic gather over the 4 word vregs (each lane
+  holds its own screen column's texture words — no sublane-invariance
+  caveat here, unlike the paint kernel's shared-texture gathers)
+- opacity is a bit test in the mask words; the farthest -> nearest
+  overwrite fold, the light-diminish shade of written pixels and the
+  ld-word update all happen in the same pass
+
+Semantics mirror render/things.py's XLA composite loop exactly
+(renderer/map_objects.rs:216-240 painter order; bitmap_render.rs:253-263
+v interpolation; :190-208 diminish); parity-critical products go
+through jmath.smul so the strict interpret-mode test is bit-exact by
+construction (see ops/pallas_paint.py header).
+
+Eligibility: `DeviceLevel.items_ok` (atlas rows <= 128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from doomtpu.render.jmath import F32, I32, as_i16, f32, smul, wrap_tex
+
+LANES = 128
+
+LD_WRITTEN = 1 << 24
+LD_SKY = 1 << 25
+
+
+def _gather_sub(tab, idx):
+    return jnp.take_along_axis(tab, idx, axis=0)
+
+
+def _gather_lane(tab, idx):
+    return jnp.take_along_axis(tab, idx, axis=1)
+
+
+def _kernel(
+    # VMEM inputs
+    iw_ref, icb_ref, ibt_ref, iot_ref, ilz_ref, iy1_ref,  # [TB, KIp, LANES]
+    cnt_ref,                    # [1, TB, LANES]
+    texq_ref,                   # [TB, KIp*32, LANES]
+    maskq_ref,                  # [TB, KIp*8, LANES]
+    idx_in, ld_in, rgb_in,      # [TB, H, LANES]
+    pal_ref,                    # [8, 128]
+    # outputs
+    idx_out, ld_out, rgb_out,
+    *, H, KI, TB,
+):
+    zero8 = jnp.zeros((8, LANES), I32)
+    pal0 = _gather_sub(pal_ref[...], zero8)
+    pal1 = _gather_sub(pal_ref[...], zero8 + 1)
+
+    for b in range(TB):
+        cnt_r = cnt_ref[0, b:b + 1, :]                       # (1, 128)
+        # per-slot rows (load once per b; (1,128) rows broadcast fine)
+        rows = []
+        for k in range(KI):
+            word = iw_ref[b, k:k + 1, :]
+            ct = (word >> 16) - 1
+            cb = ((word << 16) >> 16) - 1
+            bt = ibt_ref[b, k:k + 1, :]
+            by = bt >> 16
+            ty = (bt << 16) >> 16
+            ot = iot_ref[b, k:k + 1, :]
+            off_y = ot >> 16
+            th = (ot << 16) >> 16
+            lz = ilz_ref[b, k:k + 1, :]
+            light = lz >> 16
+            zd = (lz << 16) >> 16
+            uy1 = lax.bitcast_convert_type(iy1_ref[b, k:k + 1, :], F32)
+            ok = (k < cnt_r)
+            tv = [
+                texq_ref[b, k * 32 + j * 8:k * 32 + (j + 1) * 8, :]
+                for j in range(4)
+            ]
+            mv = [
+                jnp.broadcast_to(
+                    maskq_ref[b, k * 8 + j:k * 8 + j + 1, :], (8, LANES)
+                )
+                for j in range(4)
+            ]
+            rows.append((ct, cb, by, ty, off_y, th, light, zd, uy1, ok,
+                         tv, mv))
+
+        def yb_body(yb, carry, rows=rows, b=b):
+            ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+            yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
+            texel_v = jnp.zeros((8, LANES), I32)
+            light_v = jnp.zeros((8, LANES), I32)
+            zd_v = jnp.zeros((8, LANES), I32)
+            touched = jnp.zeros((8, LANES), bool)
+            # farthest (slot KI-1) -> nearest (slot 0): later (nearer)
+            # writes overwrite, exactly like the XLA reversed-range fold
+            for k in reversed(range(KI)):
+                (ct, cb, by, ty, off_y, th, light, zd, uy1, ok,
+                 tv, mv) = rows[k]
+                cover = ok & (yy8 >= ct) & (yy8 <= cb)
+                ay = f32(yy8 - ty) / f32(by - ty)
+                tyv = as_i16(f32(th) + smul(ay, uy1)) + off_y
+                tyv = wrap_tex(tyv, jnp.maximum(th, 1))
+                word = _gather_sub(tv[0], (tyv >> 2) & 7)
+                qh = tyv >> 5
+                for j in range(1, 4):
+                    word = jnp.where(
+                        qh == j, _gather_sub(tv[j], (tyv >> 2) & 7), word
+                    )
+                texel = (word >> ((tyv & 3) * 8)) & 0xFF
+                mword = mv[0]
+                for j in range(1, 4):
+                    mword = jnp.where(qh == j, mv[j], mword)
+                opaque = ((mword >> (tyv & 31)) & 1) != 0
+                write = cover & opaque
+                texel_v = jnp.where(write, texel, texel_v)
+                light_v = jnp.where(write, light, light_v)
+                zd_v = jnp.where(write, zd, zd_v)
+                touched = touched | write
+
+            # shade written item pixels (bitmap_render.rs:190-208) and
+            # merge over the background
+            rgbw = jnp.where(
+                texel_v >= LANES,
+                _gather_lane(pal1, texel_v & (LANES - 1)),
+                _gather_lane(pal0, texel_v & (LANES - 1)),
+            )
+            factor = f32(light_v) / f32(255.0) - smul(
+                f32(zd_v), 1.0 / (16.0 * 256.0)
+            )
+            factor = jnp.maximum(factor, 0.0)
+            packed = jnp.zeros((8, LANES), I32)
+            for shift in (16, 8, 0):
+                chan = f32((rgbw >> shift) & 0xFF)
+                byte = jnp.clip(
+                    jnp.trunc(chan * factor), 0.0, 255.0
+                ).astype(I32)
+                packed = packed | (byte << shift)
+            ld_new = (
+                (light_v << 16) | (zd_v & 0xFFFF) | LD_WRITTEN
+            )
+            idx_out[b, ys, :] = jnp.where(touched, texel_v, idx_in[b, ys, :])
+            ld_out[b, ys, :] = jnp.where(touched, ld_new, ld_in[b, ys, :])
+            rgb_out[b, ys, :] = jnp.where(touched, packed, rgb_in[b, ys, :])
+            return carry
+
+        lax.fori_loop(0, H // 8, yb_body, 0)
+
+
+def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
+                    interpret: bool = False):
+    """Fold the per-column item pool into (idx, ld, rgb) on device.
+
+    ipool: 6 planes [B, W, KI] i32 (word, colbase, byty, offth, lightzd,
+    uy1-bits) as built by things.deferred_pass; icnt [B, W]; idx/ld/rgb
+    [B, H, W] from the paint kernel.  Returns updated (idx, ld, rgb).
+    """
+    from doomtpu.render import jmath
+
+    assert level.items_ok, "atlas rows > 128: item kernel ineligible"
+    assert interpret or not jmath.strict_fp_enabled(), (
+        "strict-FP mode is CPU/interpret-only for the item kernel"
+    )
+    iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = ipool
+    B, W, KI = iword.shape
+    H = cfg.height
+    assert B % 4 == 0 and H % 8 == 0
+    TB = 8 if B % 8 == 0 else 4
+    NBW = (W + LANES - 1) // LANES
+    Wp = NBW * LANES
+    KIp = ((KI + 7) // 8) * 8
+
+    # XLA pre-gather: packed texture words + opacity bits per slot
+    C = level.atlas_colsq.shape[0]
+    safe = jnp.clip(icolbase, 0, C - 1)
+    texqi = level.atlas_colsq[safe]                      # [B, W, KI, 32]
+    maskqi = level.atlas_maskq[safe]                     # [B, W, KI, 8]
+
+    def to_kw(x, n):
+        """[B, W, KI, n] -> [B, KIp*n, Wp] (slot-major rows)."""
+        x = jnp.swapaxes(x, 1, 3)                        # [B, n, KI, W]
+        x = jnp.swapaxes(x, 1, 2)                        # [B, KI, n, W]
+        if KIp != KI:
+            x = jnp.pad(x, ((0, 0), (0, KIp - KI), (0, 0), (0, 0)))
+        x = x.reshape(B, KIp * n, W)
+        if Wp != W:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W)))
+        return x
+
+    def plane_kw(x):
+        """[B, W, KI] -> [B, KIp, Wp]."""
+        return to_kw(x[..., None], 1)
+
+    def fb_pad(x):
+        if Wp == W:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W)))
+
+    inputs = [
+        plane_kw(iword), plane_kw(icolbase), plane_kw(ibyty),
+        plane_kw(ioffth), plane_kw(ilightzd), plane_kw(iuy1),
+        jnp.pad(icnt, ((0, 0), (0, Wp - W))).reshape(B // TB, TB, Wp),
+        to_kw(texqi, 32), to_kw(maskqi, 8),
+        fb_pad(idx), fb_pad(ld), fb_pad(rgb),
+        level.palette_words,
+    ]
+
+    def pool_spec(n):
+        return pl.BlockSpec(
+            (TB, KIp * n, LANES), lambda i, w: (i, 0, w),
+            memory_space=pltpu.VMEM,
+        )
+
+    fb_spec = pl.BlockSpec(
+        (TB, H, LANES), lambda i, w: (i, 0, w), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [pool_spec(1)] * 6
+        + [pl.BlockSpec((1, TB, LANES), lambda i, w: (i, 0, w),
+                        memory_space=pltpu.VMEM)]
+        + [pool_spec(32), pool_spec(8)]
+        + [fb_spec] * 3
+        + [pl.BlockSpec((8, 128), lambda i, w: (0, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32)] * 3
+    out_specs = [fb_spec] * 3
+
+    kernel = functools.partial(_kernel, H=H, KI=KI, TB=TB)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // TB, NBW),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return tuple(o[:, :, :W] for o in outs)

@@ -128,6 +128,10 @@ class DeviceLevel:
     flat_q: jnp.ndarray      # [F*16, 128] i32
     sky_q: jnp.ndarray       # [32, 256] i32
     palette_words: jnp.ndarray  # [8, 128] i32 (256 packed 0xRRGGBB rows)
+    # packed per-COLUMN tables for the item-composite kernel
+    # (ops/pallas_items.py): same C axis as atlas_cols
+    atlas_colsq: jnp.ndarray   # [C, 32] i32, texel rows 4-per-word
+    atlas_maskq: jnp.ndarray   # [C, 8] i32, opacity bit per row (4 used)
 
     # static (non-pytree) metadata
     sky_is_opaque: bool = True
@@ -139,9 +143,13 @@ class DeviceLevel:
     # static eligibility for the Pallas paint kernel (texture dims <= 128,
     # opaque wall pieces + opaque sky)
     paint_ok: bool = False
+    # static eligibility for the item-composite kernel: every atlas
+    # column fits the 128-row packed tables
+    items_ok: bool = False
 
     _STATIC_FIELDS = (
-        "sky_is_opaque", "tex_sizes_pow2", "wall_tex_all_opaque", "paint_ok"
+        "sky_is_opaque", "tex_sizes_pow2", "wall_tex_all_opaque",
+        "paint_ok", "items_ok",
     )
 
     def tree_flatten(self):
@@ -337,12 +345,36 @@ class DeviceLevel:
             | a.palette[:, 2].astype(np.int64)
         ).astype(np.int32)
 
+        # ---- per-COLUMN packed tables for the item-composite kernel ----
+        # (ops/pallas_items.py): atlas column id -> 32 packed texel words
+        # (rows 4-per-word) + 8 opacity-bit words (row r = bit r%32 of
+        # word r//32; 4 words cover 128 rows, padded to 8 for sublane
+        # alignment).  Same column space as atlas_cols.
+        items_ok = rows <= 128
+        C_ = atlas_cols.shape[0]
+        cq = pack_rows4(
+            np.where(atlas_cols >= 0, atlas_cols, 0)
+            .astype(np.uint8).T[:min(rows, 128)]
+        ).T                                                  # [C, <=32]
+        atlas_colsq = np.zeros((C_, 32), np.int32)
+        atlas_colsq[:, : cq.shape[1]] = cq
+        bits = (atlas_cols >= 0)[:, :min(rows, 128)]         # [C, R]
+        atlas_maskq = np.zeros((C_, 8), np.int64)
+        for r in range(bits.shape[1]):
+            atlas_maskq[:, r // 32] |= bits[:, r].astype(np.int64) << (r % 32)
+        atlas_maskq = (
+            atlas_maskq.astype(np.uint64) & 0xFFFFFFFF
+        ).astype(np.uint32).astype(np.int64).astype(np.int32)
+
         return cls(
             tex_q=_j(tex_q, jnp.int32),
             flat_q=_j(flat_q, jnp.int32),
             sky_q=_j(sky_q, jnp.int32),
             palette_words=_j(pal_words, jnp.int32),
+            atlas_colsq=_j(atlas_colsq, jnp.int32),
+            atlas_maskq=_j(atlas_maskq, jnp.int32),
             paint_ok=paint_ok,
+            items_ok=items_ok,
             seg_v1=_j(t.vertexes[t.seg_v[:, 0]], jnp.float32),
             seg_v2=_j(t.vertexes[t.seg_v[:, 1]], jnp.float32),
             seg_offset=_j(t.seg_offset, jnp.int32),

@@ -137,6 +137,7 @@ def render_frame(
             level, cfg, aux["frame"], pools, aux["order"],
             px, py, angle, floor_height, sector_light, mobj_state,
             idx, light, dist, is_sky, rgb=rgb,
+            item_kernel=level.items_ok,
         )
         rgb2 = daux.pop("rgb")
         aux.update(daux)

@@ -116,6 +116,8 @@ def deferred_pass(
     mobj_state,                          # [B, MO]
     idx, light, dist, is_sky,            # wall/plane resolve outputs
     rgb=None,                            # paint path: pre-shaded packed rgb
+    item_kernel=False,                   # composite via ops/pallas_items.py
+    interpret=False,                     # item kernel in interpret mode
 ):
     """Composite sprites + masked mids over the resolved frame.
 
@@ -499,6 +501,28 @@ def deferred_pass(
             (iword, icolbase, ibyty, ioffth, ilightzd, iuy1)
         )
     )
+
+    # ---------------- composite: item kernel fast path ----------------------
+    if item_kernel and rgb is not None and level.items_ok:
+        from doomtpu.ops.pallas_items import (
+            LD_SKY, LD_WRITTEN, composite_items,
+        )
+
+        ld_in = (
+            (light << 16) | (dist & 0xFFFF)
+            | jnp.where(idx >= 0, LD_WRITTEN, 0)
+            | jnp.where(is_sky, LD_SKY, 0)
+        )
+        idx2, ld2, rgb2 = composite_items(
+            level, cfg, (iword, icolbase, ibyty, ioffth, ilightzd, iuy1),
+            icnt, idx, ld_in, rgb, interpret=interpret,
+        )
+        daux = {"items_dropped": items_dropped,
+                "item_overflow": item_overflow, "rgb": rgb2}
+        return (
+            idx2, (ld2 >> 16) & 0xFF, ((ld2 & 0xFFFF) << 16) >> 16,
+            (ld2 & LD_SKY) != 0, daux,
+        )
 
     # ---------------- composite: farthest -> nearest ------------------------
     use_onehot = jax.default_backend() != "cpu"

@@ -55,7 +55,7 @@ def main():
         (ld & (1 << 25)) != 0, out["rgb"],
     )
 
-    def timeit(name, c, n=4):
+    def timeit(name, c, n=4, item_kernel=False):
         def fn(lv, fr, o, x, y, an, f_h, s_l, ms, i, l, d, s, rgb,
                *pools_flat):
             pools = (
@@ -68,7 +68,7 @@ def main():
             )
             return things.deferred_pass(
                 lv, c, fr, pools, o, x, y, an, f_h, s_l, ms,
-                i, l, d, s, rgb=rgb,
+                i, l, d, s, rgb=rgb, item_kernel=item_kernel,
             )[0]
 
         clip, midp = things.pools_from_paint(out)
@@ -96,6 +96,9 @@ def main():
            dataclasses.replace(cfg, max_visible_mobjs=64, item_capacity=4))
     timeit("N=all KI=4", dataclasses.replace(cfg, item_capacity=4))
     timeit("N=16  KI=8", dataclasses.replace(cfg, max_visible_mobjs=16))
+    timeit("N=all KI=8 item-kernel", cfg, item_kernel=True)
+    timeit("N=64  KI=8 item-kernel",
+           dataclasses.replace(cfg, max_visible_mobjs=64), item_kernel=True)
 
 
 if __name__ == "__main__":

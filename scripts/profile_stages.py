@@ -122,7 +122,7 @@ def main():
                 x, y, an, f, s_l, ms,
                 out["idx"], (ld >> 16) & 0xFF,
                 ((ld & 0xFFFF) << 16) >> 16, (ld & (1 << 25)) != 0,
-                rgb=out["rgb"],
+                rgb=out["rgb"], item_kernel=lv.items_ok,
             )[:4]
 
         timeit(

@@ -124,3 +124,16 @@ def test_paint_full_frame_bit_exact(setup, demo_level, config):
     np.testing.assert_array_equal(
         np.asarray(daux["rgb"]), np.asarray(rgb_r)
     )
+
+    # item-composite kernel (ops/pallas_items.py) vs the XLA fold
+    assert level.items_ok
+    idx_k, _, _, _, daux_k = things.deferred_pass(
+        level, config, frame, pools, order,
+        px, py, pa, fh, sl, mstate,
+        out["idx"], light, dist, is_sky, rgb=out["rgb"],
+        item_kernel=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+    np.testing.assert_array_equal(
+        np.asarray(daux_k["rgb"]), np.asarray(rgb_r)
+    )
