@@ -37,11 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from doomtpu.render.jmath import F32, I32, as_i16, f32, smul, wrap_tex
+from doomtpu.render.walls import KIND_MID, SPAN_DC, SPAN_E2B, SPAN_E2T
 
 LANES = 128
 
 LD_WRITTEN = 1 << 24
 LD_SKY = 1 << 25
+SPR_MARK = 1 << 29   # keep in sync with render/things.py
 
 
 def _gather_sub(tab, idx):
@@ -53,29 +55,82 @@ def _gather_lane(tab, idx):
 
 
 def _kernel(
-    # VMEM inputs
-    iw_ref, icb_ref, ibt_ref, iot_ref, ilz_ref, iy1_ref,  # [TB, KIp, LANES]
-    cnt_ref,                    # [1, TB, LANES]
-    texq_ref,                   # [TB, KIp*32, LANES]
-    maskq_ref,                  # [TB, KIp*8, LANES]
-    idx_in, ld_in, rgb_in,      # [TB, H, LANES]
-    pal_ref,                    # [8, 128]
-    # outputs
-    idx_out, ld_out, rgb_out,
-    *, H, KI, TB,
+    *refs,
+    H, KI, TB, KC,
 ):
+    # unpack: 6 pool planes, cnt, texq, maskq, 3 fb inputs, palette,
+    # then (with KC > 0) vpx/vpy planes + 6 clip-pool planes + clip cnt,
+    # then the 3 outputs
+    (iw_ref, icb_ref, ibt_ref, iot_ref, ilz_ref, iy1_ref,
+     cnt_ref, texq_ref, maskq_ref, idx_in, ld_in, rgb_in,
+     pal_ref) = refs[:13]
+    n_in = 13
+    if KC > 0:
+        (vpx_ref, vpy_ref, cspan_ref, cd2_ref,
+         clsx_ref, clsy_ref, clex_ref, cley_ref, ccnt_ref) = refs[13:22]
+        n_in = 22
+    idx_out, ld_out, rgb_out = refs[n_in:n_in + 3]
     zero8 = jnp.zeros((8, LANES), I32)
     pal0 = _gather_sub(pal_ref[...], zero8)
     pal1 = _gather_sub(pal_ref[...], zero8 + 1)
 
     for b in range(TB):
         cnt_r = cnt_ref[0, b:b + 1, :]                       # (1, 128)
+
+        # ---- in-VMEM sprite seg-clip (things.py clip reductions) ----
+        # sublane s of (8,128) = item slot s; all KI slots clip at once
+        if KC > 0:
+            from doomtpu.render.things import is_behind_vertex
+
+            vpx8 = lax.bitcast_convert_type(vpx_ref[b], F32)
+            vpy8 = lax.bitcast_convert_type(vpy_ref[b], F32)
+            ccnt_r = ccnt_ref[0, b:b + 1, :]
+            tsc8 = jnp.full((8, LANES), -1, I32)
+            bsc8 = jnp.full((8, LANES), H, I32)
+            for kc in range(KC):
+                cw = cspan_ref[b, kc:kc + 1, :]
+                ok_c = kc < ccnt_r
+                is_mid = ((cw >> 29) & 3) == KIND_MID
+                e2b = (cw & SPAN_E2B) != 0
+                e2t = (cw & SPAN_E2T) != 0
+                dc = ((cw & SPAN_DC) != 0) & is_mid
+                y0 = ((cw >> 8) & 255) - 1
+                y1 = (cw & 255) - 1
+                cd2 = cd2_ref[b, kc:kc + 1, :]
+                byf = cd2 >> 16
+                tyf = (cd2 << 16) >> 16
+                lsx = lax.bitcast_convert_type(clsx_ref[b, kc:kc + 1, :], F32)
+                lsy = lax.bitcast_convert_type(clsy_ref[b, kc:kc + 1, :], F32)
+                lex = lax.bitcast_convert_type(clex_ref[b, kc:kc + 1, :], F32)
+                ley = lax.bitcast_convert_type(cley_ref[b, kc:kc + 1, :], F32)
+                front = ok_c & ~is_behind_vertex(
+                    lsx, lsy, lex, ley, vpx8, vpy8
+                )
+                tsc8 = jnp.maximum(
+                    tsc8,
+                    jnp.maximum(
+                        jnp.where(front & e2t, y1, -1),
+                        jnp.where(front & dc, tyf, -1),
+                    ),
+                )
+                bsc8 = jnp.minimum(
+                    bsc8,
+                    jnp.minimum(
+                        jnp.where(front & e2b, y0, H),
+                        jnp.where(front & is_mid, byf, H),
+                    ),
+                )
+
         # per-slot rows (load once per b; (1,128) rows broadcast fine)
         rows = []
         for k in range(KI):
             word = iw_ref[b, k:k + 1, :]
-            ct = (word >> 16) - 1
+            ct = ((word >> 16) & 0x1FF) - 1
             cb = ((word << 16) >> 16) - 1
+            if KC > 0:
+                spr = (word & SPR_MARK) != 0
+                ct = jnp.where(spr, jnp.maximum(ct, tsc8[k:k + 1, :]), ct)
+                cb = jnp.where(spr, jnp.minimum(cb, bsc8[k:k + 1, :]), cb)
             bt = ibt_ref[b, k:k + 1, :]
             by = bt >> 16
             ty = (bt << 16) >> 16
@@ -163,7 +218,7 @@ def _kernel(
 
 
 def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
-                    interpret: bool = False):
+                    clip=None, vp=None, interpret: bool = False):
     """Fold the per-column item pool into (idx, ld, rgb) on device.
 
     ipool: 6 planes [B, W, KI] i32 (word, colbase, byty, offth, lightzd,
@@ -184,6 +239,11 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
     NBW = (W + LANES - 1) // LANES
     Wp = NBW * LANES
     KIp = ((KI + 7) // 8) * 8
+    KC = clip["span"].shape[2] if clip is not None else 0
+    if KC > 0:
+        # the in-kernel clip holds all item slots in one (8,128) vreg
+        assert KI <= 8, "in-kernel clip supports item_capacity <= 8"
+        assert vp is not None
 
     # XLA pre-gather: packed texture words + opacity bits per slot
     C = level.atlas_colsq.shape[0]
@@ -219,6 +279,25 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
         fb_pad(idx), fb_pad(ld), fb_pad(rgb),
         level.palette_words,
     ]
+    KCp = ((KC + 7) // 8) * 8
+
+    def clip_kw(x):
+        """[B, W, KC] -> [B, KCp, Wp]."""
+        x = jnp.swapaxes(x, 1, 2)
+        if KCp != KC:
+            x = jnp.pad(x, ((0, 0), (0, KCp - KC), (0, 0)))
+        if Wp != W:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W)))
+        return x
+
+    if KC > 0:
+        inputs += [plane_kw(vp[0]), plane_kw(vp[1])]
+        inputs += [clip_kw(clip[f]) for f in
+                   ("span", "d2", "lsx", "lsy", "lex", "ley")]
+        inputs += [
+            jnp.pad(clip["cnt"], ((0, 0), (0, Wp - W)))
+            .reshape(B // TB, TB, Wp)
+        ]
 
     def pool_spec(n):
         return pl.BlockSpec(
@@ -229,19 +308,27 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
     fb_spec = pl.BlockSpec(
         (TB, H, LANES), lambda i, w: (i, 0, w), memory_space=pltpu.VMEM
     )
+    cnt_spec = pl.BlockSpec(
+        (1, TB, LANES), lambda i, w: (i, 0, w), memory_space=pltpu.VMEM
+    )
     in_specs = (
         [pool_spec(1)] * 6
-        + [pl.BlockSpec((1, TB, LANES), lambda i, w: (i, 0, w),
-                        memory_space=pltpu.VMEM)]
+        + [cnt_spec]
         + [pool_spec(32), pool_spec(8)]
         + [fb_spec] * 3
         + [pl.BlockSpec((8, 128), lambda i, w: (0, 0),
                         memory_space=pltpu.VMEM)]
     )
+    if KC > 0:
+        clip_spec = pl.BlockSpec(
+            (TB, KCp, LANES), lambda i, w: (i, 0, w),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [pool_spec(1)] * 2 + [clip_spec] * 6 + [cnt_spec]
     out_shapes = [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32)] * 3
     out_specs = [fb_spec] * 3
 
-    kernel = functools.partial(_kernel, H=H, KI=KI, TB=TB)
+    kernel = functools.partial(_kernel, H=H, KI=KI, TB=TB, KC=KC)
     outs = pl.pallas_call(
         kernel,
         grid=(B // TB, NBW),

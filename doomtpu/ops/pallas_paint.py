@@ -79,7 +79,13 @@ from doomtpu.render.walls import (
     pack16, pack_span,
 )
 
-SEG_UNROLL = 4
+# segs per grid step (env override for A/B sweeps).  Measured on v5e at
+# B=256 e1m1-scale: U=4 101 ms, U=8 480 ms — a larger per-step program
+# defeats the per-seg seg_live skip (Mosaic hoists the whole step), so
+# keep the unroll SMALL.
+import os as _os
+
+SEG_UNROLL = int(_os.environ.get("DOOMTPU_PAINT_UNROLL", "4"))
 LANES = 128
 
 LD_WRITTEN = 1 << 24
@@ -156,15 +162,16 @@ def _kernel(
     camf_ref,       # [1, 4, TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 4, TB] i32: pxi, pyi, sky tx_off, 0
     # VMEM vector blocks [1, U, 1|4, TB]
-    g_ref, x0_ref, x1_ref, flags_ref, lsx_ref, lex_ref, length_ref,
-    soff_ref, offx_ref, light_ref, texv_ref,
+    g_ref, x0_ref, x1_ref, flags_ref, lsx_ref, lsy_ref, lex_ref, ley_ref,
+    length_ref, soff_ref, offx_ref, light_ref, texv_ref,
     ybs_ref, ybd_ref, yts_ref, ytd_ref, offy_ref, thw_ref, uy1_ref,
     # VMEM tables (constant blocks)
     texq_ref, flatq_ref, skyq_ref, pal_ref,
     # outputs
     idx_out, ld_out, rgb_out,
     m_span, m_d1, m_d2, m_d3, m_d4, m_d5, m_d6,
-    c_span, c_d2, c_d6, cntm_ref, cntc_ref, ovf_ref,
+    c_span, c_d2, c_d6, c_lsx, c_lsy, c_lex, c_ley,
+    cntm_ref, cntc_ref, ovf_ref,
     # scratch
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s,
     *, W, H, TEX_POW2, U, KM, KC, TW_ATLAS, TB,
@@ -188,9 +195,8 @@ def _kernel(
         m_span[...] = jnp.zeros((TB, KM, LANES), I32)
         for r in (m_d1, m_d2, m_d3, m_d4, m_d5, m_d6):
             r[...] = jnp.zeros((TB, KM, LANES), I32)
-        c_span[...] = jnp.zeros((TB, KC, LANES), I32)
-        c_d2[...] = jnp.zeros((TB, KC, LANES), I32)
-        c_d6[...] = jnp.zeros((TB, KC, LANES), I32)
+        for r in (c_span, c_d2, c_d6, c_lsx, c_lsy, c_lex, c_ley):
+            r[...] = jnp.zeros((TB, KC, LANES), I32)
 
     # absolute screen column of each lane in this block
     xx = lax.broadcasted_iota(I32, (TB, LANES), 1) + wb * LANES
@@ -212,7 +218,7 @@ def _kernel(
                 (mask & ~fits).sum(axis=-1).astype(I32)
             )
 
-    def emit_clip(mask, rec, d2, d6):
+    def emit_clip(mask, rec, d2, d6, coords):
         @pl.when(mask.any())
         def _():
             cnt = cntc_ref[0]
@@ -222,6 +228,8 @@ def _kernel(
             c_span[...] = jnp.where(write, rec[:, None, :], c_span[...])
             c_d2[...] = jnp.where(write, d2[:, None, :], c_d2[...])
             c_d6[...] = jnp.where(write, d6[:, None, :], c_d6[...])
+            for r, d in zip((c_lsx, c_lsy, c_lex, c_ley), coords):
+                r[...] = jnp.where(write, d[:, None, :], r[...])
             cntc_ref[0] = cnt + do.astype(I32)
             ovf_ref[0, 0, :, 1] = ovf_ref[0, 0, :, 1] + (
                 (mask & ~fits).sum(axis=-1).astype(I32)
@@ -439,6 +447,17 @@ def _kernel(
                 + offx_ref[0, u_, 0, :][:, None]
             )
             zdist = as_i16(((one - ax) + ax) / denom)
+            # FOV-clipped seg endpoint coords, f32 bits, for the item
+            # kernel's in-VMEM sprite clip (things.py is_behind_vertex)
+            coords = tuple(
+                jnp.broadcast_to(
+                    lax.bitcast_convert_type(
+                        r[0, u_, 0, :], I32
+                    )[:, None],
+                    (TB, LANES),
+                )
+                for r in (lsx_ref, lsy_ref, lex_ref, ley_ref)
+            )
 
             for p in range(4):
                 act = (flags & (1 << p)) != 0
@@ -472,7 +491,7 @@ def _kernel(
                     solid = ~two_sided
                     rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
                     rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                    emit_clip(in_ver & solid, rec, cd2, g_bc)
+                    emit_clip(in_ver & solid, rec, cd2, g_bc, coords)
                     paint_wall(
                         u_, p, in_ver & solid & draws_p,
                         ct, cb, by, ty, tx, zdist,
@@ -506,7 +525,7 @@ def _kernel(
                     rec = pack_span(KIND_MID, ct, cb) | jnp.where(
                         draw_c, SPAN_DC, 0
                     )
-                    emit_clip(in_ver, rec, cd2, g_bc)
+                    emit_clip(in_ver, rec, cd2, g_bc, coords)
                     md1 = texv_ref[0, u_, p, :][:, None] * TW_ATLAS + tx
                     md3 = pack16(offy_ref[0, u_, p, :][:, None], th)
                     md4 = pack16(light, zdist)
@@ -522,7 +541,7 @@ def _kernel(
                 elif p == 2:
                     rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
                     rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                    emit_clip(in_ver, rec, cd2, g_bc)
+                    emit_clip(in_ver, rec, cd2, g_bc, coords)
                     paint_wall(
                         u_, p, in_ver & draws_p,
                         ct, cb, by, ty, tx, zdist,
@@ -531,7 +550,7 @@ def _kernel(
                 else:
                     rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
                     rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                    emit_clip(in_ver, rec, cd2, g_bc)
+                    emit_clip(in_ver, rec, cd2, g_bc, coords)
                     paint_wall(
                         u_, p, in_ver & draws_p,
                         ct, cb, by, ty, tx, zdist,
@@ -700,7 +719,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     vmem_inputs = [tile4(x) for x in (
         order.astype(I32),
         ordered(frame["x0"]), ordered(frame["x1"]), flags,
-        ordered(frame["lsx"]), ordered(frame["lex"]),
+        ordered(frame["lsx"]), ordered(frame["lsy"]),
+        ordered(frame["lex"]), ordered(frame["ley"]),
         ordered(frame["length"]), ordered(frame["start_offset"]),
         ordered(frame["offset_x_total"]), light_o,
         tex_safe,
@@ -761,13 +781,13 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     out_shapes = (
         [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32) for _ in range(3)]
         + [jax.ShapeDtypeStruct((B, KM, Wp), jnp.int32) for _ in range(7)]
-        + [jax.ShapeDtypeStruct((B, KC, Wp), jnp.int32) for _ in range(3)]
+        + [jax.ShapeDtypeStruct((B, KC, Wp), jnp.int32) for _ in range(7)]
         + [jax.ShapeDtypeStruct((B // TB, TB, Wp), jnp.int32)
            for _ in range(2)]
         + [jax.ShapeDtypeStruct((B // TB, NBW, TB, 128), jnp.int32)]
     )
     out_specs = (
-        [fb_spec] * 3 + [mpool_spec] * 7 + [cpool_spec] * 3
+        [fb_spec] * 3 + [mpool_spec] * 7 + [cpool_spec] * 7
         + [cnt_spec] * 2 + [ovf_spec]
     )
 
@@ -795,10 +815,10 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
     tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]
     midpool = tuple(tr(o) for o in outs[3:10])
-    clippool = tuple(tr(o) for o in outs[10:13])
-    cnt_mid = outs[13].reshape(B, Wp)[:, :W]
-    cnt_clip = outs[14].reshape(B, Wp)[:, :W]
-    overflow = outs[15].sum(axis=1).reshape(B, 128)[:, :2]
+    clippool = tuple(tr(o) for o in outs[10:17])
+    cnt_mid = outs[17].reshape(B, Wp)[:, :W]
+    cnt_clip = outs[18].reshape(B, Wp)[:, :W]
+    overflow = outs[19].sum(axis=1).reshape(B, 128)[:, :2]
     return {
         "idx": idx, "ld": ld, "rgb": rgb,
         "midpool": midpool, "cnt_mid": cnt_mid,

@@ -50,6 +50,7 @@ from doomtpu.render.walls import (
 
 _PI = np.float32(math.pi)
 MID_MARK = 1 << 30  # item-pool word flag: slot is a masked mid (fill pending)
+SPR_MARK = 1 << 29  # item-pool word flag: slot is a sprite (seg-clippable)
 
 
 def _fmod(a, b):
@@ -94,10 +95,12 @@ def pools_from_unified(pool, cnt):
 
 def pools_from_paint(out_or_aux):
     """(clip, mid) pools from the paint kernel's output dict / aux."""
-    c_span, c_d2, c_d6 = out_or_aux["clippool"]
+    c_span, c_d2, c_d6, c_lsx, c_lsy, c_lex, c_ley = out_or_aux["clippool"]
     m = out_or_aux["midpool"]
     clip = {
-        "span": c_span, "d2": c_d2, "d6": c_d6, "cnt": out_or_aux["cnt_clip"]
+        "span": c_span, "d2": c_d2, "d6": c_d6,
+        "lsx": c_lsx, "lsy": c_lsy, "lex": c_lex, "ley": c_ley,
+        "cnt": out_or_aux["cnt_clip"],
     }
     mid = {
         "span": m[0], "d1": m[1], "d2": m[2], "d3": m[3], "d4": m[4],
@@ -147,6 +150,11 @@ def deferred_pass(
 
     N = I if cfg.max_visible_mobjs <= 0 else min(cfg.max_visible_mobjs, I)
     KI = cfg.item_capacity
+    # item-composite kernel path (ops/pallas_items.py): the composite
+    # fold AND the per-slot sprite seg-clip run in VMEM; the [B,W,K,N]
+    # clip reductions below are skipped entirely
+    use_items = item_kernel and rgb is not None and level.items_ok
+    clip_in_kernel = use_items and MO > 0 and "lsx" in clip
     yy = jnp.arange(H, dtype=I32)[None, :, None]
     xcol = jnp.arange(W, dtype=I32)[None, :]
 
@@ -315,46 +323,55 @@ def deferred_pass(
         )
 
         # ---------------- seg clip bounds for selected sprites ------------
-        # front[b, g, n]: is seg g in front of selected item n
         vpx_s, vpy_s = gspr(vpx), gspr(vpy)
-        behind_sel = is_behind_vertex(
-            frame["lsx"][:, :, None], frame["lsy"][:, :, None],
-            frame["lex"][:, :, None], frame["ley"][:, :, None],
-            vpx_s[:, None, :], vpy_s[:, None, :],
-        )                                                        # [B, G, N]
-        # per-slot fetch, amortized over the N lanes (slice-gather)
-        front4 = jnp.take_along_axis(
-            ~behind_sel, d6.reshape(B, W * K)[:, :, None], axis=1
-        ).reshape(B, W, K, N)
-        k_ok4 = (
-            jnp.arange(K, dtype=I32)[None, None, :] < cnt[..., None]
-        )[..., None]                                             # [B, W, K, 1]
-        front4 = front4 & k_ok4
+        if clip_in_kernel:
+            # the item kernel applies seg clip per pool slot; only the
+            # screen clamp happens here (max/min associativity matches:
+            # max(max(0, s_ty), tsc) == max(0, s_ty, tsc))
+            s_ct = jnp.maximum(0, s_ty)
+            s_cb = jnp.minimum(H - 1, s_by)
+        else:
+            # front[b, g, n]: is seg g in front of selected item n
+            behind_sel = is_behind_vertex(
+                frame["lsx"][:, :, None], frame["lsy"][:, :, None],
+                frame["lex"][:, :, None], frame["ley"][:, :, None],
+                vpx_s[:, None, :], vpy_s[:, None, :],
+            )                                                    # [B, G, N]
+            # per-slot fetch, amortized over the N lanes (slice-gather)
+            front4 = jnp.take_along_axis(
+                ~behind_sel, d6.reshape(B, W * K)[:, :, None], axis=1
+            ).reshape(B, W, K, N)
+            k_ok4 = (
+                jnp.arange(K, dtype=I32)[None, None, :] < cnt[..., None]
+            )[..., None]                                         # [B, W, K, 1]
+            front4 = front4 & k_ok4
 
-        e2b_k = (spans & SPAN_E2B) != 0                          # [B, W, K]
-        e2t_k = (spans & SPAN_E2T) != 0
-        is_mid_k = ((spans >> 29) & 3) == KIND_MID
-        dc_k = ((spans & SPAN_DC) != 0) & is_mid_k
-        y0_k = ((spans >> 8) & 255) - 1
-        y1_k = (spans & 255) - 1
-        by_full = unpack16_hi(d2)
-        ty_full = unpack16_lo(d2)
+            e2b_k = (spans & SPAN_E2B) != 0                      # [B, W, K]
+            e2t_k = (spans & SPAN_E2T) != 0
+            is_mid_k = ((spans >> 29) & 3) == KIND_MID
+            dc_k = ((spans & SPAN_DC) != 0) & is_mid_k
+            y0_k = ((spans >> 8) & 255) - 1
+            y1_k = (spans & 255) - 1
+            by_full = unpack16_hi(d2)
+            ty_full = unpack16_lo(d2)
 
-        def red_max(cond, val):
-            v = jnp.where(front4 & cond[..., None], val[..., None], -1)
-            return v.max(axis=2)                                 # [B, W, N]
+            def red_max(cond, val):
+                v = jnp.where(front4 & cond[..., None], val[..., None], -1)
+                return v.max(axis=2)                             # [B, W, N]
 
-        def red_min(cond, val):
-            v = jnp.where(front4 & cond[..., None], val[..., None], H)
-            return v.min(axis=2)
+            def red_min(cond, val):
+                v = jnp.where(front4 & cond[..., None], val[..., None], H)
+                return v.min(axis=2)
 
-        tsc = jnp.maximum(red_max(e2t_k, y1_k), red_max(dc_k, ty_full))
-        bsc = jnp.minimum(red_min(e2b_k, y0_k), red_min(is_mid_k, by_full))
-        tsc = jnp.moveaxis(tsc, 2, 1)                            # [B, N, W]
-        bsc = jnp.moveaxis(bsc, 2, 1)
+            tsc = jnp.maximum(red_max(e2t_k, y1_k), red_max(dc_k, ty_full))
+            bsc = jnp.minimum(
+                red_min(e2b_k, y0_k), red_min(is_mid_k, by_full)
+            )
+            tsc = jnp.moveaxis(tsc, 2, 1)                        # [B, N, W]
+            bsc = jnp.moveaxis(bsc, 2, 1)
 
-        s_ct = jnp.maximum(0, jnp.maximum(s_ty, tsc))
-        s_cb = jnp.minimum(H - 1, jnp.minimum(s_by, bsc))
+            s_ct = jnp.maximum(0, jnp.maximum(s_ty, tsc))
+            s_cb = jnp.minimum(H - 1, jnp.minimum(s_by, bsc))
 
         spr_cols = dict(
             present=in_range & is_spr_sel[..., None],
@@ -368,6 +385,9 @@ def deferred_pass(
             zd=s_zd,
             uy1=jnp.broadcast_to(uy1_s[..., None], (B, N, W)),
         )
+        if clip_in_kernel:
+            spr_cols["vpx"] = jnp.broadcast_to(vpx_s[..., None], (B, N, W))
+            spr_cols["vpy"] = jnp.broadcast_to(vpy_s[..., None], (B, N, W))
     else:
         spr_cols = None
 
@@ -406,6 +426,9 @@ def deferred_pass(
             off_y=zero_nw, th=zero_nw, light=zero_nw, zd=zero_nw,
             uy1=jnp.zeros((B, N, W), F32),
         )
+        if clip_in_kernel:
+            mid_cols["vpx"] = jnp.zeros((B, N, W), F32)
+            mid_cols["vpy"] = jnp.zeros((B, N, W), F32)
     else:
         mid_cols = None
 
@@ -417,11 +440,11 @@ def deferred_pass(
         pick = is_spr_sel[..., None]
         return jnp.where(pick, spr_cols[name], mid_cols[name])
 
-    items = {
-        k: merged(k)
-        for k in ("present", "ct", "cb", "by", "ty", "colbase", "off_y",
-                  "th", "light", "zd", "uy1")
-    }
+    item_keys = ["present", "ct", "cb", "by", "ty", "colbase", "off_y",
+                 "th", "light", "zd", "uy1"]
+    if clip_in_kernel:
+        item_keys += ["vpx", "vpy"]
+    items = {k: merged(k) for k in item_keys}
     items["present"] = items["present"] & sel_valid[..., None]
     if MO > 0 and D > 0:
         items["is_mid"] = jnp.broadcast_to(
@@ -451,13 +474,18 @@ def deferred_pass(
         do = present & fits
         write = do[..., None] & (ki_iota == icnt[..., None])
         word = pack16(g2("ct") + 1, g2("cb") + 1) | jnp.where(
-            g2("is_mid"), MID_MARK, 0
+            g2("is_mid"), MID_MARK, SPR_MARK
         )
         data = (
             word, g2("colbase"), pack16(g2("by"), g2("ty")),
             pack16(g2("off_y"), g2("th")), pack16(g2("light"), g2("zd")),
             lax.bitcast_convert_type(f32(g2("uy1")), I32),
         )
+        if clip_in_kernel:
+            data = data + (
+                lax.bitcast_convert_type(f32(g2("vpx")), I32),
+                lax.bitcast_convert_type(f32(g2("vpy")), I32),
+            )
         ipool = tuple(
             jnp.where(write, d[..., None], p) for p, d in zip(ipool, data)
         )
@@ -465,14 +493,15 @@ def deferred_pass(
         ovf = ovf + (present & ~fits).sum(axis=-1).astype(I32)
         return ipool, icnt, ovf
 
-    ipool0 = tuple(jnp.zeros((B, W, KI), I32) for _ in range(6))
+    n_planes = 8 if clip_in_kernel else 6
+    ipool0 = tuple(jnp.zeros((B, W, KI), I32) for _ in range(n_planes))
     ipool, icnt, item_overflow = lax.fori_loop(
         0, N, emit_body,
         (ipool0, jnp.zeros((B, W), I32), jnp.zeros((B,), I32)),
     )
     # ---------------- fill mid slots from the mid pool -----------------------
     # (KI x KMID matching on [B, W] — the mid slot with the same seg id)
-    iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = ipool
+    iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = ipool[:6]
     if D > 0:
         m_d1, m_d2, m_d3 = midp["d1"], midp["d2"], midp["d3"]
         m_d4, m_d5 = midp["d4"], midp["d5"]
@@ -503,7 +532,7 @@ def deferred_pass(
     )
 
     # ---------------- composite: item kernel fast path ----------------------
-    if item_kernel and rgb is not None and level.items_ok:
+    if use_items:
         from doomtpu.ops.pallas_items import (
             LD_SKY, LD_WRITTEN, composite_items,
         )
@@ -515,7 +544,10 @@ def deferred_pass(
         )
         idx2, ld2, rgb2 = composite_items(
             level, cfg, (iword, icolbase, ibyty, ioffth, ilightzd, iuy1),
-            icnt, idx, ld_in, rgb, interpret=interpret,
+            icnt, idx, ld_in, rgb,
+            clip=clip if clip_in_kernel else None,
+            vp=(ipool[6], ipool[7]) if clip_in_kernel else None,
+            interpret=interpret,
         )
         daux = {"items_dropped": items_dropped,
                 "item_overflow": item_overflow, "rgb": rgb2}
@@ -543,7 +575,7 @@ def deferred_pass(
     for k in reversed(range(KI)):
         word = iword[:, :, k]
         ok_k = k < icnt                                          # [B, W]
-        ct = (unpack16_hi(word) - 1)[:, None, :]
+        ct = (((word >> 16) & 0x1FF) - 1)[:, None, :]
         cb = (unpack16_lo(word) - 1)[:, None, :]
         by = unpack16_hi(ibyty[:, :, k])[:, None, :]
         ty = unpack16_lo(ibyty[:, :, k])[:, None, :]
