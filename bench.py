@@ -49,8 +49,10 @@ def main() -> int:
     use_pallas = os.environ.get("DOOMTPU_BENCH_PALLAS", "1") != "0"
     use_paint = os.environ.get("DOOMTPU_BENCH_PAINT", "1") != "0"
 
+    chunk = int(os.environ.get("DOOMTPU_BENCH_CHUNK", 256))
     cfg = RenderConfig(
         width=320, height=200,
+        render_chunk=chunk,
         # 64 random views on the e1m1-scale fixture peak at 46
         # spans/column (tests/test_scale.py measures this)
         span_capacity=48,

@@ -461,6 +461,12 @@ def standard_assets(builder: WadBuilder) -> None:
              "patches": [(0, 0, 2)]},
             {"name": "SKY1", "width": 256, "height": 128,
              "patches": [(0, 0, 3)]},
+            # negative patch origins + overlap + clipping, like real
+            # doom1.wad composites (textures.rs:74-103): p0 hangs off the
+            # top-left, p1 overlaps it, p2 fills the bottom band — every
+            # texel is covered, so the texture stays wall-opaque
+            {"name": "WALL3", "width": 64, "height": 128,
+             "patches": [(-16, -24, 0), (32, 0, 0), (0, 96, 1)]},
         ]),
     )
 
@@ -473,6 +479,30 @@ def standard_assets(builder: WadBuilder) -> None:
                 f"{name}{chr(ord('A') + f)}0",
                 encode_picture(pix, mask, left_offset=w // 2, top_offset=h),
             )
+    # an 8-rotation monster sprite stored doom1-style as split mirrored
+    # pairs (POSSA1, POSSA2A8, POSSA3A7, POSSA4A6, POSSA5 — rotations
+    # 6-8 come from mirroring 4-2, sprites.rs:35-57).  Frames A and B
+    # because S_POSS_STND alternates them.  Pictures are asymmetric so a
+    # wrong/missing mirror is visible in parity.
+    for f in range(2):
+        fl = chr(ord("A") + f)
+        w, h = 30, 44
+
+        def poss_pic(rot, f=f, w=w, h=h):
+            pix, mask = make_sprite(900 + f * 16 + rot, w, h, 40 + 6 * rot)
+            pix = pix.copy()
+            pix[:, : w // 3] = (
+                pix[:, : w // 3].astype(np.int64) + 37 + rot
+            ).astype(np.uint8)
+            return pix, mask
+
+        kw = dict(left_offset=w // 2, top_offset=h)
+        builder.add(f"POSS{fl}1", encode_picture(*poss_pic(1), **kw))
+        for r, rm in ((2, 8), (3, 7), (4, 6)):
+            builder.add(
+                f"POSS{fl}{r}{fl}{rm}", encode_picture(*poss_pic(r), **kw)
+            )
+        builder.add(f"POSS{fl}5", encode_picture(*poss_pic(5), **kw))
     builder.add("S_END")
 
 
@@ -684,6 +714,33 @@ def demo_wad() -> bytes:
 
 def sky_hack_wad() -> bytes:
     return build_wad(*sky_hack_level())
+
+
+def decoder_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """Exercises the real-WAD decoder shapes: WALL3 (negative-origin
+    overlapping multi-patch composite) on every wall and a ring of
+    8-rotation POSS monsters (doomednum 3004) around the player, so
+    every rotation (incl. the mirrored 6-8) renders."""
+    rooms = [
+        RoomSpec(0, 0, 768, 768, floor_h=0, ceil_h=160, light=208,
+                 wall_tex="WALL3", lower_tex="WALL3", upper_tex="WALL3"),
+        RoomSpec(768, 192, 1024, 576, floor_h=32, ceil_h=128, light=160,
+                 wall_tex="WALL3", lower_tex="WALL3", upper_tex="WALL3"),
+    ]
+    cx, cy, r = 384, 384, 230
+    things = [ThingSpec(cx, cy, 0, 1)]
+    for i in range(8):
+        a = i * 45
+        x = cx + int(r * math.cos(math.radians(a)))
+        y = cy + int(r * math.sin(math.radians(a)))
+        # face the ring outward at varied angles so the player sees all
+        # eight rotation indices (renderer/map_objects.rs:53-67)
+        things.append(ThingSpec(x, y, (a * 3 + 45) % 360, 3004))
+    return rooms, things
+
+
+def decoder_wad() -> bytes:
+    return build_wad(*decoder_level())
 
 
 def e1m1_scale_wad() -> bytes:
