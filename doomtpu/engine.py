@@ -120,9 +120,9 @@ class DoomEngine:
 
     def rollout(self, state: GameState, controls_seq, key,
                 return_frames: bool = True):
-        return step_mod.rollout(
+        return _rollout_jit(
             self.level, self.thinkers, self.config, state, controls_seq, key,
-            return_frames=return_frames,
+            return_frames,
         )
 
     def kill_everything(self, state):
@@ -232,6 +232,18 @@ def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
     if out[0].shape[0] != B:
         out = _unchunk(out, B)
     return out
+
+
+@partial(jax.jit, static_argnums=(2, 6))
+def _rollout_jit(level, thinkers, cfg, state, controls_seq, key,
+                 return_frames):
+    # one jit around the whole scan: without it every surrounding op
+    # dispatches individually through the relay (~ms each) and a T-step
+    # rollout takes minutes instead of milliseconds
+    return step_mod.rollout(
+        level, thinkers, cfg, state, controls_seq, key,
+        return_frames=return_frames,
+    )
 
 
 @partial(jax.jit, static_argnums=5)

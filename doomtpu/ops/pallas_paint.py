@@ -460,102 +460,108 @@ def _kernel(
             )
 
             for p in range(4):
-                act = (flags & (1 << p)) != 0
-                draws_p = (flags & (64 << p)) != 0
-                hor = hor_s[...] != 0
-                fo = fo_s[...]
-                co = co_s[...]
-                covered = (xx >= x0i) & (xx <= x1i) & act
-                open_ = covered & ~hor
+                # skip pieces no camera in the tile has (solid segs
+                # have piece 0 only; saves ~3/4 of per-seg math).
+                # All state writes below are no-ops when act is
+                # all-false, so skipping is semantics-preserving.
+                @pl.when(((flags & (1 << p)) != 0).any())
+                def _piece(p=p):
+                    act = (flags & (1 << p)) != 0
+                    draws_p = (flags & (64 << p)) != 0
+                    hor = hor_s[...] != 0
+                    fo = fo_s[...]
+                    co = co_s[...]
+                    covered = (xx >= x0i) & (xx <= x1i) & act
+                    open_ = covered & ~hor
 
-                by = as_i16(
-                    f32(ybs_ref[0, u_, p, :])[:, None]
-                    + smul(f32(xx - x0), ybd_ref[0, u_, p, :][:, None])
-                )
-                ty = as_i16(
-                    f32(yts_ref[0, u_, p, :])[:, None]
-                    + smul(f32(xx - x0), ytd_ref[0, u_, p, :][:, None])
-                )
-                cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
-                ct = jnp.maximum(0, jnp.maximum(co, ty))
-                in_ver = (cb >= ct) & open_
+                    by = as_i16(
+                        f32(ybs_ref[0, u_, p, :])[:, None]
+                        + smul(f32(xx - x0), ybd_ref[0, u_, p, :][:, None])
+                    )
+                    ty = as_i16(
+                        f32(yts_ref[0, u_, p, :])[:, None]
+                        + smul(f32(xx - x0), ytd_ref[0, u_, p, :][:, None])
+                    )
+                    cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
+                    ct = jnp.maximum(0, jnp.maximum(co, ty))
+                    in_ver = (cb >= ct) & open_
 
-                thw = thw_ref[0, u_, p, :][:, None]
-                th = thw >> 16
-                tw = thw & 0xFFFF
-                tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
-                              pow2=TEX_POW2)
-                cd2 = pack16(by, ty)
+                    thw = thw_ref[0, u_, p, :][:, None]
+                    th = thw >> 16
+                    tw = thw & 0xFFFF
+                    tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
+                                  pow2=TEX_POW2)
+                    cd2 = pack16(by, ty)
 
-                if p == 0:
-                    solid = ~two_sided
-                    rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
-                    rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                    emit_clip(in_ver & solid, rec, cd2, g_bc, coords)
-                    paint_wall(
-                        u_, p, in_ver & solid & draws_p,
-                        ct, cb, by, ty, tx, zdist,
-                    )
+                    if p == 0:
+                        solid = ~two_sided
+                        rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
+                        rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                        emit_clip(in_ver & solid, rec, cd2, g_bc, coords)
+                        paint_wall(
+                            u_, p, in_ver & solid & draws_p,
+                            ct, cb, by, ty, tx, zdist,
+                        )
 
-                    fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
-                    fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
-                    paint_plane(u_, 0, fl_emit, cb, fo)
-                    ce_keep = c_sky | (
-                        jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
-                    )
-                    ce_emit = in_ver & draw_c & (ct > co) & ce_keep
-                    paint_plane(u_, 1, ce_emit, co, ct)
+                        fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
+                        fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
+                        paint_plane(u_, 0, fl_emit, cb, fo)
+                        ce_keep = c_sky | (
+                            jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
+                        )
+                        ce_emit = in_ver & draw_c & (ct > co) & ce_keep
+                        paint_plane(u_, 1, ce_emit, co, ct)
 
-                    gap = open_ & ~in_ver & (fo > co)
-                    keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
-                    gap_b = gap & (by <= co)
-                    paint_plane(u_, 0, gap_b & (f_sky | keep_g), co, fo)
-                    gap_t = gap & draw_c & (ty >= fo)
-                    paint_plane(u_, 1, gap_t & (c_sky | keep_g), co, fo)
-                    gap_occl = gap_b | gap_t
+                        gap = open_ & ~in_ver & (fo > co)
+                        keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
+                        gap_b = gap & (by <= co)
+                        paint_plane(u_, 0, gap_b & (f_sky | keep_g), co, fo)
+                        gap_t = gap & draw_c & (ty >= fo)
+                        paint_plane(u_, 1, gap_t & (c_sky | keep_g), co, fo)
+                        gap_occl = gap_b | gap_t
 
-                    occl_m = in_ver & two_sided
-                    fo = jnp.where(occl_m, cb, fo)
-                    co = jnp.where(occl_m & draw_c, ct, co)
-                    solid_occl = (covered & solid) | gap_occl
-                    hor_s[...] = (hor | solid_occl).astype(I32)
-                    fo_s[...] = jnp.where(solid_occl, H // 2, fo)
-                    co_s[...] = jnp.where(solid_occl, H // 2, co)
-                elif p == 1:
-                    rec = pack_span(KIND_MID, ct, cb) | jnp.where(
-                        draw_c, SPAN_DC, 0
-                    )
-                    emit_clip(in_ver, rec, cd2, g_bc, coords)
-                    md1 = texv_ref[0, u_, p, :][:, None] * TW_ATLAS + tx
-                    md3 = pack16(offy_ref[0, u_, p, :][:, None], th)
-                    md4 = pack16(light, zdist)
-                    md5 = jnp.broadcast_to(
-                        lax.bitcast_convert_type(
-                            uy1_ref[0, u_, p, :], I32
-                        )[:, None],
-                        (TB, LANES),
-                    )
-                    emit_mid(
-                        in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
-                    )
-                elif p == 2:
-                    rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
-                    rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                    emit_clip(in_ver, rec, cd2, g_bc, coords)
-                    paint_wall(
-                        u_, p, in_ver & draws_p,
-                        ct, cb, by, ty, tx, zdist,
-                    )
-                    fo_s[...] = jnp.where(in_ver, ct, fo)
-                else:
-                    rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
-                    rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                    emit_clip(in_ver, rec, cd2, g_bc, coords)
-                    paint_wall(
-                        u_, p, in_ver & draws_p,
-                        ct, cb, by, ty, tx, zdist,
-                    )
-                    co_s[...] = jnp.where(in_ver, cb, co)
+                        occl_m = in_ver & two_sided
+                        fo = jnp.where(occl_m, cb, fo)
+                        co = jnp.where(occl_m & draw_c, ct, co)
+                        solid_occl = (covered & solid) | gap_occl
+                        hor_s[...] = (hor | solid_occl).astype(I32)
+                        fo_s[...] = jnp.where(solid_occl, H // 2, fo)
+                        co_s[...] = jnp.where(solid_occl, H // 2, co)
+                    elif p == 1:
+                        rec = pack_span(KIND_MID, ct, cb) | jnp.where(
+                            draw_c, SPAN_DC, 0
+                        )
+                        emit_clip(in_ver, rec, cd2, g_bc, coords)
+                        md1 = texv_ref[0, u_, p, :][:, None] * TW_ATLAS + tx
+                        md3 = pack16(offy_ref[0, u_, p, :][:, None], th)
+                        md4 = pack16(light, zdist)
+                        md5 = jnp.broadcast_to(
+                            lax.bitcast_convert_type(
+                                uy1_ref[0, u_, p, :], I32
+                            )[:, None],
+                            (TB, LANES),
+                        )
+                        emit_mid(
+                            in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
+                        )
+                    elif p == 2:
+                        rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
+                        rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                        emit_clip(in_ver, rec, cd2, g_bc, coords)
+                        paint_wall(
+                            u_, p, in_ver & draws_p,
+                            ct, cb, by, ty, tx, zdist,
+                        )
+                        fo_s[...] = jnp.where(in_ver, ct, fo)
+                    else:
+                        rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
+                        rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                        emit_clip(in_ver, rec, cd2, g_bc, coords)
+                        paint_wall(
+                            u_, p, in_ver & draws_p,
+                            ct, cb, by, ty, tx, zdist,
+                        )
+                        co_s[...] = jnp.where(in_ver, cb, co)
 
     # ---------------- composite + shade at the last grid step ---------------
     @pl.when(gi == n_g - 1)

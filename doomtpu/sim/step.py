@@ -82,14 +82,29 @@ def rollout(
     T = controls_seq.shape[0]
     keys = jax.random.split(key, T)
 
-    def body(st, inp):
-        controls, k = inp
-        st = tick(level, tkt, st, controls, k)
+    B = state.pos.shape[0]
+    C = cfg.render_chunk
+
+    def one_render(st):
         idx, _, _ = render_frame(
             level, cfg, st.pos[:, 0], st.pos[:, 1], st.angle,
             st.floor_height, st.sector_light, st.mobj_state, st.timestamp,
         )
-        out = idx if return_frames else idx.sum(axis=(1, 2))
+        return idx if return_frames else idx.sum(axis=(1, 2))
+
+    def body(st, inp):
+        controls, k = inp
+        st = tick(level, tkt, st, controls, k)
+        # chunk the render like engine._render_jit: bounds the [B, H, W]
+        # working set at large B (an unchunked B=2048 render OOMs)
+        if C and B > C and B % C == 0:
+            chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape((B // C, C) + x.shape[1:]), st
+            )
+            out = jax.lax.map(one_render, chunks)
+            out = out.reshape((B,) + out.shape[2:])
+        else:
+            out = one_render(st)
         return st, out
 
     final, frames = jax.lax.scan(body, state, (controls_seq, keys))

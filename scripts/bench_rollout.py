@@ -33,10 +33,12 @@ def main():
     mv = int(os.environ.get("DOOMTPU_ROLLOUT_MOBJS", 48))
 
     on_tpu = jax.default_backend() != "cpu"
+    paint = os.environ.get("DOOMTPU_ROLLOUT_PAINT", "1") != "0"
     cfg = RenderConfig(
         width=320, height=200, span_capacity=48,
         max_visible_mobjs=mv,
-        use_pallas_scan=on_tpu, use_pallas_paint=on_tpu,
+        use_pallas_scan=on_tpu and paint,
+        use_pallas_paint=on_tpu and paint,
     )
     engine = DoomEngine.from_wad_bytes(
         synth.e1m1_scale_wad(), "e1m1", config=cfg
@@ -62,19 +64,31 @@ def main():
     )
     key = jax.random.PRNGKey(7)
 
+    # the relay's TPU worker kills single executions running longer than
+    # ~100 s (measured: B=2048 T=32 = 53 s OK, T=64 = ~106 s crashes the
+    # worker), so long rollouts are chained as <=32-tick scan segments —
+    # same compiled executable, state carried across calls
+    SEG = min(T, 32)
+    n_seg = (T + SEG - 1) // SEG
+    seq = controls_seq[: SEG * n_seg].reshape(n_seg, SEG, B)
+
     t0 = time.time()
-    final, cks = engine.rollout(state, controls_seq, key, return_frames=False)
+    final, cks = engine.rollout(state, seq[0], key, return_frames=False)
     warm = int(np.asarray(cks.sum()))
     compile_s = time.time() - t0
 
     t0 = time.time()
-    final, cks = engine.rollout(final, controls_seq, key, return_frames=False)
-    cs = int(np.asarray(cks.sum()))
+    cs = 0
+    for i in range(n_seg):
+        final, cks = engine.rollout(
+            final, seq[i], jax.random.fold_in(key, i), return_frames=False
+        )
+        cs += int(np.asarray(cks.sum()))
     dt = time.time() - t0
 
-    fps = B * T / dt
+    fps = B * SEG * n_seg / dt
     print(
-        f"rollout: B={B} T={T} max_visible_mobjs={mv} "
+        f"rollout: B={B} T={SEG}x{n_seg} max_visible_mobjs={mv} "
         f"compile={compile_s:.1f}s run={dt:.3f}s "
         f"-> {fps:,.0f} step+render frames/sec/chip (checksum {cs})"
     )
