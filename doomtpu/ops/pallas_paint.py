@@ -86,6 +86,12 @@ from doomtpu.render.walls import (
 import os as _os
 
 SEG_UNROLL = int(_os.environ.get("DOOMTPU_PAINT_UNROLL", "4"))
+# seg sub-steps per grid step, via an in-kernel fori over the unrolled
+# body: the grid-step fixed cost is ~2 us (an EMPTY kernel over the
+# fine 17.6K-step grid measures 36 ms at B=256 — scripts/
+# probe_paint_cost.py), so the g grid dim is coarsened to U*GSUB segs
+# per step without growing the compiled program
+SEG_GSUB = int(_os.environ.get("DOOMTPU_PAINT_GSUB", "8"))
 LANES = 128
 
 LD_WRITTEN = 1 << 24
@@ -152,19 +158,32 @@ def _gather_2d(tvs, q, c):
     return out
 
 
+class _RowView:
+    """Adapter exposing row-slices of one packed [1, N, R, TB] ref under
+    the old multi-ref access pattern ref[0, u, r, ...]; consolidating
+    the per-seg inputs into ONE block per memory space cuts the
+    per-grid-step input DMA count from ~23 to ~3."""
+
+    def __init__(self, ref, base, as_f32=False):
+        self.ref, self.base, self.as_f32 = ref, base, as_f32
+
+    def __getitem__(self, idx):
+        z, u, r, rest = idx
+        v = self.ref[z, u, self.base + r, rest]
+        if self.as_f32:
+            v = lax.bitcast_convert_type(v, F32)
+        return v
+
+
 def _kernel(
-    # SMEM scalar blocks
-    texid_ref,      # [1, U, 4, TB] piece texture ids (clamped >= 0)
-    flatid_ref,     # [1, U, 2, TB] floor/ceil flat ids | FLAT_SKY_BIT
-    pheight_ref,    # [1, U, 2, TB] floor/ceil plane heights (i32)
-    pi_ref,         # [1, U, PI_ROWS, TB] i32 per-piece scalars
-    pf_ref,         # [1, U, 4, TB] f32 uy1 per piece
+    # SMEM: per-seg scalar pack [1, U*GSUB, 17, TB] i32 + uy1 f32, and
+    # per-camera scalars (constant over the seg grid dim)
+    smi_ref, pf_ref,
     camf_ref,       # [1, 4, TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 4, TB] i32: pxi, pyi, sky tx_off, 0
-    # VMEM vector blocks [1, U, 1|4, TB]
-    g_ref, x0_ref, x1_ref, flags_ref, lsx_ref, lsy_ref, lex_ref, ley_ref,
-    length_ref, soff_ref, offx_ref, light_ref, texv_ref,
-    ybs_ref, ybd_ref, yts_ref, ytd_ref, offy_ref, thw_ref, uy1_ref,
+    # VMEM: ONE packed per-seg vector block [1, U*GSUB, 44, TB] (f32
+    # fields ride as bitcast i32; see SV_* layout in render_paint)
+    sv_ref,
     # VMEM tables (constant blocks)
     texq_ref, flatq_ref, skyq_ref, pal_ref,
     # outputs
@@ -174,8 +193,35 @@ def _kernel(
     cntm_ref, cntc_ref, ovf_ref,
     # scratch
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s,
-    *, W, H, TEX_POW2, U, KM, KC, TW_ATLAS, TB,
+    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB,
 ):
+    # views reconstruct the original per-field refs (same loads, same
+    # dtypes — f32 fields bitcast back on read)
+    texid_ref = _RowView(smi_ref, 0)
+    flatid_ref = _RowView(smi_ref, 4)
+    pheight_ref = _RowView(smi_ref, 6)
+    pi_ref = _RowView(smi_ref, 8)
+    g_ref = _RowView(sv_ref, 0)
+    x0_ref = _RowView(sv_ref, 1)
+    x1_ref = _RowView(sv_ref, 2)
+    flags_ref = _RowView(sv_ref, 3)
+    lsx_ref = _RowView(sv_ref, 4, True)
+    lsy_ref = _RowView(sv_ref, 5, True)
+    lex_ref = _RowView(sv_ref, 6, True)
+    ley_ref = _RowView(sv_ref, 7, True)
+    length_ref = _RowView(sv_ref, 8, True)
+    soff_ref = _RowView(sv_ref, 9, True)
+    offx_ref = _RowView(sv_ref, 10)
+    light_ref = _RowView(sv_ref, 11)
+    texv_ref = _RowView(sv_ref, 12)
+    ybs_ref = _RowView(sv_ref, 16)
+    ybd_ref = _RowView(sv_ref, 20, True)
+    yts_ref = _RowView(sv_ref, 24)
+    ytd_ref = _RowView(sv_ref, 28, True)
+    offy_ref = _RowView(sv_ref, 32)
+    thw_ref = _RowView(sv_ref, 36)
+    uy1_ref = _RowView(sv_ref, 40, True)
+
     wb = pl.program_id(1)
     gi = pl.program_id(2)
     n_g = pl.num_programs(2)
@@ -409,159 +455,166 @@ def _kernel(
                     )
 
     # ---------------- the seg loop ------------------------------------------
-    for u_ in range(U):
-        flags = flags_ref[0, u_, 0, :][:, None]
-        x0 = x0_ref[0, u_, 0, :][:, None]
-        x0i = as_i16(x0)
-        x1i = as_i16(x1_ref[0, u_, 0, :][:, None])
+    def _gsub(sub, carry):
+        g0 = sub * U
+        for uu in range(U):
+            u_ = g0 + uu
+            flags = flags_ref[0, u_, 0, :][:, None]
+            x0 = x0_ref[0, u_, 0, :][:, None]
+            x0i = as_i16(x0)
+            x1i = as_i16(x1_ref[0, u_, 0, :][:, None])
 
-        act_any = (flags & 15) != 0
-        seg_live = (
-            (xx >= x0i) & (xx <= x1i) & act_any & (hor_s[...] == 0)
-        ).any()
+            act_any = (flags & 15) != 0
+            seg_live = (
+                (xx >= x0i) & (xx <= x1i) & act_any & (hor_s[...] == 0)
+            ).any()
 
-        @pl.when(seg_live)
-        def _seg_body(u_=u_, flags=flags, x0=x0, x0i=x0i, x1i=x1i):
-            gval = g_ref[0, u_, 0, :]
-            two_sided = (flags & 16) != 0
-            draw_c = (flags & 32) != 0
-            f_sky = (flags & 1024) != 0
-            c_sky = (flags & 2048) != 0
-            has_mid = (flags & FLAG_HAS_MID) != 0
-            light = light_ref[0, u_, 0, :][:, None]
-            g_bc = jnp.broadcast_to(gval[:, None], (TB, LANES))
+            @pl.when(seg_live)
+            def _seg_body(u_=u_, flags=flags, x0=x0, x0i=x0i, x1i=x1i):
+                gval = g_ref[0, u_, 0, :]
+                two_sided = (flags & 16) != 0
+                draw_c = (flags & 32) != 0
+                f_sky = (flags & 1024) != 0
+                c_sky = (flags & 2048) != 0
+                has_mid = (flags & FLAG_HAS_MID) != 0
+                light = light_ref[0, u_, 0, :][:, None]
+                g_bc = jnp.broadcast_to(gval[:, None], (TB, LANES))
 
-            one = f32(1.0)
-            ax = f32(xx - x0) / f32(x1_ref[0, u_, 0, :][:, None] - x0)
-            uz0 = lsx_ref[0, u_, 0, :][:, None]
-            uz1 = lex_ref[0, u_, 0, :][:, None]
-            inv0 = one / uz0
-            inv1 = one / uz1
-            denom = smul(one - ax, inv0) + smul(ax, inv1)
-            u = (
-                smul(one - ax, f32(0.0) / uz0)
-                + smul(ax, length_ref[0, u_, 0, :][:, None] / uz1)
-            ) / denom
-            tx_base = (
-                as_i16(u) + as_i16(soff_ref[0, u_, 0, :])[:, None]
-                + offx_ref[0, u_, 0, :][:, None]
-            )
-            zdist = as_i16(((one - ax) + ax) / denom)
-            # FOV-clipped seg endpoint coords, f32 bits, for the item
-            # kernel's in-VMEM sprite clip (things.py is_behind_vertex)
-            coords = tuple(
-                jnp.broadcast_to(
-                    lax.bitcast_convert_type(
-                        r[0, u_, 0, :], I32
-                    )[:, None],
-                    (TB, LANES),
+                one = f32(1.0)
+                ax = f32(xx - x0) / f32(x1_ref[0, u_, 0, :][:, None] - x0)
+                uz0 = lsx_ref[0, u_, 0, :][:, None]
+                uz1 = lex_ref[0, u_, 0, :][:, None]
+                inv0 = one / uz0
+                inv1 = one / uz1
+                denom = smul(one - ax, inv0) + smul(ax, inv1)
+                u = (
+                    smul(one - ax, f32(0.0) / uz0)
+                    + smul(ax, length_ref[0, u_, 0, :][:, None] / uz1)
+                ) / denom
+                tx_base = (
+                    as_i16(u) + as_i16(soff_ref[0, u_, 0, :])[:, None]
+                    + offx_ref[0, u_, 0, :][:, None]
                 )
-                for r in (lsx_ref, lsy_ref, lex_ref, ley_ref)
-            )
-
-            for p in range(4):
-                # skip pieces no camera in the tile has (solid segs
-                # have piece 0 only; saves ~3/4 of per-seg math).
-                # All state writes below are no-ops when act is
-                # all-false, so skipping is semantics-preserving.
-                @pl.when(((flags & (1 << p)) != 0).any())
-                def _piece(p=p):
-                    act = (flags & (1 << p)) != 0
-                    draws_p = (flags & (64 << p)) != 0
-                    hor = hor_s[...] != 0
-                    fo = fo_s[...]
-                    co = co_s[...]
-                    covered = (xx >= x0i) & (xx <= x1i) & act
-                    open_ = covered & ~hor
-
-                    by = as_i16(
-                        f32(ybs_ref[0, u_, p, :])[:, None]
-                        + smul(f32(xx - x0), ybd_ref[0, u_, p, :][:, None])
+                zdist = as_i16(((one - ax) + ax) / denom)
+                # FOV-clipped seg endpoint coords, f32 bits, for the item
+                # kernel's in-VMEM sprite clip (things.py is_behind_vertex)
+                coords = tuple(
+                    jnp.broadcast_to(
+                        lax.bitcast_convert_type(
+                            r[0, u_, 0, :], I32
+                        )[:, None],
+                        (TB, LANES),
                     )
-                    ty = as_i16(
-                        f32(yts_ref[0, u_, p, :])[:, None]
-                        + smul(f32(xx - x0), ytd_ref[0, u_, p, :][:, None])
-                    )
-                    cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
-                    ct = jnp.maximum(0, jnp.maximum(co, ty))
-                    in_ver = (cb >= ct) & open_
+                    for r in (lsx_ref, lsy_ref, lex_ref, ley_ref)
+                )
 
-                    thw = thw_ref[0, u_, p, :][:, None]
-                    th = thw >> 16
-                    tw = thw & 0xFFFF
-                    tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
-                                  pow2=TEX_POW2)
-                    cd2 = pack16(by, ty)
+                for p in range(4):
+                    # skip pieces no camera in the tile has (solid segs
+                    # have piece 0 only; saves ~3/4 of per-seg math).
+                    # All state writes below are no-ops when act is
+                    # all-false, so skipping is semantics-preserving.
+                    @pl.when(((flags & (1 << p)) != 0).any())
+                    def _piece(p=p):
+                        act = (flags & (1 << p)) != 0
+                        draws_p = (flags & (64 << p)) != 0
+                        hor = hor_s[...] != 0
+                        fo = fo_s[...]
+                        co = co_s[...]
+                        covered = (xx >= x0i) & (xx <= x1i) & act
+                        open_ = covered & ~hor
 
-                    if p == 0:
-                        solid = ~two_sided
-                        rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
-                        rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                        emit_clip(in_ver & solid, rec, cd2, g_bc, coords)
-                        paint_wall(
-                            u_, p, in_ver & solid & draws_p,
-                            ct, cb, by, ty, tx, zdist,
+                        by = as_i16(
+                            f32(ybs_ref[0, u_, p, :])[:, None]
+                            + smul(f32(xx - x0), ybd_ref[0, u_, p, :][:, None])
                         )
+                        ty = as_i16(
+                            f32(yts_ref[0, u_, p, :])[:, None]
+                            + smul(f32(xx - x0), ytd_ref[0, u_, p, :][:, None])
+                        )
+                        cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
+                        ct = jnp.maximum(0, jnp.maximum(co, ty))
+                        in_ver = (cb >= ct) & open_
 
-                        fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
-                        fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
-                        paint_plane(u_, 0, fl_emit, cb, fo)
-                        ce_keep = c_sky | (
-                            jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
-                        )
-                        ce_emit = in_ver & draw_c & (ct > co) & ce_keep
-                        paint_plane(u_, 1, ce_emit, co, ct)
+                        thw = thw_ref[0, u_, p, :][:, None]
+                        th = thw >> 16
+                        tw = thw & 0xFFFF
+                        tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
+                                      pow2=TEX_POW2)
+                        cd2 = pack16(by, ty)
 
-                        gap = open_ & ~in_ver & (fo > co)
-                        keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
-                        gap_b = gap & (by <= co)
-                        paint_plane(u_, 0, gap_b & (f_sky | keep_g), co, fo)
-                        gap_t = gap & draw_c & (ty >= fo)
-                        paint_plane(u_, 1, gap_t & (c_sky | keep_g), co, fo)
-                        gap_occl = gap_b | gap_t
+                        if p == 0:
+                            solid = ~two_sided
+                            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
+                            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                            emit_clip(in_ver & solid, rec, cd2, g_bc, coords)
+                            paint_wall(
+                                u_, p, in_ver & solid & draws_p,
+                                ct, cb, by, ty, tx, zdist,
+                            )
 
-                        occl_m = in_ver & two_sided
-                        fo = jnp.where(occl_m, cb, fo)
-                        co = jnp.where(occl_m & draw_c, ct, co)
-                        solid_occl = (covered & solid) | gap_occl
-                        hor_s[...] = (hor | solid_occl).astype(I32)
-                        fo_s[...] = jnp.where(solid_occl, H // 2, fo)
-                        co_s[...] = jnp.where(solid_occl, H // 2, co)
-                    elif p == 1:
-                        rec = pack_span(KIND_MID, ct, cb) | jnp.where(
-                            draw_c, SPAN_DC, 0
-                        )
-                        emit_clip(in_ver, rec, cd2, g_bc, coords)
-                        md1 = texv_ref[0, u_, p, :][:, None] * TW_ATLAS + tx
-                        md3 = pack16(offy_ref[0, u_, p, :][:, None], th)
-                        md4 = pack16(light, zdist)
-                        md5 = jnp.broadcast_to(
-                            lax.bitcast_convert_type(
-                                uy1_ref[0, u_, p, :], I32
-                            )[:, None],
-                            (TB, LANES),
-                        )
-                        emit_mid(
-                            in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
-                        )
-                    elif p == 2:
-                        rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
-                        rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                        emit_clip(in_ver, rec, cd2, g_bc, coords)
-                        paint_wall(
-                            u_, p, in_ver & draws_p,
-                            ct, cb, by, ty, tx, zdist,
-                        )
-                        fo_s[...] = jnp.where(in_ver, ct, fo)
-                    else:
-                        rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
-                        rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                        emit_clip(in_ver, rec, cd2, g_bc, coords)
-                        paint_wall(
-                            u_, p, in_ver & draws_p,
-                            ct, cb, by, ty, tx, zdist,
-                        )
-                        co_s[...] = jnp.where(in_ver, cb, co)
+                            fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
+                            fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
+                            paint_plane(u_, 0, fl_emit, cb, fo)
+                            ce_keep = c_sky | (
+                                jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
+                            )
+                            ce_emit = in_ver & draw_c & (ct > co) & ce_keep
+                            paint_plane(u_, 1, ce_emit, co, ct)
+
+                            gap = open_ & ~in_ver & (fo > co)
+                            keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
+                            gap_b = gap & (by <= co)
+                            paint_plane(u_, 0, gap_b & (f_sky | keep_g), co, fo)
+                            gap_t = gap & draw_c & (ty >= fo)
+                            paint_plane(u_, 1, gap_t & (c_sky | keep_g), co, fo)
+                            gap_occl = gap_b | gap_t
+
+                            occl_m = in_ver & two_sided
+                            fo = jnp.where(occl_m, cb, fo)
+                            co = jnp.where(occl_m & draw_c, ct, co)
+                            solid_occl = (covered & solid) | gap_occl
+                            hor_s[...] = (hor | solid_occl).astype(I32)
+                            fo_s[...] = jnp.where(solid_occl, H // 2, fo)
+                            co_s[...] = jnp.where(solid_occl, H // 2, co)
+                        elif p == 1:
+                            rec = pack_span(KIND_MID, ct, cb) | jnp.where(
+                                draw_c, SPAN_DC, 0
+                            )
+                            emit_clip(in_ver, rec, cd2, g_bc, coords)
+                            md1 = texv_ref[0, u_, p, :][:, None] * TW_ATLAS + tx
+                            md3 = pack16(offy_ref[0, u_, p, :][:, None], th)
+                            md4 = pack16(light, zdist)
+                            md5 = jnp.broadcast_to(
+                                lax.bitcast_convert_type(
+                                    uy1_ref[0, u_, p, :], I32
+                                )[:, None],
+                                (TB, LANES),
+                            )
+                            emit_mid(
+                                in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
+                            )
+                        elif p == 2:
+                            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
+                            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                            emit_clip(in_ver, rec, cd2, g_bc, coords)
+                            paint_wall(
+                                u_, p, in_ver & draws_p,
+                                ct, cb, by, ty, tx, zdist,
+                            )
+                            fo_s[...] = jnp.where(in_ver, ct, fo)
+                        else:
+                            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
+                            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                            emit_clip(in_ver, rec, cd2, g_bc, coords)
+                            paint_wall(
+                                u_, p, in_ver & draws_p,
+                                ct, cb, by, ty, tx, zdist,
+                            )
+                            co_s[...] = jnp.where(in_ver, cb, co)
+
+        return carry
+
+    lax.fori_loop(0, GSUB, _gsub, 0)
 
     # ---------------- composite + shade at the last grid step ---------------
     @pl.when(gi == n_g - 1)
@@ -632,7 +685,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # full-vreg camera tiles when the batch allows it (tests use B=4)
     TB = 8 if B % 8 == 0 else 4
     U = min(SEG_UNROLL, G)
-    Gp = ((G + U - 1) // U) * U
+    GSUB = SEG_GSUB
+    UG = U * GSUB
+    Gp = ((G + UG - 1) // UG) * UG
 
     def ordered(x):
         if x.ndim == 2:
@@ -713,33 +768,50 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     def tile_cam(x):
         return x.reshape(B // TB, TB, x.shape[1]).transpose(0, 2, 1)
 
-    smem_inputs = [
-        tile4(tex_safe),                         # texid (already ordered)
-        tile4(flat_sm),                          # flatid
-        tile4(ph_sm),                            # pheight
-        tile4(pi_sm),                            # per-piece i32 scalars
-        tile4(uy1_o),                            # per-piece f32 uy1
-    ]
-    cam_inputs = [tile_cam(camf), tile_cam(cami)]   # [B/T, 4, T]
+    # ---- consolidated per-seg input packs (ONE DMA each per step) ----
+    # SMEM i32 pack [B, G, 17]: texid 0-3 | flatid 4-5 | pheight 6-7 |
+    # thw 8-11 | off_y 12-15 | light 16
+    smi = jnp.concatenate([tex_safe, flat_sm, ph_sm, pi_sm], axis=-1)
 
-    vmem_inputs = [tile4(x) for x in (
-        order.astype(I32),
-        ordered(frame["x0"]), ordered(frame["x1"]), flags,
-        ordered(frame["lsx"]), ordered(frame["lsy"]),
-        ordered(frame["lex"]), ordered(frame["ley"]),
-        ordered(frame["length"]), ordered(frame["start_offset"]),
-        ordered(frame["offset_x_total"]), light_o,
-        tex_safe,
-        ordered(frame["yb_s"]), ordered(frame["yb_d"]),
-        ordered(frame["yt_s"]), ordered(frame["yt_d"]),
-        offy_o, thw, uy1_o,
-    )]
+    def b32(x):
+        return lax.bitcast_convert_type(x, I32)
+
+    # VMEM i32 pack [B, G, 44] (f32 fields ride bitcast; the kernel's
+    # _RowView restores them): rows 0 g | 1 x0 | 2 x1 | 3 flags |
+    # 4-9 lsx,lsy,lex,ley,length,soff (f32) | 10 offx | 11 light |
+    # 12 texv | 16 ybs | 20 ybd (f32) | 24 yts | 28 ytd (f32) |
+    # 32 offy | 36 thw | 40 uy1 (f32)
+    sv = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    order.astype(I32),
+                    ordered(frame["x0"]), ordered(frame["x1"]), flags,
+                    b32(ordered(frame["lsx"])), b32(ordered(frame["lsy"])),
+                    b32(ordered(frame["lex"])), b32(ordered(frame["ley"])),
+                    b32(ordered(frame["length"])),
+                    b32(ordered(frame["start_offset"])),
+                    ordered(frame["offset_x_total"]), light_o,
+                ],
+                axis=-1,
+            ),
+            tex_safe,
+            ordered(frame["yb_s"]), b32(ordered(frame["yb_d"])),
+            ordered(frame["yt_s"]), b32(ordered(frame["yt_d"])),
+            offy_o, thw, b32(uy1_o),
+        ],
+        axis=-1,
+    )
+
+    smem_inputs = [tile4(smi), tile4(uy1_o)]
+    cam_inputs = [tile_cam(camf), tile_cam(cami)]   # [B/T, 4, T]
+    vmem_inputs = [tile4(sv)]
     tables = [level.tex_q, level.flat_q, level.sky_q, level.palette_words]
 
     def seg_spec(x, space):
         last = x.shape[2]
         return pl.BlockSpec(
-            (1, U, last, TB), lambda i, w, g: (i, g, 0, 0),
+            (1, UG, last, TB), lambda i, w, g: (i, g, 0, 0),
             memory_space=space,
         )
 
@@ -799,11 +871,11 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     kernel = functools.partial(
         _kernel, W=W, H=H, TEX_POW2=level.tex_sizes_pow2, U=U,
-        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB,
+        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB, GSUB=GSUB,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(B // TB, NBW, Gp // U),
+        grid=(B // TB, NBW, Gp // UG),
         in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,

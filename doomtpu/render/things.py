@@ -457,47 +457,58 @@ def deferred_pass(
     items = lax.optimization_barrier(items)
 
     # ---------------- emit into the per-column item pool --------------------
-    # nearest item first (slot 0 = nearest), so a full column drops the
+    # Nearest item first (slot 0 = nearest), so a full column drops the
     # FARTHEST items; the composite then folds farthest -> nearest.
+    # Vectorized (an N-step sequential fori cost ~50 ms at 408 items):
+    # an item's slot is the count of present nearer items (reverse
+    # cumsum along n), and each pool plane is gathered with an EXACT
+    # one-hot contraction over n — plane words split into u16 halves
+    # (exactly representable in f32; the one-hot rows are exact), so the
+    # pool is bit-identical to the sequential emission.
     ki_iota = jnp.arange(KI, dtype=I32)[None, None, :]
+    pres = items["present"]                                  # [B, N, W]
+    rc = jnp.cumsum(pres[:, ::-1, :].astype(I32), axis=1)[:, ::-1, :]
+    slot = rc - 1
+    fits = slot < KI
+    do = pres & fits
+    icnt = jnp.minimum(rc[:, 0, :], KI)                      # [B, W]
+    item_overflow = (pres & ~fits).sum(axis=(1, 2)).astype(I32)
 
-    def emit_body(i, carry):
-        ipool, icnt, ovf = carry
-        n_ix = jnp.full((B, 1), N - 1 - i, I32)                  # nearest first
-
-        def g2(name):
-            a = items[name]
-            return jnp.take_along_axis(a, n_ix[..., None], axis=1)[:, 0]
-
-        present = g2("present")                                   # [B, W]
-        fits = icnt < KI
-        do = present & fits
-        write = do[..., None] & (ki_iota == icnt[..., None])
-        word = pack16(g2("ct") + 1, g2("cb") + 1) | jnp.where(
-            g2("is_mid"), MID_MARK, SPR_MARK
-        )
-        data = (
-            word, g2("colbase"), pack16(g2("by"), g2("ty")),
-            pack16(g2("off_y"), g2("th")), pack16(g2("light"), g2("zd")),
-            lax.bitcast_convert_type(f32(g2("uy1")), I32),
-        )
-        if clip_in_kernel:
-            data = data + (
-                lax.bitcast_convert_type(f32(g2("vpx")), I32),
-                lax.bitcast_convert_type(f32(g2("vpy")), I32),
-            )
-        ipool = tuple(
-            jnp.where(write, d[..., None], p) for p, d in zip(ipool, data)
-        )
-        icnt = icnt + do.astype(I32)
-        ovf = ovf + (present & ~fits).sum(axis=-1).astype(I32)
-        return ipool, icnt, ovf
-
-    n_planes = 8 if clip_in_kernel else 6
-    ipool0 = tuple(jnp.zeros((B, W, KI), I32) for _ in range(n_planes))
-    ipool, icnt, item_overflow = lax.fori_loop(
-        0, N, emit_body,
-        (ipool0, jnp.zeros((B, W), I32), jnp.zeros((B,), I32)),
+    word_n = pack16(items["ct"] + 1, items["cb"] + 1) | jnp.where(
+        items["is_mid"], MID_MARK, SPR_MARK
+    )
+    plane_srcs = [
+        word_n, items["colbase"], pack16(items["by"], items["ty"]),
+        pack16(items["off_y"], items["th"]),
+        pack16(items["light"], items["zd"]),
+        lax.bitcast_convert_type(f32(items["uy1"]), I32),
+    ]
+    if clip_in_kernel:
+        plane_srcs += [
+            lax.bitcast_convert_type(f32(items["vpx"]), I32),
+            lax.bitcast_convert_type(f32(items["vpy"]), I32),
+        ]
+    n_planes = len(plane_srcs)
+    src = jnp.stack(plane_srcs, axis=-1)                     # [B, N, W, F]
+    halves = jnp.concatenate(
+        [f32(src & 0xFFFF), f32((src >> 16) & 0xFFFF)], axis=-1
+    )                                                        # [B, N, W, 2F]
+    oh = jnp.where(do, slot, -1)                             # [B, N, W]
+    onehot = (
+        oh.transpose(0, 2, 1)[..., None] == ki_iota[:, :, None, :]
+    ).astype(jnp.float32)                                    # [B, W, N, KI]
+    # halves [B, N, W, 2F] -> [B, W, 2F, N]
+    lhs = jnp.transpose(halves, (0, 2, 3, 1))
+    folded = lax.dot_general(
+        lhs, onehot,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                        # [B, W, 2F, KI]
+    lo = folded[:, :, :n_planes, :].astype(I32)              # [B, W, F, KI]
+    hi = folded[:, :, n_planes:, :].astype(I32)
+    ipool = tuple(
+        (hi[:, :, i, :] << 16) | lo[:, :, i, :] for i in range(n_planes)
     )
     # ---------------- fill mid slots from the mid pool -----------------------
     # (KI x KMID matching on [B, W] — the mid slot with the same seg id)
