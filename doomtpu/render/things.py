@@ -454,6 +454,9 @@ def deferred_pass(
         items["is_mid"] = jnp.broadcast_to(
             jnp.asarray(MO == 0), (B, N, W)
         )
+    # the barrier materializes the item planes once; without it XLA
+    # re-fuses (recomputes) pieces of the per-item math into multiple
+    # consumers (measured: 119 -> 123 ms without)
     items = lax.optimization_barrier(items)
 
     # ---------------- emit into the per-column item pool --------------------

@@ -90,6 +90,12 @@ def main():
         print(f"{name:34s} {dt * 1000:8.2f} ms  (compile {comp:.0f}s)",
               flush=True)
 
+    if os.environ.get("ROWS", "all") == "kernel":
+        timeit("N=all KI=8 item-kernel", cfg, item_kernel=True)
+        timeit("N=64  KI=8 item-kernel",
+               dataclasses.replace(cfg, max_visible_mobjs=64),
+               item_kernel=True)
+        return
     timeit("full N=all KI=8", cfg)
     timeit("N=64  KI=8", dataclasses.replace(cfg, max_visible_mobjs=64))
     timeit("N=64  KI=4",
