@@ -16,6 +16,11 @@ as pure VPU work in VMEM:
 - opacity is a bit test in the mask words; the farthest -> nearest
   overwrite fold, the light-diminish shade of written pixels and the
   ld-word update all happen in the same pass
+- with a clip pool present (KC > 0), the reference's sprite-vs-seg
+  clip (renderer/map_objects.rs:127-166) also runs here: one (8,128)
+  vreg holds all KI item slots' clip bounds (sublane = slot) and each
+  clip-pool row tests against every slot at once — this replaced the
+  deferred pass's [B, W, K, N] clip reductions entirely
 
 Semantics mirror render/things.py's XLA composite loop exactly
 (renderer/map_objects.rs:216-240 painter order; bitmap_render.rs:253-263
@@ -74,14 +79,15 @@ def _kernel(
     pal0 = _gather_sub(pal_ref[...], zero8)
     pal1 = _gather_sub(pal_ref[...], zero8 + 1)
 
+    if KC > 0:
+        from doomtpu.render.things import is_behind_vertex
+
     for b in range(TB):
         cnt_r = cnt_ref[0, b:b + 1, :]                       # (1, 128)
 
         # ---- in-VMEM sprite seg-clip (things.py clip reductions) ----
         # sublane s of (8,128) = item slot s; all KI slots clip at once
         if KC > 0:
-            from doomtpu.render.things import is_behind_vertex
-
             vpx8 = lax.bitcast_convert_type(vpx_ref[b], F32)
             vpy8 = lax.bitcast_convert_type(vpy_ref[b], F32)
             ccnt_r = ccnt_ref[0, b:b + 1, :]

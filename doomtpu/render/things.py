@@ -21,10 +21,11 @@ per item — 5.4 s at 215 mobjs):
 Sprite clipping reproduces :127-166 exactly: solid pieces clip via
 their extends flags and clipped y values, portals clip to the opening
 with full edge values, honoring the sky-hack draw_ceiling flag (all
-read straight from the span pool's flag bits + G-buffer).  The "is this
-seg in front of the sprite" test (bitmap_render.rs:137-165) is computed
-once per (seg, selected item) and fetched per pool slot with a
-slice-gather (per-index cost amortized over N lanes).
+read straight from the clip pool's flag bits + G-buffer).  On the
+item-kernel path the clip runs inside ops/pallas_items.py per pool
+slot; the XLA fallback computes the "is this seg in front of the
+sprite" test (bitmap_render.rs:137-165) per (seg, selected item) and
+reduces it over clip-pool slots.
 """
 
 from __future__ import annotations
