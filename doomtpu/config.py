@@ -62,6 +62,16 @@ class RenderConfig:
     # see doomtpu/ops/pallas_paint.py) instead of pool + resolve.  The
     # fastest path; requires level.paint_ok and batch % 4 == 0.
     use_pallas_paint: bool = False
+    # Paint sprites + masked mids INSIDE the paint kernel (the item pass
+    # of ops/pallas_paint.py) when the level is eligible
+    # (level.itempaint_ok + the item pack fits SMEM).  Draws EVERY
+    # selected item — no per-column item_capacity cap — exactly like
+    # the reference painter; the deferred pass is skipped entirely.
+    # Default off until the per-block item culling lands: without it the
+    # kernel visits every item per (camera-tile, column-block) and is
+    # slower than the deferred+item-kernel path (899 vs 1013 f/s/chip
+    # at B=2048 e1m1-scale).
+    use_item_paint: bool = False
     # Per-column capacity of the masked-mid pool the paint kernel emits
     # (overlapping drawable two-sided mids per screen column).
     mid_capacity: int = 8

@@ -162,30 +162,41 @@ class _RowView:
     """Adapter exposing row-slices of one packed [1, N, R, TB] ref under
     the old multi-ref access pattern ref[0, u, r, ...]; consolidating
     the per-seg inputs into ONE block per memory space cuts the
-    per-grid-step input DMA count from ~23 to ~3."""
+    per-grid-step input DMA count from ~23 to ~3.
 
-    def __init__(self, ref, base, as_f32=False):
+    With flat_tb set (SMEM refs), the block is [1, N, R*TB] — (row,
+    camera) flattened into the last dim so the SMEM window's pad-to-128
+    is paid once per seg, not once per row (a 4D [.., 17, 8] SMEM
+    window pads 8 -> 128 lanes PER ROW: 768 KB of the 1 MB SMEM)."""
+
+    def __init__(self, ref, base, as_f32=False, flat_tb=0):
         self.ref, self.base, self.as_f32 = ref, base, as_f32
+        self.flat_tb = flat_tb
 
     def __getitem__(self, idx):
         z, u, r, rest = idx
-        v = self.ref[z, u, self.base + r, rest]
+        if self.flat_tb:
+            v = self.ref[z, u, (self.base + r) * self.flat_tb + rest]
+        else:
+            v = self.ref[z, u, self.base + r, rest]
         if self.as_f32:
             v = lax.bitcast_convert_type(v, F32)
         return v
 
 
 def _kernel(
-    # SMEM: per-seg scalar pack [1, U*GSUB, 17, TB] i32 + uy1 f32, and
-    # per-camera scalars (constant over the seg grid dim)
-    smi_ref, pf_ref,
+    # SMEM: per-seg scalar pack [1, U*GSUB, 17, TB] i32 + uy1 f32, the
+    # per-ITEM scalar packs [1, NI, rows*TB] (i32 + f32; see things.py
+    # IPI_*/IPF_* layout), and per-camera scalars (constant over the seg
+    # grid dim)
+    smi_ref, pf_ref, ivi_ref, ivf_ref,
     camf_ref,       # [1, 4, TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 4, TB] i32: pxi, pyi, sky tx_off, 0
     # VMEM: ONE packed per-seg vector block [1, U*GSUB, 44, TB] (f32
     # fields ride as bitcast i32; see SV_* layout in render_paint)
     sv_ref,
     # VMEM tables (constant blocks)
-    texq_ref, flatq_ref, skyq_ref, pal_ref,
+    texq_ref, flatq_ref, skyq_ref, pal_ref, itemq_ref, itemmq_ref,
     # outputs
     idx_out, ld_out, rgb_out,
     m_span, m_d1, m_d2, m_d3, m_d4, m_d5, m_d6,
@@ -193,14 +204,14 @@ def _kernel(
     cntm_ref, cntc_ref, ovf_ref,
     # scratch
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s,
-    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB,
+    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, NI,
 ):
     # views reconstruct the original per-field refs (same loads, same
     # dtypes — f32 fields bitcast back on read)
-    texid_ref = _RowView(smi_ref, 0)
-    flatid_ref = _RowView(smi_ref, 4)
-    pheight_ref = _RowView(smi_ref, 6)
-    pi_ref = _RowView(smi_ref, 8)
+    texid_ref = _RowView(smi_ref, 0, flat_tb=TB)
+    flatid_ref = _RowView(smi_ref, 4, flat_tb=TB)
+    pheight_ref = _RowView(smi_ref, 6, flat_tb=TB)
+    pi_ref = _RowView(smi_ref, 8, flat_tb=TB)
     g_ref = _RowView(sv_ref, 0)
     x0_ref = _RowView(sv_ref, 1)
     x1_ref = _RowView(sv_ref, 2)
@@ -300,7 +311,7 @@ def _kernel(
                     # per-(seg, piece, camera) SMEM scalars — NEVER (1,1)
                     # value slices (Mosaic probe: those fail to compile)
                     th_b = jnp.maximum(pi_ref[0, u_, PI_THW + p, b] >> 16, 1)
-                    uy1_b = pf_ref[0, u_, p, b]
+                    uy1_b = pf_ref[0, u_, p * TB + b]
                     offy_b = pi_ref[0, u_, PI_OFFY + p, b]
                     light_b = pi_ref[0, u_, PI_LIGHT, b]
                     ldc = (light_b << 16) | LD_WRITTEN
@@ -362,12 +373,12 @@ def _kernel(
                     is_sky = (fl & FLAT_SKY_BIT) != 0
                     fl_id = fl & ~FLAT_SKY_BIT
                     h_s = pheight_ref[0, u_, which, b]
-                    cosv = camf_ref[0, 0, b]
-                    sinv = camf_ref[0, 1, b]
-                    fh = camf_ref[0, 2, b]
-                    pxi = cami_ref[0, 0, b]
-                    pyi = cami_ref[0, 1, b]
-                    txoff = cami_ref[0, 2, b]
+                    cosv = camf_ref[0, 0, 0 * TB + b]
+                    sinv = camf_ref[0, 0, 1 * TB + b]
+                    fh = camf_ref[0, 0, 2 * TB + b]
+                    pxi = cami_ref[0, 0, 0 * TB + b]
+                    pyi = cami_ref[0, 0, 1 * TB + b]
+                    txoff = cami_ref[0, 0, 2 * TB + b]
                     light_b = pi_ref[0, u_, PI_LIGHT, b]
                     wz = f32(h_s) - fh - f32(PLAYER_EYE_HEIGHT)
                     fv = [
@@ -616,6 +627,232 @@ def _kernel(
 
     lax.fori_loop(0, GSUB, _gsub, 0)
 
+    # ---------------- deferred items painted in-kernel -----------------------
+    # Sprites + masked mids (things.py deferred_pass semantics) drawn
+    # directly into the PLANE framebuffer after the seg loop finishes:
+    # items are pre-sorted farthest-first on the XLA side (item_pack),
+    # so in-order painting with overwrite IS the reference's
+    # back-to-front painter (map_objects.rs:216-240).  Per-(item,
+    # camera) quantities are SMEM rank-0 scalars; all per-column math
+    # runs as (1, 128) row ops against this block's columns.
+    if NI > 0:
+        from doomtpu.render.things import (
+            IPF_DX, IPF_INV0, IPF_INV1, IPF_ROWS, IPF_UY1, IPF_VPX,
+            IPF_VPY, IPF_YBD, IPF_YBS, IPF_YTD, IPF_YTS, IPF_Z0, IPF_Z1,
+            IPI_BSX, IPI_FL, IPI_LW, IPI_PIC, IPI_ROWS, IPI_SOFF,
+            IPI_TH, IPI_X0, IPI_X1E, is_behind_vertex,
+        )
+
+        # item packs group 4 items per SMEM row so the 128-lane window
+        # pad is zero: 4 * IPI_ROWS * TB = 256 and 4 * IPF_ROWS * TB =
+        # 384 lanes exactly
+        def ii(n, r, b):
+            return ivi_ref[
+                0, n >> 2, (n & 3) * (IPI_ROWS * TB) + r * TB + b
+            ]
+
+        def ifl(n, r, b):
+            return ivf_ref[
+                0, n >> 2, (n & 3) * (IPF_ROWS * TB) + r * TB + b
+            ]
+
+        def paint_item(b, pres, ct, cb, by, ty, offy, th, uy1, light, zd,
+                       pid_b, tx):
+            """Draw one item's columns for camera b (bitmap_render.rs:
+            253-263 v interpolation; masked texels skipped)."""
+            ld_r = (light << 16) | (zd & 0xFFFF) | LD_WRITTEN
+            tv = [
+                itemq_ref[
+                    pl.ds(pl.multiple_of(pid_b * 32 + j * 8, 8), 8), :
+                ]
+                for j in range(4)
+            ]
+            cpat = jnp.broadcast_to(
+                jnp.clip(tx, 0, LANES - 1), (8, LANES)
+            )
+            gv = [_gather_lane(t, cpat) for t in tv]
+            mtab = itemmq_ref[pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :]
+            mgv = _gather_lane(mtab, cpat)
+            ylo = jnp.min(jnp.where(pres, ct, H))
+            yhi = jnp.max(jnp.where(pres, cb, -1))
+            denom_v = f32(by - ty)
+
+            def body(yb, carry, pres=pres, ct=ct, cb=cb, ty=ty,
+                     denom_v=denom_v, gv=gv, mgv=mgv, th=th, uy1=uy1,
+                     offy=offy, ld_r=ld_r, b=b):
+                ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+                yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
+                cover = pres & (yy8 >= ct) & (yy8 <= cb)
+                ay = f32(yy8 - ty) / denom_v
+                tyv = as_i16(f32(th) + smul(ay, uy1)) + offy
+                tyv = wrap_tex(tyv, jnp.maximum(th, 1))
+                word = _select_q(gv, tyv >> 2)
+                texel = _byte(word, tyv)
+                mword = _gather_sub(mgv, (tyv >> 5) & 7)
+                opaque = ((mword >> (tyv & 31)) & 1) != 0
+                wr = cover & opaque
+                pidx_s[b, ys, :] = jnp.where(wr, texel, pidx_s[b, ys, :])
+                pld_s[b, ys, :] = jnp.where(wr, ld_r, pld_s[b, ys, :])
+                return carry
+
+            lax.fori_loop(
+                jnp.maximum(ylo, 0) // 8,
+                jnp.minimum(yhi, H - 1) // 8 + 1,
+                body, 0,
+            )
+
+        @pl.when(gi == n_g - 1)
+        def _items():
+            wlo = wb * LANES
+            whi = wlo + LANES
+            one = f32(1.0)
+
+            def item_body(n, carry):
+                live = []
+                for b in range(TB):
+                    fl_b = ii(n, IPI_FL, b)
+                    live.append(
+                        ((fl_b & 1) != 0)
+                        & (ii(n, IPI_X0, b) < whi)
+                        & (ii(n, IPI_X1E, b) > wlo)
+                    )
+                live_any = live[0]
+                for lv in live[1:]:
+                    live_any = live_any | lv
+
+                @pl.when(live_any)
+                def _live(n=n, live=live):
+                    for b in range(TB):
+                        spr_b = (ii(n, IPI_FL, b) & 2) != 0
+
+                        @pl.when(live[b] & spr_b)
+                        def _spr(n=n, b=b):
+                            xx_r = xx[b:b + 1, :]
+                            inr = (xx_r >= ii(n, IPI_X0, b)) & (
+                                xx_r < ii(n, IPI_X1E, b)
+                            )
+                            # per-column billboard math == things.py's
+                            # [B, N, W] stages, on SMEM scalars
+                            xb = f32(xx_r - ii(n, IPI_BSX, b))
+                            ax = xb / ifl(n, IPF_DX, b)
+                            denom = smul(one - ax, ifl(n, IPF_INV0, b)) \
+                                + smul(ax, ifl(n, IPF_INV1, b))
+                            u = (
+                                smul(one - ax, ifl(n, IPF_Z0, b))
+                                + smul(ax, ifl(n, IPF_Z1, b))
+                            ) / denom
+                            lw_b = ii(n, IPI_LW, b)
+                            tx = wrap_tex(
+                                as_i16(u) + ii(n, IPI_SOFF, b),
+                                jnp.maximum(lw_b >> 16, 1),
+                            )
+                            zd = as_i16(((one - ax) + ax) / denom)
+                            by = as_i16(
+                                ifl(n, IPF_YBS, b)
+                                + smul(xb, ifl(n, IPF_YBD, b))
+                            )
+                            ty = as_i16(
+                                ifl(n, IPF_YTS, b)
+                                + smul(xb, ifl(n, IPF_YTD, b))
+                            )
+                            # seg clip: fold the clip pool
+                            # (map_objects.rs:127-166)
+                            vpx_b = ifl(n, IPF_VPX, b)
+                            vpy_b = ifl(n, IPF_VPY, b)
+                            ccnt_r = cntc_ref[0, b:b + 1, :]
+                            tsc = jnp.full((1, LANES), -1, I32)
+                            bsc = jnp.full((1, LANES), H, I32)
+                            for kc in range(KC):
+                                cw = c_span[b, kc:kc + 1, :]
+                                ok_c = kc < ccnt_r
+                                is_mid_c = ((cw >> 29) & 3) == KIND_MID
+                                e2b = (cw & SPAN_E2B) != 0
+                                e2t = (cw & SPAN_E2T) != 0
+                                dc = ((cw & SPAN_DC) != 0) & is_mid_c
+                                y0 = ((cw >> 8) & 255) - 1
+                                y1 = (cw & 255) - 1
+                                cd2 = c_d2[b, kc:kc + 1, :]
+                                byf = cd2 >> 16
+                                tyf = (cd2 << 16) >> 16
+                                lsx = lax.bitcast_convert_type(
+                                    c_lsx[b, kc:kc + 1, :], F32)
+                                lsy = lax.bitcast_convert_type(
+                                    c_lsy[b, kc:kc + 1, :], F32)
+                                lex = lax.bitcast_convert_type(
+                                    c_lex[b, kc:kc + 1, :], F32)
+                                ley = lax.bitcast_convert_type(
+                                    c_ley[b, kc:kc + 1, :], F32)
+                                front = ok_c & ~is_behind_vertex(
+                                    lsx, lsy, lex, ley, vpx_b, vpy_b
+                                )
+                                tsc = jnp.maximum(tsc, jnp.maximum(
+                                    jnp.where(front & e2t, y1, -1),
+                                    jnp.where(front & dc, tyf, -1),
+                                ))
+                                bsc = jnp.minimum(bsc, jnp.minimum(
+                                    jnp.where(front & e2b, y0, H),
+                                    jnp.where(front & is_mid_c, byf, H),
+                                ))
+                            ct = jnp.maximum(jnp.maximum(0, ty), tsc)
+                            cb = jnp.minimum(jnp.minimum(H - 1, by), bsc)
+                            paint_item(
+                                b, inr, ct, cb, by, ty, 0,
+                                ii(n, IPI_TH, b), ifl(n, IPF_UY1, b),
+                                lw_b & 0xFFFF, zd, ii(n, IPI_PIC, b), tx,
+                            )
+
+                        @pl.when(live[b] & ~spr_b)
+                        def _mid(n=n, b=b):
+                            xx_r = xx[b:b + 1, :]
+                            inr = (xx_r >= ii(n, IPI_X0, b)) & (
+                                xx_r < ii(n, IPI_X1E, b)
+                            )
+                            segid_b = ii(n, IPI_SOFF, b)
+                            pid_b = ii(n, IPI_PIC, b)
+                            mcnt_r = cntm_ref[0, b:b + 1, :]
+                            found = jnp.zeros((1, LANES), bool)
+                            w_v = jnp.zeros((1, LANES), I32)
+                            dv = [jnp.zeros((1, LANES), I32)
+                                  for _ in range(5)]
+                            for k in range(KM):
+                                mw = m_span[b, k:k + 1, :]
+                                hit = (
+                                    (((mw >> 29) & 3) == KIND_MID)
+                                    & (k < mcnt_r)
+                                    & (m_d6[b, k:k + 1, :] == segid_b)
+                                )
+                                w_v = jnp.where(hit, mw, w_v)
+                                for i_, r in enumerate(
+                                    (m_d1, m_d2, m_d3, m_d4, m_d5)
+                                ):
+                                    dv[i_] = jnp.where(
+                                        hit, r[b, k:k + 1, :], dv[i_]
+                                    )
+                                found = found | hit
+                            pres = inr & found
+
+                            @pl.when(pres.any())
+                            def _(pres=pres, w_v=w_v, dv=dv, b=b,
+                                  pid_b=pid_b):
+                                ct = ((w_v >> 8) & 255) - 1
+                                cb = (w_v & 255) - 1
+                                by = dv[1] >> 16
+                                ty = (dv[1] << 16) >> 16
+                                tx = dv[0] - pid_b * TW_ATLAS
+                                offy = dv[2] >> 16
+                                th = (dv[2] << 16) >> 16
+                                light = dv[3] >> 16
+                                zd = (dv[3] << 16) >> 16
+                                uy1 = lax.bitcast_convert_type(dv[4], F32)
+                                paint_item(
+                                    b, pres, ct, cb, by, ty, offy, th,
+                                    uy1, light, zd, pid_b, tx,
+                                )
+
+                return carry
+
+            lax.fori_loop(0, NI, item_body, 0)
+
     # ---------------- composite + shade at the last grid step ---------------
     @pl.when(gi == n_g - 1)
     def _finish():
@@ -659,12 +896,18 @@ def _kernel(
 
 
 def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
-                 angle, px, py, floor_height, interpret: bool = False):
+                 angle, px, py, floor_height, items=None,
+                 interpret: bool = False):
     """Run the paint kernel over B cameras.
 
     Returns dict with idx/ld/rgb [B, H, W], mid pool (7 x [B, W, KM]),
     cnt_mid, clip pool (3 x [B, W, KC]), cnt_clip, overflow [B, 2].
     ld packs light(8)<<16 | dist(u16) | written<<24 | sky<<25.
+
+    With `items` (the pack from things.item_pack; requires
+    level.itempaint_ok), sprites + masked mids are painted INSIDE the
+    kernel too — idx/ld/rgb then hold the complete frame and the
+    deferred pass is not needed.
     """
     from doomtpu.render import jmath
     from doomtpu.render.jmath import cos_sin
@@ -803,12 +1046,60 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         axis=-1,
     )
 
-    smem_inputs = [tile4(smi), tile4(uy1_o)]
-    cam_inputs = [tile_cam(camf), tile_cam(cami)]   # [B/T, 4, T]
+    # per-ITEM scalar packs (SMEM; things.py IPI_*/IPF_* row layout,
+    # cameras flattened into the last dim so the SMEM window's 128-lane
+    # padding is paid once, not per row)
+    if items is not None:
+        from doomtpu.render.things import IPF_ROWS, IPI_ROWS
+
+        assert level.itempaint_ok, "level not eligible for item paint"
+        NI = items["i"].shape[1]
+        N4 = ((NI + 3) // 4) * 4
+
+        def tile_items(x, rows):
+            """[B, NI, rows] -> [B/TB, N4/4, 4*rows*TB]: 4 items per
+            SMEM row — 4*rows*TB is an exact multiple of 128 lanes, so
+            the SMEM window pads nothing (pad items are fl=0/invalid)."""
+            if N4 != NI:
+                x = jnp.pad(x, ((0, 0), (0, N4 - NI), (0, 0)))
+            return (
+                x.reshape(B // TB, TB, N4, rows)
+                .transpose(0, 2, 3, 1)
+                .reshape(B // TB, N4 // 4, 4 * rows * TB)
+            )
+
+        ivi = tile_items(items["i"], IPI_ROWS)
+        ivf = tile_items(items["f"], IPF_ROWS)
+        item_tables = [level.item_q, level.item_mq]
+    else:
+        NI = 0
+        ivi = jnp.zeros((B // TB, 1, 8), jnp.int32)
+        ivf = jnp.zeros((B // TB, 1, 8), jnp.float32)
+        item_tables = [
+            jnp.zeros((8, 128), jnp.int32), jnp.zeros((8, 128), jnp.int32)
+        ]
+
+    def flat_tb(x):
+        """[B/TB, Gp, n, TB] -> [B/TB, Gp, n*TB] (SMEM: one lane pad
+        per seg instead of one per row; see _RowView.flat_tb)."""
+        return x.reshape(x.shape[0], x.shape[1], -1)
+
+    smem_inputs = [flat_tb(tile4(smi)), flat_tb(tile4(uy1_o))]
+    # [B/T, 4, T] -> [B/T, 1, 4*T] (read as [0, 0, r*TB + b]; the unit
+    # dim keeps the block's last-two dims equal to the array's)
+    cam_inputs = [
+        tile_cam(camf).reshape(B // TB, 1, -1),
+        tile_cam(cami).reshape(B // TB, 1, -1),
+    ]
     vmem_inputs = [tile4(sv)]
     tables = [level.tex_q, level.flat_q, level.sky_q, level.palette_words]
 
     def seg_spec(x, space):
+        if x.ndim == 3:                    # flattened SMEM pack
+            return pl.BlockSpec(
+                (1, UG, x.shape[2]), lambda i, w, g: (i, g, 0),
+                memory_space=space,
+            )
         last = x.shape[2]
         return pl.BlockSpec(
             (1, UG, last, TB), lambda i, w, g: (i, g, 0, 0),
@@ -817,7 +1108,13 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     def cam_spec(space):
         return pl.BlockSpec(
-            (1, 4, TB), lambda i, w, g: (i, 0, 0), memory_space=space
+            (1, 1, 4 * TB), lambda i, w, g: (i, 0, 0), memory_space=space
+        )
+
+    def item_spec(x):
+        return pl.BlockSpec(
+            (1,) + x.shape[1:], lambda i, w, g: (i, 0, 0),
+            memory_space=pltpu.SMEM,
         )
 
     def table_spec(x):
@@ -828,9 +1125,10 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     in_specs = (
         [seg_spec(x, pltpu.SMEM) for x in smem_inputs]
+        + [item_spec(x) for x in (ivi, ivf)]
         + [cam_spec(pltpu.SMEM) for _ in cam_inputs]
         + [seg_spec(x, pltpu.VMEM) for x in vmem_inputs]
-        + [table_spec(x) for x in tables]
+        + [table_spec(x) for x in tables + item_tables]
     )
 
     fb_spec = pl.BlockSpec(
@@ -871,7 +1169,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     kernel = functools.partial(
         _kernel, W=W, H=H, TEX_POW2=level.tex_sizes_pow2, U=U,
-        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB, GSUB=GSUB,
+        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB, GSUB=GSUB, NI=NI,
     )
     outs = pl.pallas_call(
         kernel,
@@ -888,7 +1186,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(*smem_inputs, *cam_inputs, *vmem_inputs, *tables)
+    )(*smem_inputs, ivi, ivf, *cam_inputs, *vmem_inputs, *tables,
+      *item_tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
     tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]

@@ -132,6 +132,13 @@ class DeviceLevel:
     # (ops/pallas_items.py): same C axis as atlas_cols
     atlas_colsq: jnp.ndarray   # [C, 32] i32, texel rows 4-per-word
     atlas_maskq: jnp.ndarray   # [C, 8] i32, opacity bit per row (4 used)
+    # unified per-PICTURE packed tables for the IN-KERNEL item paint
+    # (ops/pallas_paint.py item pass), id space [textures | sprites]:
+    # unified id u (mid tex t -> u = t; sprite pic p -> u = T + p) maps
+    # to 32 packed texel-word rows (item_q, tex_q packing discipline)
+    # and 8 opacity-bit rows (item_mq, bit r%32 of word r//32)
+    item_q: jnp.ndarray        # [(T+P)*32, 128] i32
+    item_mq: jnp.ndarray       # [(T+P)*8, 128] i32
 
     # static (non-pytree) metadata
     sky_is_opaque: bool = True
@@ -146,10 +153,14 @@ class DeviceLevel:
     # static eligibility for the item-composite kernel: every atlas
     # column fits the 128-row packed tables
     items_ok: bool = False
+    # static eligibility for the in-kernel item paint (sprites + mids
+    # drawn inside the paint kernel): every sprite picture and every
+    # drawable-mid texture fits 128x128
+    itempaint_ok: bool = False
 
     _STATIC_FIELDS = (
         "sky_is_opaque", "tex_sizes_pow2", "wall_tex_all_opaque",
-        "paint_ok", "items_ok",
+        "paint_ok", "items_ok", "itempaint_ok",
     )
 
     def tree_flatten(self):
@@ -366,7 +377,50 @@ class DeviceLevel:
             atlas_maskq.astype(np.uint64) & 0xFFFFFFFF
         ).astype(np.uint32).astype(np.int64).astype(np.int32)
 
+        # ---- per-PICTURE tables for the in-kernel item paint ----------
+        # (ops/pallas_paint.py item pass): dynamic-row-indexed like tex_q
+        def pack_maskrows(mask_bool):
+            """[h, w] bool -> [8, w] i32, bit r%32 of word r//32."""
+            h, w = mask_bool.shape
+            m = np.zeros((8, w), np.int64)
+            for r in range(min(h, 128)):
+                m[r // 32] |= mask_bool[r].astype(np.int64) << (r % 32)
+            return (
+                m.astype(np.uint64) & 0xFFFFFFFF
+            ).astype(np.uint32).astype(np.int64).astype(np.int32)
+
+        U_ = T_ + P_
+        item_q = np.zeros((U_ * QT, 128), np.int32)
+        item_q[: T_ * QT] = tex_q
+        item_mq = np.zeros((U_ * 8, 128), np.int32)
+        for ti in range(T_):
+            item_mq[ti * 8 : (ti + 1) * 8, :] = pack_maskrows(
+                a.tex_mask[ti][:128, :128]
+            )
+        for pi in range(P_):
+            ui = T_ + pi
+            win = a.spr_pixels[pi][:128, :128].astype(np.uint8)
+            q = pack_rows4(win)
+            item_q[ui * QT : ui * QT + q.shape[0], : win.shape[1]] = q
+            mwin = a.spr_mask[pi][:128, :128]
+            item_mq[ui * 8 : (ui + 1) * 8, : mwin.shape[1]] = pack_maskrows(
+                mwin
+            )
+        mid_tex = np.unique(mid_np[two_sided_np])
+        mid_tex = mid_tex[mid_tex >= 0]
+        itempaint_ok = (
+            items_ok
+            and bool(np.all(a.spr_w <= 128))
+            and bool(np.all(a.spr_h <= 128))
+            and all(
+                a.tex_w[ti] <= 128 and a.tex_h[ti] <= 128 for ti in mid_tex
+            )
+        )
+
         return cls(
+            item_q=_j(item_q, jnp.int32),
+            item_mq=_j(item_mq, jnp.int32),
+            itempaint_ok=itempaint_ok,
             tex_q=_j(tex_q, jnp.int32),
             flat_q=_j(flat_q, jnp.int32),
             sky_q=_j(sky_q, jnp.int32),

@@ -31,9 +31,32 @@ def paint_available(level, cfg, B) -> bool:
     )
 
 
+def itempaint_available(level, cfg, B) -> bool:
+    """Static eligibility of the in-kernel item paint (sprites + mids
+    drawn inside the paint kernel; see ops/pallas_paint.py)."""
+    if not (
+        cfg.use_item_paint
+        and paint_available(level, cfg, B)
+        and level.itempaint_ok
+    ):
+        return False
+    I = level.num_mobjs + int(level.dseg_ix.shape[0])
+    if I == 0:
+        return False
+    N = I if cfg.max_visible_mobjs <= 0 else min(cfg.max_visible_mobjs, I)
+    # SMEM budget: the item packs cost (8 + 12 rows) * TB * 4 B per item,
+    # double-buffered (= 1280 B/item at TB=8), beside the ~100 KB the
+    # flattened seg packs use (SMEM is 1 MB)
+    return N * 1280 <= 600_000
+
+
 def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
-                  timestamp, interpret=False):
-    """Fast path: walls/planes/sky painted in-kernel (pallas_paint)."""
+                  timestamp, interpret=False, mobj_state=None):
+    """Fast path: walls/planes/sky painted in-kernel (pallas_paint).
+
+    With `mobj_state`, sprites + masked mids are painted in-kernel too
+    (requires itempaint_available) and the returned frame is complete.
+    """
     from doomtpu.ops.pallas_paint import LD_SKY, render_paint
 
     frame = cam.build_seg_frame(
@@ -42,9 +65,18 @@ def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
     frame = jax.lax.optimization_barrier(frame)
     rank = cam.traversal_rank(level, px, py)
     order = cam.seg_order(level, rank)
+    ipack = None
+    item_aux = None
+    if mobj_state is not None:
+        from doomtpu.render import things
+
+        ipack, item_aux = things.item_pack(
+            level, cfg, frame, order, px, py, angle, floor_height,
+            sector_light, mobj_state,
+        )
     out = render_paint(
         level, cfg, frame, order, angle, px, py, floor_height,
-        interpret=interpret,
+        items=ipack, interpret=interpret,
     )
     ld = out["ld"]
     light = (ld >> 16) & 0xFF
@@ -57,6 +89,8 @@ def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
         "overflow": out["overflow"],
         "light": light, "dist": dist, "is_sky": is_sky,
     }
+    if item_aux is not None:
+        aux.update(item_aux)
     return out["idx"], light, dist, is_sky, out["rgb"], aux
 
 
@@ -128,7 +162,16 @@ def render_frame(
     """
     from doomtpu.render import things
 
-    if paint_available(level, cfg, px.shape[0]):
+    B = px.shape[0]
+    if itempaint_available(level, cfg, B):
+        # everything — walls, planes, sky, sprites, mids, shade — is
+        # painted inside the ONE paint kernel
+        idx, light, dist, is_sky, rgb, aux = _stages_paint(
+            level, cfg, px, py, angle, floor_height, sector_light,
+            timestamp, mobj_state=mobj_state,
+        )
+        return idx, rgb, aux
+    if paint_available(level, cfg, B):
         idx, light, dist, is_sky, rgb, aux = _stages_paint(
             level, cfg, px, py, angle, floor_height, sector_light, timestamp
         )

@@ -110,54 +110,32 @@ def pools_from_paint(out_or_aux):
     return clip, mid
 
 
-def deferred_pass(
+def _select_items(
     level: DeviceLevel,
     cfg: RenderConfig,
     frame: dict,
-    pools, order,
+    order,
     px, py, angle, floor_height,        # [B]
     sector_light,                        # [B, SEC]
     mobj_state,                          # [B, MO]
-    idx, light, dist, is_sky,            # wall/plane resolve outputs
-    rgb=None,                            # paint path: pre-shaded packed rgb
-    item_kernel=False,                   # composite via ops/pallas_items.py
-    interpret=False,                     # item kernel in interpret mode
 ):
-    """Composite sprites + masked mids over the resolved frame.
+    """Per-item scalars + nearest-N painter-order selection.
 
-    `pools` is the (clip, mid) pair from pools_from_unified /
-    pools_from_paint.  Returns (idx, light, dist, is_sky, daux) with
-    daux counting dropped items (beyond max_visible_mobjs) and item-pool
-    column overflow.
+    Everything here is [B, MO] / [B, I] / [B, N] — no W-scaled arrays.
+    Shared by the XLA deferred pass (which expands per-column data from
+    it) and the in-kernel item paint's `item_pack` (which ships it to
+    the paint kernel as SMEM scalars).  Returns None when the level has
+    no items at all.
     """
-    clip, midp = pools
-    spans, d2, d6, cnt = clip["span"], clip["d2"], clip["d6"], clip["cnt"]
-    B, W, K = spans.shape
-    H = cfg.height
+    B = px.shape[0]
     G = level.num_segs
     MO = level.num_mobjs
-
     dsegs_j = level.dseg_ix
     D = dsegs_j.shape[0]
     I = MO + D
-    zero_aux = {
-        "items_dropped": jnp.zeros((B,), I32),
-        "item_overflow": jnp.zeros((B,), I32),
-    }
     if I == 0:
-        if rgb is not None:
-            zero_aux = dict(zero_aux, rgb=rgb)
-        return idx, light, dist, is_sky, zero_aux
-
+        return None
     N = I if cfg.max_visible_mobjs <= 0 else min(cfg.max_visible_mobjs, I)
-    KI = cfg.item_capacity
-    # item-composite kernel path (ops/pallas_items.py): the composite
-    # fold AND the per-slot sprite seg-clip run in VMEM; the [B,W,K,N]
-    # clip reductions below are skipped entirely
-    use_items = item_kernel and rgb is not None and level.items_ok
-    clip_in_kernel = use_items and MO > 0 and "lsx" in clip
-    yy = jnp.arange(H, dtype=I32)[None, :, None]
-    xcol = jnp.arange(W, dtype=I32)[None, :]
 
     # ---------------- sprite scalars [B, MO] -------------------------------
     if MO > 0:
@@ -274,21 +252,223 @@ def deferred_pass(
         """Gather a [B, MO] sprite scalar at the selected items."""
         return jnp.take_along_axis(x, jnp.clip(sel, 0, max(MO - 1, 0)), axis=1)
 
+    out = {
+        "B": B, "MO": MO, "D": D, "I": I, "N": N,
+        "sel": sel, "sel_valid": sel_valid, "is_spr_sel": is_spr_sel,
+        "items_dropped": items_dropped,
+    }
+    if MO > 0:
+        s_len = jnp.sqrt(
+            smul(lsx - lex, lsx - lex) + smul(lsy - ley, lsy - ley)
+        )
+        out["spr"] = {
+            "lsx": gspr(lsx), "lsy": gspr(lsy),
+            "lex": gspr(lex), "ley": gspr(ley),
+            "soff": gspr(start_off), "pic": gspr(pic_s),
+            "wpic": gspr(w_pic), "light": gspr(light_m),
+            "bsx": gspr(bsx), "bex": gspr(bex),
+            "ybs": gspr(f32(yb_s)), "ybd": gspr(yb_d),
+            "yts": gspr(f32(yt_s)), "ytd": gspr(yt_d),
+            "uy1": gspr(top_h - bottom_h), "slen": gspr(s_len),
+            "vpx": gspr(vpx), "vpy": gspr(vpy),
+        }
+    if D > 0:
+        out["segsel"] = dsegs_j[jnp.clip(sel - MO, 0, D - 1)]    # [B, N]
+    return out
+
+
+# item_pack row layout: per selected item n, per camera, consumed as
+# SMEM rank-0 scalars by the paint kernel's in-kernel item pass
+# (ops/pallas_paint.py), which recomputes the per-column sprite math
+# (things.py [B, N, W] stages) on the VPU.  Two packs: i32 rows and f32
+# rows (kept separate so the kernel never bitcasts an SMEM scalar).
+IPI_FL = 0       # bit0 valid, bit1 is_sprite
+IPI_X0 = 1       # first screen column (as_i16(bsx) / seg x0)
+IPI_X1E = 2      # exclusive end column (as_i16(bex) / seg x1 + 1)
+IPI_LW = 3       # sprite: light | wpic << 16
+IPI_PIC = 4      # unified picture id: mid tex | T + sprite pic (q tables)
+IPI_TH = 5       # sprite picture height (spr_h)
+IPI_SOFF = 6     # sprite as_i16(start_offset) / mid seg id
+IPI_BSX = 7      # i32 screen-x of billboard start (project_x output)
+IPI_ROWS = 8
+IPF_DX = 0       # f32(bex - bsx)
+IPF_INV0 = 1     # f32 1/lsx
+IPF_INV1 = 2     # f32 1/lex
+IPF_Z0 = 3       # f32 0/lsx
+IPF_Z1 = 4       # f32 s_len/lex
+IPF_YBS = 5      # f32(yb_s)
+IPF_YBD = 6      # f32 yb slope
+IPF_YTS = 7      # f32(yt_s)
+IPF_YTD = 8      # f32 yt slope
+IPF_UY1 = 9      # f32 top_h - bottom_h
+IPF_VPX = 10     # f32 view-space mobj x (seg clip)
+IPF_VPY = 11     # f32 view-space mobj y
+IPF_ROWS = 12
+
+
+def item_pack(
+    level: DeviceLevel,
+    cfg: RenderConfig,
+    frame: dict,
+    order,
+    px, py, angle, floor_height,        # [B]
+    sector_light,                        # [B, SEC]
+    mobj_state,                          # [B, MO]
+):
+    """Per-item scalar packs for the in-kernel item paint, plus aux.
+
+    Returns ({"i": [B, N, IPI_ROWS] i32, "f": [B, N, IPF_ROWS] f32},
+    aux) — or (None, zero_aux) when the level has no items.
+
+    Items are ordered farthest-first (ascending painter key), so the
+    kernel paints them in index order with nearer items overwriting —
+    the reference's back-to-front painter (map_objects.rs:216-240)
+    without the item pool's per-column capacity cap.
+    """
+    B = px.shape[0]
+    zero_aux = {
+        "items_dropped": jnp.zeros((B,), I32),
+        "item_overflow": jnp.zeros((B,), I32),
+    }
+    s = _select_items(
+        level, cfg, frame, order, px, py, angle, floor_height,
+        sector_light, mobj_state,
+    )
+    if s is None:
+        return None, zero_aux
+    MO, N = s["MO"], s["N"]
+    sel_valid, is_spr = s["sel_valid"], s["is_spr_sel"]
+    zero = jnp.zeros((B, N), I32)
+    zf = jnp.zeros((B, N), F32)
+    T = level.tex_pixels.shape[0]
+
+    # sprite-side rows (zeros when the level has no mobjs)
+    spr_i = {r: zero for r in range(IPI_ROWS)}
+    spr_f = {r: zf for r in range(IPF_ROWS)}
+    if MO > 0:
+        sp = s["spr"]
+        one = f32(1.0)
+        spr_i.update({
+            IPI_X0: as_i16(sp["bsx"]),
+            IPI_X1E: as_i16(sp["bex"]),        # bex is exclusive already
+            IPI_LW: sp["light"] | (sp["wpic"] << 16),
+            IPI_PIC: T + sp["pic"],            # unified q-table id
+            IPI_TH: level.spr_h[sp["pic"]],
+            IPI_SOFF: as_i16(sp["soff"]),
+            IPI_BSX: sp["bsx"],
+        })
+        spr_f.update({
+            IPF_DX: f32(sp["bex"] - sp["bsx"]),
+            IPF_INV0: one / f32(sp["lsx"]),
+            IPF_INV1: one / f32(sp["lex"]),
+            IPF_Z0: f32(0.0) / f32(sp["lsx"]),
+            IPF_Z1: sp["slen"] / f32(sp["lex"]),
+            IPF_YBS: sp["ybs"], IPF_YBD: sp["ybd"],
+            IPF_YTS: sp["yts"], IPF_YTD: sp["ytd"],
+            IPF_UY1: sp["uy1"],
+            IPF_VPX: sp["vpx"], IPF_VPY: sp["vpy"],
+        })
+
+    # mid-side rows (zeros when the level has no drawable mids)
+    mid_i = {r: zero for r in range(IPI_ROWS)}
+    if "segsel" in s:
+        segsel = s["segsel"]
+        mid_i.update({
+            IPI_X0: as_i16(jnp.take_along_axis(frame["x0"], segsel, axis=1)),
+            IPI_X1E: as_i16(jnp.take_along_axis(frame["x1"], segsel, axis=1))
+            + 1,
+            IPI_PIC: jnp.maximum(level.seg_mid_tex[segsel], 0),
+            IPI_SOFF: segsel,
+        })
+
+    fl = sel_valid.astype(I32) | (is_spr.astype(I32) << 1)
+    rows_i = [
+        jnp.where(is_spr, spr_i[r], mid_i[r]) if r != IPI_FL else fl
+        for r in range(IPI_ROWS)
+    ]
+    # f32 rows are sprite-only (mids read their pool slot instead)
+    pack = {
+        "i": jnp.stack(rows_i, axis=-1),          # [B, N, IPI_ROWS]
+        "f": jnp.stack(
+            [spr_f[r] for r in range(IPF_ROWS)], axis=-1
+        ),                                        # [B, N, IPF_ROWS]
+    }
+    aux = dict(zero_aux, items_dropped=s["items_dropped"])
+    return pack, aux
+
+
+def deferred_pass(
+    level: DeviceLevel,
+    cfg: RenderConfig,
+    frame: dict,
+    pools, order,
+    px, py, angle, floor_height,        # [B]
+    sector_light,                        # [B, SEC]
+    mobj_state,                          # [B, MO]
+    idx, light, dist, is_sky,            # wall/plane resolve outputs
+    rgb=None,                            # paint path: pre-shaded packed rgb
+    item_kernel=False,                   # composite via ops/pallas_items.py
+    interpret=False,                     # item kernel in interpret mode
+):
+    """Composite sprites + masked mids over the resolved frame.
+
+    `pools` is the (clip, mid) pair from pools_from_unified /
+    pools_from_paint.  Returns (idx, light, dist, is_sky, daux) with
+    daux counting dropped items (beyond max_visible_mobjs) and item-pool
+    column overflow.
+    """
+    clip, midp = pools
+    spans, d2, d6, cnt = clip["span"], clip["d2"], clip["d6"], clip["cnt"]
+    B, W, K = spans.shape
+    H = cfg.height
+    G = level.num_segs
+    MO = level.num_mobjs
+    dsegs_j = level.dseg_ix
+    D = dsegs_j.shape[0]
+
+    sel_s = _select_items(
+        level, cfg, frame, order, px, py, angle, floor_height,
+        sector_light, mobj_state,
+    )
+    zero_aux = {
+        "items_dropped": jnp.zeros((B,), I32),
+        "item_overflow": jnp.zeros((B,), I32),
+    }
+    if sel_s is None:
+        if rgb is not None:
+            zero_aux = dict(zero_aux, rgb=rgb)
+        return idx, light, dist, is_sky, zero_aux
+
+    I, N = sel_s["I"], sel_s["N"]
+    sel, sel_valid = sel_s["sel"], sel_s["sel_valid"]
+    is_spr_sel = sel_s["is_spr_sel"]
+    items_dropped = sel_s["items_dropped"]
+    KI = cfg.item_capacity
+    # item-composite kernel path (ops/pallas_items.py): the composite
+    # fold AND the per-slot sprite seg-clip run in VMEM; the [B,W,K,N]
+    # clip reductions below are skipped entirely
+    use_items = item_kernel and rgb is not None and level.items_ok
+    clip_in_kernel = use_items and MO > 0 and "lsx" in clip
+    yy = jnp.arange(H, dtype=I32)[None, :, None]
+    xcol = jnp.arange(W, dtype=I32)[None, :]
+
     # ---------------- sprite column data [B, N, W] --------------------------
     ROWS = level.atlas_rows
     PW = level.spr_pixels.shape[2]
 
     if MO > 0:
-        lsx_s, lsy_s = gspr(lsx), gspr(lsy)
-        lex_s, ley_s = gspr(lex), gspr(ley)
-        soff_s = gspr(start_off)
-        pic_sel = gspr(pic_s)
-        wpic_s = gspr(w_pic)
-        light_s = gspr(light_m)
-        bsx_s, bex_s = gspr(bsx), gspr(bex)
-        ybs_s, ybd_s = gspr(f32(yb_s)), gspr(yb_d)
-        yts_s, ytd_s = gspr(f32(yt_s)), gspr(yt_d)
-        uy1_s = gspr(top_h - bottom_h)
+        sp = sel_s["spr"]
+        lsx_s, lsy_s = sp["lsx"], sp["lsy"]
+        lex_s, ley_s = sp["lex"], sp["ley"]
+        soff_s = sp["soff"]
+        pic_sel = sp["pic"]
+        wpic_s = sp["wpic"]
+        light_s = sp["light"]
+        bsx_s, bex_s = sp["bsx"], sp["bex"]
+        ybs_s, ybd_s = sp["ybs"], sp["ybd"]
+        yts_s, ytd_s = sp["yts"], sp["ytd"]
+        uy1_s = sp["uy1"]
+        s_len = sp["slen"]
 
         one = f32(1.0)
         ax = f32(xcol[:, None] - bsx_s[..., None]) / f32(
@@ -324,12 +504,16 @@ def deferred_pass(
         )
 
         # ---------------- seg clip bounds for selected sprites ------------
-        vpx_s, vpy_s = gspr(vpx), gspr(vpy)
+        vpx_s, vpy_s = sp["vpx"], sp["vpy"]
         if clip_in_kernel:
             # the item kernel applies seg clip per pool slot; only the
             # screen clamp happens here (max/min associativity matches:
-            # max(max(0, s_ty), tsc) == max(0, s_ty, tsc))
-            s_ct = jnp.maximum(0, s_ty)
+            # max(max(0, s_ty), tsc) == max(0, s_ty, tsc)).  The upper
+            # clamp to H keeps ct+1 inside the pool word's 9-bit field
+            # (a sprite fully below the screen has s_ty >> 511, which
+            # would otherwise alias into the visible range); ct == H
+            # draws nothing, exactly like any ct > H would.
+            s_ct = jnp.minimum(jnp.maximum(0, s_ty), H)
             s_cb = jnp.minimum(H - 1, s_by)
         else:
             # front[b, g, n]: is seg g in front of selected item n
@@ -371,7 +555,8 @@ def deferred_pass(
             tsc = jnp.moveaxis(tsc, 2, 1)                        # [B, N, W]
             bsc = jnp.moveaxis(bsc, 2, 1)
 
-            s_ct = jnp.maximum(0, jnp.maximum(s_ty, tsc))
+            # upper clamp to H: see the clip_in_kernel branch note
+            s_ct = jnp.minimum(jnp.maximum(0, jnp.maximum(s_ty, tsc)), H)
             s_cb = jnp.minimum(H - 1, jnp.minimum(s_by, bsc))
 
         spr_cols = dict(
@@ -405,7 +590,7 @@ def deferred_pass(
     )
     mid_slot = (((m_span >> 29) & 3) == KIND_MID) & m_ok         # [B,W,KMID]
     if D > 0:
-        segsel = dsegs_j[jnp.clip(sel - MO, 0, D - 1)]           # [B, N]
+        segsel = sel_s["segsel"]                                 # [B, N]
         want_mid = ~is_spr_sel if MO > 0 else jnp.ones((B, N), bool)
         presence_d = jnp.zeros((B, D, W), bool)
         for k in range(KMID):

@@ -125,8 +125,66 @@ def test_paint_full_frame_bit_exact(setup, demo_level, config):
         np.asarray(daux["rgb"]), np.asarray(rgb_r)
     )
 
-    # item-composite kernel (ops/pallas_items.py) vs the XLA fold
+@pytest.mark.parametrize("nviews", [4, 8])
+def test_paint_items_in_kernel_bit_exact(setup, demo_level, config, nviews):
+    """Integrated item paint (sprites + masked mids drawn inside the
+    paint kernel, ops/pallas_paint.py item pass) == the XLA pipeline's
+    full frame, bit for bit; nviews exercises both camera tiles."""
+    from doomtpu.render.frame import render_frame
+    from doomtpu.ops.pallas_paint import render_paint
+
+    level = setup
+    assert level.itempaint_ok
+    views = (VIEWS * 2)[:nviews]
+    px, py, pa, fh, sl, ts = _state(demo_level, views)
+    mp, ma, ms = demo_level.spawn_mobjs()
+    B = len(views)
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
+
+    idx_r, rgb_r, aux_r = render_frame(
+        level, config, px, py, pa, fh, sl, mstate, ts
+    )
+
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    ipack, iaux = things.item_pack(
+        level, config, frame, order, px, py, pa, fh, sl, mstate
+    )
+    out = render_paint(
+        level, config, frame, order, pa, px, py, fh, items=ipack,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out["idx"]), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(out["rgb"]), np.asarray(rgb_r))
+    assert int(np.asarray(out["overflow"]).max()) == 0
+
+
+def test_paint_full_frame_item_kernel(setup, demo_level, config):
+    """Item-composite kernel (ops/pallas_items.py) vs the XLA fold."""
+    from doomtpu.render.frame import render_frame
+    from doomtpu.ops.pallas_paint import LD_SKY, render_paint
+
+    level = setup
     assert level.items_ok
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    mp, ma, ms = demo_level.spawn_mobjs()
+    B = len(VIEWS)
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
+
+    idx_r, rgb_r, aux_r = render_frame(
+        level, config, px, py, pa, fh, sl, mstate, ts
+    )
+
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    out = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True
+    )
+    ld = out["ld"]
+    light = (ld >> 16) & 0xFF
+    dist = ((ld & 0xFFFF) << 16) >> 16
+    is_sky = (ld & LD_SKY) != 0
+    pools = things.pools_from_paint(out)
     idx_k, _, _, _, daux_k = things.deferred_pass(
         level, config, frame, pools, order,
         px, py, pa, fh, sl, mstate,
