@@ -54,6 +54,11 @@ class RenderConfig:
     # lax.map over chunks so the peak [chunk, H, W] working set stays
     # inside HBM while the output frames accumulate at full batch size.
     render_chunk: int = 256
+    # Morton-sort cameras by position before rendering (engine.render;
+    # outputs are unsorted back, so frames are bit-identical).  Camera
+    # tiles of 8 then see overlapping geometry, which shrinks the paint
+    # kernel's per-tile live-seg/live-item lists.
+    camera_sort: bool = True
     # Run the occlusion wall scan as a Pallas TPU kernel (VMEM-resident
     # span pool; see doomtpu/ops/pallas_scan.py).  Requires a TPU backend
     # and batch % 8 == 0; the lax.scan path is used otherwise.

@@ -197,9 +197,49 @@ def _unchunk(out, B):
     return jax.tree_util.tree_map(lambda x: x.reshape((B,) + x.shape[2:]), out)
 
 
+def _camera_sort_perm(state: GameState):
+    """Morton-order cameras by position (+ angle bucket).
+
+    The paint kernel processes cameras in tiles of 8; random viewpoints
+    make each tile's live-seg/live-item set the UNION of 8 unrelated
+    views.  Clustering nearby cameras into the same tile shrinks that
+    union (pure reorder — outputs are unsorted back, bit-identical)."""
+    x = jnp.asarray(state.pos[:, 0], jnp.float32)
+    y = jnp.asarray(state.pos[:, 1], jnp.float32)
+
+    def spread(v):  # interleave 8 bits with zeros
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    def morton(xq, yq):
+        return spread(xq) | (spread(yq) << 1)
+
+    # coarse region, then view angle, then fine position: FOV-culled
+    # seg sets depend on angle as much as position, so angle must rank
+    # above fine position (measured on the e1m1 fixture: 22984 ->
+    # 15727 live-seg visits vs 21280 for an angle-last key)
+    xr = (x * (1.0 / 1024.0)).astype(jnp.int32) & 0x3F
+    yr = (y * (1.0 / 1024.0)).astype(jnp.int32) & 0x3F
+    aq = (
+        jnp.asarray(state.angle, jnp.float32) * (4.0 / np.pi)
+    ).astype(jnp.int32) & 7
+    xf = (x * 0.015625).astype(jnp.int32) & 0xF
+    yf = (y * 0.015625).astype(jnp.int32) & 0xF
+    key = (morton(xr, yr) << 16) | (aq << 13) | morton(xf, yf)
+    return jnp.argsort(key).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnums=2)
 def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
     B = state.pos.shape[0]
+
+    perm = None
+    if cfg.camera_sort and B > 8:
+        perm = _camera_sort_perm(state)
+        state = jax.tree_util.tree_map(lambda x: x[perm], state)
 
     def one(st):
         idx, rgb, _ = render_frame(
@@ -213,12 +253,20 @@ def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
     out = _chunked(level, state, cfg, one)
     if out[0].shape[0] != B:
         out = _unchunk(out, B)
+    if perm is not None:
+        inv = jnp.argsort(perm).astype(jnp.int32)
+        out = jax.tree_util.tree_map(lambda x: x[inv], out)
     return out
 
 
 @partial(jax.jit, static_argnums=2)
 def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
     B = state.pos.shape[0]
+
+    perm = None
+    if cfg.camera_sort and B > 8:
+        perm = _camera_sort_perm(state)
+        state = jax.tree_util.tree_map(lambda x: x[perm], state)
 
     def one(st):
         idx, rgb, _ = render_walls_planes(
@@ -231,6 +279,9 @@ def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
     out = _chunked(level, state, cfg, one)
     if out[0].shape[0] != B:
         out = _unchunk(out, B)
+    if perm is not None:
+        inv = jnp.argsort(perm).astype(jnp.int32)
+        out = jax.tree_util.tree_map(lambda x: x[inv], out)
     return out
 
 

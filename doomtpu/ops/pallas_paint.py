@@ -174,25 +174,30 @@ class _RowView:
         self.flat_tb = flat_tb
 
     def __getitem__(self, idx):
+        # refs carry a leading per-block dim (seg rows are compacted per
+        # (camera tile, column block)): [1, 1, G, ...]
         z, u, r, rest = idx
         if self.flat_tb:
-            v = self.ref[z, u, (self.base + r) * self.flat_tb + rest]
+            v = self.ref[z, 0, u, (self.base + r) * self.flat_tb + rest]
         else:
-            v = self.ref[z, u, self.base + r, rest]
+            v = self.ref[z, 0, u, self.base + r, rest]
         if self.as_f32:
             v = lax.bitcast_convert_type(v, F32)
         return v
 
 
 def _kernel(
-    # SMEM: per-seg scalar pack [1, U*GSUB, 17, TB] i32 + uy1 f32, the
-    # per-ITEM scalar packs [1, NI, rows*TB] (i32 + f32; see things.py
-    # IPI_*/IPF_* layout), and per-camera scalars (constant over the seg
-    # grid dim)
-    smi_ref, pf_ref, ivi_ref, ivf_ref,
-    camf_ref,       # [1, 4, TB] f32: cos, sin, floor_height, 0
-    cami_ref,       # [1, 4, TB] i32: pxi, pyi, sky tx_off, 0
-    # VMEM: ONE packed per-seg vector block [1, U*GSUB, 44, TB] (f32
+    # SMEM: per-seg scalar pack [1, 1, U*GSUB, 17*TB] i32 + uy1 f32
+    # (seg rows are COMPACTED per (camera tile, column block): only segs
+    # live in this block, in traversal order — see the culling in
+    # render_paint), the live-seg count, the per-ITEM scalar packs
+    # [1, NIg, 4*rows*TB] (i32 + f32; see things.py IPI_*/IPF_* layout)
+    # with their per-block live-item list + count, and per-camera
+    # scalars (constant over the seg grid dim)
+    smi_ref, pf_ref, scnt_ref, ivi_ref, ivf_ref, ilist_ref, icnt_ref,
+    camf_ref,       # [1, 1, 4*TB] f32: cos, sin, floor_height, 0
+    cami_ref,       # [1, 1, 4*TB] i32: pxi, pyi, sky tx_off, 0
+    # VMEM: ONE packed per-seg vector block [1, 1, U*GSUB, 44, TB] (f32
     # fields ride as bitcast i32; see SV_* layout in render_paint)
     sv_ref,
     # VMEM tables (constant blocks)
@@ -311,7 +316,7 @@ def _kernel(
                     # per-(seg, piece, camera) SMEM scalars — NEVER (1,1)
                     # value slices (Mosaic probe: those fail to compile)
                     th_b = jnp.maximum(pi_ref[0, u_, PI_THW + p, b] >> 16, 1)
-                    uy1_b = pf_ref[0, u_, p * TB + b]
+                    uy1_b = pf_ref[0, 0, u_, p * TB + b]
                     offy_b = pi_ref[0, u_, PI_OFFY + p, b]
                     light_b = pi_ref[0, u_, PI_LIGHT, b]
                     ldc = (light_b << 16) | LD_WRITTEN
@@ -625,7 +630,10 @@ def _kernel(
 
         return carry
 
-    lax.fori_loop(0, GSUB, _gsub, 0)
+    # run only the sub-steps that hold live segs for this block: the
+    # compacted list puts them first, scnt counts them
+    rem = scnt_ref[0, 0, 0, 0] - gi * (U * GSUB)
+    lax.fori_loop(0, jnp.clip((rem + U - 1) // U, 0, GSUB), _gsub, 0)
 
     # ---------------- deferred items painted in-kernel -----------------------
     # Sprites + masked mids (things.py deferred_pass semantics) drawn
@@ -706,8 +714,19 @@ def _kernel(
             wlo = wb * LANES
             whi = wlo + LANES
             one = f32(1.0)
+            sub8 = lax.broadcasted_iota(I32, (TB, LANES), 0)
 
-            def item_body(n, carry):
+            def vec8(read, fdt=None):
+                """(TB, LANES) vreg whose sublane b holds the SMEM
+                scalar read(b) — per-camera values enter vector math
+                without any per-camera serial loop."""
+                v = jnp.full((TB, LANES), read(0), fdt or I32)
+                for b in range(1, TB):
+                    v = jnp.where(sub8 == b, read(b), v)
+                return v
+
+            def item_body(j, carry):
+                n = ilist_ref[0, 0, 0, j]
                 live = []
                 for b in range(TB):
                     fl_b = ii(n, IPI_FL, b)
@@ -722,136 +741,127 @@ def _kernel(
 
                 @pl.when(live_any)
                 def _live(n=n, live=live):
+                    # ---- per-camera scalars -> sublane vregs ----
+                    iv = lambda r: vec8(lambda b: ii(n, r, b))
+                    fv = lambda r: vec8(lambda b: ifl(n, r, b), F32)
+                    fl_v = iv(IPI_FL)
+                    valid_v = (fl_v & 1) != 0
+                    spr_v = (fl_v & 2) != 0
+                    in_r = (
+                        (xx >= iv(IPI_X0)) & (xx < iv(IPI_X1E)) & valid_v
+                    )
+
+                    # ---- sprite billboard math (things.py [B, N, W]
+                    # stages), all cameras at once ----
+                    xb = f32(xx - iv(IPI_BSX))
+                    ax = xb / fv(IPF_DX)
+                    denom = smul(one - ax, fv(IPF_INV0)) \
+                        + smul(ax, fv(IPF_INV1))
+                    u = (
+                        smul(one - ax, fv(IPF_Z0))
+                        + smul(ax, fv(IPF_Z1))
+                    ) / denom
+                    lw_v = iv(IPI_LW)
+                    soff_v = iv(IPI_SOFF)       # sprite soff / mid seg id
+                    s_tx = wrap_tex(
+                        as_i16(u) + soff_v, jnp.maximum(lw_v >> 16, 1)
+                    )
+                    s_zd = as_i16(((one - ax) + ax) / denom)
+                    s_by = as_i16(fv(IPF_YBS) + smul(xb, fv(IPF_YBD)))
+                    s_ty = as_i16(fv(IPF_YTS) + smul(xb, fv(IPF_YTD)))
+
+                    # ---- sprite seg clip: fold the clip pool
+                    # (map_objects.rs:127-166), all cameras at once ----
+                    vpx_v = fv(IPF_VPX)
+                    vpy_v = fv(IPF_VPY)
+                    ccnt = cntc_ref[0]
+                    tsc = jnp.full((TB, LANES), -1, I32)
+                    bsc = jnp.full((TB, LANES), H, I32)
+                    for kc in range(KC):
+                        cw = c_span[:, kc, :]
+                        ok_c = kc < ccnt
+                        is_mid_c = ((cw >> 29) & 3) == KIND_MID
+                        e2b = (cw & SPAN_E2B) != 0
+                        e2t = (cw & SPAN_E2T) != 0
+                        dc = ((cw & SPAN_DC) != 0) & is_mid_c
+                        y0 = ((cw >> 8) & 255) - 1
+                        y1 = (cw & 255) - 1
+                        cd2 = c_d2[:, kc, :]
+                        byf = cd2 >> 16
+                        tyf = (cd2 << 16) >> 16
+                        lsx = lax.bitcast_convert_type(c_lsx[:, kc, :], F32)
+                        lsy = lax.bitcast_convert_type(c_lsy[:, kc, :], F32)
+                        lex = lax.bitcast_convert_type(c_lex[:, kc, :], F32)
+                        ley = lax.bitcast_convert_type(c_ley[:, kc, :], F32)
+                        front = ok_c & ~is_behind_vertex(
+                            lsx, lsy, lex, ley, vpx_v, vpy_v
+                        )
+                        tsc = jnp.maximum(tsc, jnp.maximum(
+                            jnp.where(front & e2t, y1, -1),
+                            jnp.where(front & dc, tyf, -1),
+                        ))
+                        bsc = jnp.minimum(bsc, jnp.minimum(
+                            jnp.where(front & e2b, y0, H),
+                            jnp.where(front & is_mid_c, byf, H),
+                        ))
+                    s_ct = jnp.maximum(jnp.maximum(0, s_ty), tsc)
+                    s_cb = jnp.minimum(jnp.minimum(H - 1, s_by), bsc)
+
+                    # ---- mid draw data from the in-VMEM mid pool ----
+                    pid_v = iv(IPI_PIC)
+                    mcnt = cntm_ref[0]
+                    found = jnp.zeros((TB, LANES), bool)
+                    w_v = jnp.zeros((TB, LANES), I32)
+                    dv = [jnp.zeros((TB, LANES), I32) for _ in range(5)]
+                    for k in range(KM):
+                        mw = m_span[:, k, :]
+                        hit = (
+                            (((mw >> 29) & 3) == KIND_MID)
+                            & (k < mcnt)
+                            & (m_d6[:, k, :] == soff_v)
+                        )
+                        w_v = jnp.where(hit, mw, w_v)
+                        for i_, r in enumerate(
+                            (m_d1, m_d2, m_d3, m_d4, m_d5)
+                        ):
+                            dv[i_] = jnp.where(hit, r[:, k, :], dv[i_])
+                        found = found | hit
+
+                    # ---- merge sprite/mid per element ----
+                    pres = in_r & (spr_v | found)
+                    ct = jnp.where(spr_v, s_ct, ((w_v >> 8) & 255) - 1)
+                    cb = jnp.where(spr_v, s_cb, (w_v & 255) - 1)
+                    by = jnp.where(spr_v, s_by, dv[1] >> 16)
+                    ty = jnp.where(spr_v, s_ty, (dv[1] << 16) >> 16)
+                    tx = jnp.where(spr_v, s_tx, dv[0] - pid_v * TW_ATLAS)
+                    offy = jnp.where(spr_v, 0, dv[2] >> 16)
+                    th = jnp.where(
+                        spr_v, iv(IPI_TH), (dv[2] << 16) >> 16
+                    )
+                    light = jnp.where(spr_v, lw_v & 0xFFFF, dv[3] >> 16)
+                    zd = jnp.where(spr_v, s_zd, (dv[3] << 16) >> 16)
+                    uy1 = jnp.where(
+                        spr_v, fv(IPF_UY1),
+                        lax.bitcast_convert_type(dv[4], F32),
+                    )
+
                     for b in range(TB):
-                        spr_b = (ii(n, IPI_FL, b) & 2) != 0
-
-                        @pl.when(live[b] & spr_b)
-                        def _spr(n=n, b=b):
-                            xx_r = xx[b:b + 1, :]
-                            inr = (xx_r >= ii(n, IPI_X0, b)) & (
-                                xx_r < ii(n, IPI_X1E, b)
-                            )
-                            # per-column billboard math == things.py's
-                            # [B, N, W] stages, on SMEM scalars
-                            xb = f32(xx_r - ii(n, IPI_BSX, b))
-                            ax = xb / ifl(n, IPF_DX, b)
-                            denom = smul(one - ax, ifl(n, IPF_INV0, b)) \
-                                + smul(ax, ifl(n, IPF_INV1, b))
-                            u = (
-                                smul(one - ax, ifl(n, IPF_Z0, b))
-                                + smul(ax, ifl(n, IPF_Z1, b))
-                            ) / denom
-                            lw_b = ii(n, IPI_LW, b)
-                            tx = wrap_tex(
-                                as_i16(u) + ii(n, IPI_SOFF, b),
-                                jnp.maximum(lw_b >> 16, 1),
-                            )
-                            zd = as_i16(((one - ax) + ax) / denom)
-                            by = as_i16(
-                                ifl(n, IPF_YBS, b)
-                                + smul(xb, ifl(n, IPF_YBD, b))
-                            )
-                            ty = as_i16(
-                                ifl(n, IPF_YTS, b)
-                                + smul(xb, ifl(n, IPF_YTD, b))
-                            )
-                            # seg clip: fold the clip pool
-                            # (map_objects.rs:127-166)
-                            vpx_b = ifl(n, IPF_VPX, b)
-                            vpy_b = ifl(n, IPF_VPY, b)
-                            ccnt_r = cntc_ref[0, b:b + 1, :]
-                            tsc = jnp.full((1, LANES), -1, I32)
-                            bsc = jnp.full((1, LANES), H, I32)
-                            for kc in range(KC):
-                                cw = c_span[b, kc:kc + 1, :]
-                                ok_c = kc < ccnt_r
-                                is_mid_c = ((cw >> 29) & 3) == KIND_MID
-                                e2b = (cw & SPAN_E2B) != 0
-                                e2t = (cw & SPAN_E2T) != 0
-                                dc = ((cw & SPAN_DC) != 0) & is_mid_c
-                                y0 = ((cw >> 8) & 255) - 1
-                                y1 = (cw & 255) - 1
-                                cd2 = c_d2[b, kc:kc + 1, :]
-                                byf = cd2 >> 16
-                                tyf = (cd2 << 16) >> 16
-                                lsx = lax.bitcast_convert_type(
-                                    c_lsx[b, kc:kc + 1, :], F32)
-                                lsy = lax.bitcast_convert_type(
-                                    c_lsy[b, kc:kc + 1, :], F32)
-                                lex = lax.bitcast_convert_type(
-                                    c_lex[b, kc:kc + 1, :], F32)
-                                ley = lax.bitcast_convert_type(
-                                    c_ley[b, kc:kc + 1, :], F32)
-                                front = ok_c & ~is_behind_vertex(
-                                    lsx, lsy, lex, ley, vpx_b, vpy_b
-                                )
-                                tsc = jnp.maximum(tsc, jnp.maximum(
-                                    jnp.where(front & e2t, y1, -1),
-                                    jnp.where(front & dc, tyf, -1),
-                                ))
-                                bsc = jnp.minimum(bsc, jnp.minimum(
-                                    jnp.where(front & e2b, y0, H),
-                                    jnp.where(front & is_mid_c, byf, H),
-                                ))
-                            ct = jnp.maximum(jnp.maximum(0, ty), tsc)
-                            cb = jnp.minimum(jnp.minimum(H - 1, by), bsc)
+                        @pl.when(live[b] & pres[b:b + 1, :].any())
+                        def _b(n=n, b=b):
                             paint_item(
-                                b, inr, ct, cb, by, ty, 0,
-                                ii(n, IPI_TH, b), ifl(n, IPF_UY1, b),
-                                lw_b & 0xFFFF, zd, ii(n, IPI_PIC, b), tx,
+                                b, pres[b:b + 1, :], ct[b:b + 1, :],
+                                cb[b:b + 1, :], by[b:b + 1, :],
+                                ty[b:b + 1, :], offy[b:b + 1, :],
+                                th[b:b + 1, :], uy1[b:b + 1, :],
+                                light[b:b + 1, :], zd[b:b + 1, :],
+                                ii(n, IPI_PIC, b), tx[b:b + 1, :],
                             )
-
-                        @pl.when(live[b] & ~spr_b)
-                        def _mid(n=n, b=b):
-                            xx_r = xx[b:b + 1, :]
-                            inr = (xx_r >= ii(n, IPI_X0, b)) & (
-                                xx_r < ii(n, IPI_X1E, b)
-                            )
-                            segid_b = ii(n, IPI_SOFF, b)
-                            pid_b = ii(n, IPI_PIC, b)
-                            mcnt_r = cntm_ref[0, b:b + 1, :]
-                            found = jnp.zeros((1, LANES), bool)
-                            w_v = jnp.zeros((1, LANES), I32)
-                            dv = [jnp.zeros((1, LANES), I32)
-                                  for _ in range(5)]
-                            for k in range(KM):
-                                mw = m_span[b, k:k + 1, :]
-                                hit = (
-                                    (((mw >> 29) & 3) == KIND_MID)
-                                    & (k < mcnt_r)
-                                    & (m_d6[b, k:k + 1, :] == segid_b)
-                                )
-                                w_v = jnp.where(hit, mw, w_v)
-                                for i_, r in enumerate(
-                                    (m_d1, m_d2, m_d3, m_d4, m_d5)
-                                ):
-                                    dv[i_] = jnp.where(
-                                        hit, r[b, k:k + 1, :], dv[i_]
-                                    )
-                                found = found | hit
-                            pres = inr & found
-
-                            @pl.when(pres.any())
-                            def _(pres=pres, w_v=w_v, dv=dv, b=b,
-                                  pid_b=pid_b):
-                                ct = ((w_v >> 8) & 255) - 1
-                                cb = (w_v & 255) - 1
-                                by = dv[1] >> 16
-                                ty = (dv[1] << 16) >> 16
-                                tx = dv[0] - pid_b * TW_ATLAS
-                                offy = dv[2] >> 16
-                                th = (dv[2] << 16) >> 16
-                                light = dv[3] >> 16
-                                zd = (dv[3] << 16) >> 16
-                                uy1 = lax.bitcast_convert_type(dv[4], F32)
-                                paint_item(
-                                    b, pres, ct, cb, by, ty, offy, th,
-                                    uy1, light, zd, pid_b, tx,
-                                )
 
                 return carry
 
-            lax.fori_loop(0, NI, item_body, 0)
+            # only items live in this (tile, block): the XLA side
+            # compacts indices (order-preserving) and counts them
+            lax.fori_loop(0, icnt_ref[0, 0, 0, 0], item_body, 0)
 
     # ---------------- composite + shade at the last grid step ---------------
     @pl.when(gi == n_g - 1)
@@ -1084,26 +1094,81 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         per seg instead of one per row; see _RowView.flat_tb)."""
         return x.reshape(x.shape[0], x.shape[1], -1)
 
-    smem_inputs = [flat_tb(tile4(smi)), flat_tb(tile4(uy1_o))]
+    Bt = B // TB
+    ti = jnp.arange(Bt)[:, None, None]
+
+    # ---- per-(tile, block) live-seg compaction --------------------------
+    # A seg only matters to a 128-column block when its [x0, x1] overlaps
+    # the block for SOME camera of the tile (the in-kernel per-camera
+    # checks stay exact); compacting the seg rows per block cuts the
+    # in-kernel seg visits ~3x at e1m1 scale.  Order is preserved, so
+    # pool emission order — and therefore every output — is unchanged.
+    act_any = (flags & 15) != 0                                 # [B, G]
+    x0i_o = as_i16(ordered(frame["x0"]))
+    x1i_o = as_i16(ordered(frame["x1"]))
+    wlo = jnp.arange(NBW, dtype=I32)[None, None] * LANES        # [1,1,NBW]
+    live_s = (
+        act_any[..., None] & (x0i_o[..., None] < wlo + LANES)
+        & (x1i_o[..., None] >= wlo)
+    )                                                           # [B,G,NBW]
+    live_st = jnp.swapaxes(
+        padg(live_s).reshape(Bt, TB, Gp, NBW).any(1), 1, 2
+    )                                                           # [Bt,NBW,Gp]
+    u_iota = jnp.arange(Gp, dtype=I32)[None, None]
+    slist = jnp.argsort(
+        jnp.where(live_st, u_iota, Gp + u_iota), axis=-1
+    ).astype(I32)                                               # [Bt,NBW,Gp]
+    scnt = live_st.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+
+    smi_f = flat_tb(tile4(smi))[ti, slist]      # [Bt, NBW, Gp, 17*TB]
+    pf_f = flat_tb(tile4(uy1_o))[ti, slist]     # [Bt, NBW, Gp, 4*TB]
+    sv_c = tile4(sv)[ti, slist]                 # [Bt, NBW, Gp, 44, TB]
+
     # [B/T, 4, T] -> [B/T, 1, 4*T] (read as [0, 0, r*TB + b]; the unit
     # dim keeps the block's last-two dims equal to the array's)
     cam_inputs = [
-        tile_cam(camf).reshape(B // TB, 1, -1),
-        tile_cam(cami).reshape(B // TB, 1, -1),
+        tile_cam(camf).reshape(Bt, 1, -1),
+        tile_cam(cami).reshape(Bt, 1, -1),
     ]
-    vmem_inputs = [tile4(sv)]
     tables = [level.tex_q, level.flat_q, level.sky_q, level.palette_words]
 
+    # ---- per-(tile, block) live-item lists ------------------------------
+    if NI > 0:
+        from doomtpu.render.things import IPI_FL, IPI_X0, IPI_X1E
+
+        ip = items["i"]
+        live_i = (
+            ((ip[:, :, IPI_FL] & 1) != 0)[..., None]
+            & (ip[:, :, IPI_X0][..., None] < wlo + LANES)
+            & (ip[:, :, IPI_X1E][..., None] > wlo)
+        )                                                       # [B,N,NBW]
+        live_it = jnp.swapaxes(
+            live_i.reshape(Bt, TB, NI, NBW).any(1), 1, 2
+        )                                                       # [Bt,NBW,N]
+        n_iota = jnp.arange(NI, dtype=I32)[None, None]
+        ilist = jnp.argsort(
+            jnp.where(live_it, n_iota, NI + n_iota), axis=-1
+        ).astype(I32).reshape(Bt, NBW, 1, NI)
+        icnt = live_it.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+    else:
+        ilist = jnp.zeros((Bt, 1, 1, 8), jnp.int32)
+        icnt = jnp.zeros((Bt, 1, 1, 1), jnp.int32)
+
     def seg_spec(x, space):
-        if x.ndim == 3:                    # flattened SMEM pack
+        if x.ndim == 4:                    # flattened SMEM pack
             return pl.BlockSpec(
-                (1, UG, x.shape[2]), lambda i, w, g: (i, g, 0),
+                (1, 1, UG, x.shape[3]), lambda i, w, g: (i, w, g, 0),
                 memory_space=space,
             )
-        last = x.shape[2]
         return pl.BlockSpec(
-            (1, UG, last, TB), lambda i, w, g: (i, g, 0, 0),
+            (1, 1, UG, x.shape[3], TB), lambda i, w, g: (i, w, g, 0, 0),
             memory_space=space,
+        )
+
+    def cnt_spec4(x):
+        return pl.BlockSpec(
+            (1, 1) + x.shape[2:], lambda i, w, g: (i, w, 0, 0),
+            memory_space=pltpu.SMEM,
         )
 
     def cam_spec(space):
@@ -1113,7 +1178,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     def item_spec(x):
         return pl.BlockSpec(
-            (1,) + x.shape[1:], lambda i, w, g: (i, 0, 0),
+            (1,) + x.shape[1:],
+            lambda i, w, g, nd=x.ndim: (i,) + (0,) * (nd - 1),
             memory_space=pltpu.SMEM,
         )
 
@@ -1124,10 +1190,13 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         )
 
     in_specs = (
-        [seg_spec(x, pltpu.SMEM) for x in smem_inputs]
+        [seg_spec(smi_f, pltpu.SMEM), seg_spec(pf_f, pltpu.SMEM),
+         cnt_spec4(scnt)]
         + [item_spec(x) for x in (ivi, ivf)]
+        + [cnt_spec4(ilist) if NI > 0 else item_spec(ilist),
+           cnt_spec4(icnt) if NI > 0 else item_spec(icnt)]
         + [cam_spec(pltpu.SMEM) for _ in cam_inputs]
-        + [seg_spec(x, pltpu.VMEM) for x in vmem_inputs]
+        + [seg_spec(sv_c, pltpu.VMEM)]
         + [table_spec(x) for x in tables + item_tables]
     )
 
@@ -1186,8 +1255,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(*smem_inputs, ivi, ivf, *cam_inputs, *vmem_inputs, *tables,
-      *item_tables)
+    )(smi_f, pf_f, scnt, ivi, ivf, ilist, icnt, *cam_inputs, sv_c,
+      *tables, *item_tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
     tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]
