@@ -106,6 +106,60 @@ PI_OFFY = 4
 PI_LIGHT = 8
 PI_ROWS = 9
 
+# svf field-matrix layout (all f32; ints ride as exact f32 < 2^24,
+# ybs/yts are stored pre-converted — identical to the kernel's old
+# f32() on the i32 rows).  12 base fields + 9 per piece = 48 = SVF_FD.
+SVF_G = 0
+SVF_X0 = 1
+SVF_X1 = 2
+SVF_FLAGS = 3
+SVF_LSX = 4
+SVF_LSY = 5
+SVF_LEX = 6
+SVF_LEY = 7
+SVF_LENGTH = 8
+SVF_SOFF = 9
+SVF_OFFX = 10
+SVF_LIGHT = 11
+SVF_PIECE0 = 12
+SVF_P_YBS = 0
+SVF_P_YBD = 1
+SVF_P_YTS = 2
+SVF_P_YTD = 3
+SVF_P_TH = 4
+SVF_P_TW = 5
+SVF_P_OFFY = 6
+SVF_P_TEXV = 7
+SVF_P_UY1 = 8
+SVF_PROWS = 9
+SVF_FD = SVF_PIECE0 + 4 * SVF_PROWS          # 48
+
+# item field-matrix layout (all f32, exact-int encoding as svf; built
+# in render_paint from the item_pack rows — IPI_LW split into light +
+# wpic so every int stays < 2^24)
+IFM_FL = 0
+IFM_X0 = 1
+IFM_X1E = 2
+IFM_LIGHT = 3
+IFM_WPIC = 4
+IFM_PIC = 5
+IFM_TH = 6
+IFM_SOFF = 7
+IFM_BSX = 8
+IFM_DX = 9
+IFM_INV0 = 10
+IFM_INV1 = 11
+IFM_Z0 = 12
+IFM_Z1 = 13
+IFM_YBS = 14
+IFM_YBD = 15
+IFM_YTS = 16
+IFM_YTD = 17
+IFM_UY1 = 18
+IFM_VPX = 19
+IFM_VPY = 20
+IFM_FD = 21
+
 
 def _gather_lane(tab, idx):
     """(8,128) lane gather: out[s,l] = tab[s, idx[s,l]]."""
@@ -194,14 +248,17 @@ def _kernel(
     # [1, NIg, 4*rows*TB] (i32 + f32; see things.py IPI_*/IPF_* layout)
     # with their per-block live-item list + count, and per-camera
     # scalars (constant over the seg grid dim)
-    smi_ref, pf_ref, scnt_ref, ivi_ref, ivf_ref, ilist_ref, icnt_ref,
+    smi_ref, pf_ref, scnt_ref, ivi_ref, ifm_ref, ilist_ref, icnt_ref,
     camf_ref,       # [1, 1, 4*TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 1, 4*TB] i32: pxi, pyi, sky tx_off, 0
-    # VMEM: ONE packed per-seg vector block [1, 1, U*GSUB, 44, TB] (f32
-    # fields ride as bitcast i32; see SV_* layout in render_paint)
-    sv_ref,
+    # VMEM: per-seg field matrix [1, 1, U*GSUB, TB, 128] f32 (SVF_*
+    # layout in render_paint); fields broadcast to (TB, LANES) via
+    # static lane-slice broadcasts (~16 ns/field vs ~192 ns for the old
+    # per-field relayout loads — scripts/probe_visit_cost.py)
+    svf_ref,
     # VMEM tables (constant blocks)
-    texq_ref, flatq_ref, skyq_ref, pal_ref, itemq_ref, itemmq_ref,
+    texq_ref, flatq_ref, skyq_ref, pal_ref, itemq_ref,
+    itemmq_ref,
     # outputs
     idx_out, ld_out, rgb_out,
     m_span, m_d1, m_d2, m_d3, m_d4, m_d5, m_d6,
@@ -217,26 +274,6 @@ def _kernel(
     flatid_ref = _RowView(smi_ref, 4, flat_tb=TB)
     pheight_ref = _RowView(smi_ref, 6, flat_tb=TB)
     pi_ref = _RowView(smi_ref, 8, flat_tb=TB)
-    g_ref = _RowView(sv_ref, 0)
-    x0_ref = _RowView(sv_ref, 1)
-    x1_ref = _RowView(sv_ref, 2)
-    flags_ref = _RowView(sv_ref, 3)
-    lsx_ref = _RowView(sv_ref, 4, True)
-    lsy_ref = _RowView(sv_ref, 5, True)
-    lex_ref = _RowView(sv_ref, 6, True)
-    ley_ref = _RowView(sv_ref, 7, True)
-    length_ref = _RowView(sv_ref, 8, True)
-    soff_ref = _RowView(sv_ref, 9, True)
-    offx_ref = _RowView(sv_ref, 10)
-    light_ref = _RowView(sv_ref, 11)
-    texv_ref = _RowView(sv_ref, 12)
-    ybs_ref = _RowView(sv_ref, 16)
-    ybd_ref = _RowView(sv_ref, 20, True)
-    yts_ref = _RowView(sv_ref, 24)
-    ytd_ref = _RowView(sv_ref, 28, True)
-    offy_ref = _RowView(sv_ref, 32)
-    thw_ref = _RowView(sv_ref, 36)
-    uy1_ref = _RowView(sv_ref, 40, True)
 
     wb = pl.program_id(1)
     gi = pl.program_id(2)
@@ -471,14 +508,36 @@ def _kernel(
                     )
 
     # ---------------- the seg loop ------------------------------------------
+    # field broadcast: one (TB, 128) window load per seg, then each
+    # field becomes a (TB, LANES) vreg via a static (8,1) lane-slice
+    # broadcast — an exact bit copy at ~16 ns/field
+    # (scripts/probe_visit_cost.py colbcast13: 211 ns for 13 fields;
+    # per-field relayout loads are ~192 ns EACH, and one-hot MXU dots
+    # measure ~28 ns/dot in isolation but ~2x slower than this in situ)
+    def _field_bc(w):
+        cache = {}
+
+        def bcf(f):
+            if f not in cache:
+                cache[f] = jnp.broadcast_to(w[:, f:f + 1], (TB, LANES))
+            return cache[f]
+
+        def bci(f):
+            return bcf(f).astype(I32)
+
+        return bcf, bci
+
     def _gsub(sub, carry):
         g0 = sub * U
         for uu in range(U):
             u_ = g0 + uu
-            flags = flags_ref[0, u_, 0, :][:, None]
-            x0 = x0_ref[0, u_, 0, :][:, None]
+            w = svf_ref[0, 0, u_]                    # (TB, 128) f32
+            bcf, bci = _field_bc(w)
+            flags = bci(SVF_FLAGS)
+            x0 = bci(SVF_X0)
             x0i = as_i16(x0)
-            x1i = as_i16(x1_ref[0, u_, 0, :][:, None])
+            x1 = bci(SVF_X1)
+            x1i = as_i16(x1)
 
             act_any = (flags & 15) != 0
             seg_live = (
@@ -486,42 +545,36 @@ def _kernel(
             ).any()
 
             @pl.when(seg_live)
-            def _seg_body(u_=u_, flags=flags, x0=x0, x0i=x0i, x1i=x1i):
-                gval = g_ref[0, u_, 0, :]
+            def _seg_body(u_=u_, bcf=bcf, bci=bci, flags=flags, x0=x0,
+                          x1=x1, x0i=x0i, x1i=x1i):
                 two_sided = (flags & 16) != 0
                 draw_c = (flags & 32) != 0
                 f_sky = (flags & 1024) != 0
                 c_sky = (flags & 2048) != 0
                 has_mid = (flags & FLAG_HAS_MID) != 0
-                light = light_ref[0, u_, 0, :][:, None]
-                g_bc = jnp.broadcast_to(gval[:, None], (TB, LANES))
+                light = bci(SVF_LIGHT)
+                g_bc = bci(SVF_G)
 
                 one = f32(1.0)
-                ax = f32(xx - x0) / f32(x1_ref[0, u_, 0, :][:, None] - x0)
-                uz0 = lsx_ref[0, u_, 0, :][:, None]
-                uz1 = lex_ref[0, u_, 0, :][:, None]
+                ax = f32(xx - x0) / f32(x1 - x0)
+                uz0 = bcf(SVF_LSX)
+                uz1 = bcf(SVF_LEX)
                 inv0 = one / uz0
                 inv1 = one / uz1
                 denom = smul(one - ax, inv0) + smul(ax, inv1)
                 u = (
                     smul(one - ax, f32(0.0) / uz0)
-                    + smul(ax, length_ref[0, u_, 0, :][:, None] / uz1)
+                    + smul(ax, bcf(SVF_LENGTH) / uz1)
                 ) / denom
                 tx_base = (
-                    as_i16(u) + as_i16(soff_ref[0, u_, 0, :])[:, None]
-                    + offx_ref[0, u_, 0, :][:, None]
+                    as_i16(u) + as_i16(bcf(SVF_SOFF)) + bci(SVF_OFFX)
                 )
                 zdist = as_i16(((one - ax) + ax) / denom)
                 # FOV-clipped seg endpoint coords, f32 bits, for the item
                 # kernel's in-VMEM sprite clip (things.py is_behind_vertex)
                 coords = tuple(
-                    jnp.broadcast_to(
-                        lax.bitcast_convert_type(
-                            r[0, u_, 0, :], I32
-                        )[:, None],
-                        (TB, LANES),
-                    )
-                    for r in (lsx_ref, lsy_ref, lex_ref, ley_ref)
+                    lax.bitcast_convert_type(bcf(f), I32)
+                    for f in (SVF_LSX, SVF_LSY, SVF_LEX, SVF_LEY)
                 )
 
                 for p in range(4):
@@ -531,6 +584,7 @@ def _kernel(
                     # all-false, so skipping is semantics-preserving.
                     @pl.when(((flags & (1 << p)) != 0).any())
                     def _piece(p=p):
+                        pbase = SVF_PIECE0 + SVF_PROWS * p
                         act = (flags & (1 << p)) != 0
                         draws_p = (flags & (64 << p)) != 0
                         hor = hor_s[...] != 0
@@ -540,20 +594,19 @@ def _kernel(
                         open_ = covered & ~hor
 
                         by = as_i16(
-                            f32(ybs_ref[0, u_, p, :])[:, None]
-                            + smul(f32(xx - x0), ybd_ref[0, u_, p, :][:, None])
+                            bcf(pbase + SVF_P_YBS)
+                            + smul(f32(xx - x0), bcf(pbase + SVF_P_YBD))
                         )
                         ty = as_i16(
-                            f32(yts_ref[0, u_, p, :])[:, None]
-                            + smul(f32(xx - x0), ytd_ref[0, u_, p, :][:, None])
+                            bcf(pbase + SVF_P_YTS)
+                            + smul(f32(xx - x0), bcf(pbase + SVF_P_YTD))
                         )
                         cb = jnp.minimum(H - 1, jnp.minimum(fo, by))
                         ct = jnp.maximum(0, jnp.maximum(co, ty))
                         in_ver = (cb >= ct) & open_
 
-                        thw = thw_ref[0, u_, p, :][:, None]
-                        th = thw >> 16
-                        tw = thw & 0xFFFF
+                        th = bci(pbase + SVF_P_TH)
+                        tw = bci(pbase + SVF_P_TW)
                         tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
                                       pow2=TEX_POW2)
                         cd2 = pack16(by, ty)
@@ -597,14 +650,11 @@ def _kernel(
                                 draw_c, SPAN_DC, 0
                             )
                             emit_clip(in_ver, rec, cd2, g_bc, coords)
-                            md1 = texv_ref[0, u_, p, :][:, None] * TW_ATLAS + tx
-                            md3 = pack16(offy_ref[0, u_, p, :][:, None], th)
+                            md1 = bci(pbase + SVF_P_TEXV) * TW_ATLAS + tx
+                            md3 = pack16(bci(pbase + SVF_P_OFFY), th)
                             md4 = pack16(light, zdist)
-                            md5 = jnp.broadcast_to(
-                                lax.bitcast_convert_type(
-                                    uy1_ref[0, u_, p, :], I32
-                                )[:, None],
-                                (TB, LANES),
+                            md5 = lax.bitcast_convert_type(
+                                bcf(pbase + SVF_P_UY1), I32
                             )
                             emit_mid(
                                 in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
@@ -645,23 +695,17 @@ def _kernel(
     # runs as (1, 128) row ops against this block's columns.
     if NI > 0:
         from doomtpu.render.things import (
-            IPF_DX, IPF_INV0, IPF_INV1, IPF_ROWS, IPF_UY1, IPF_VPX,
-            IPF_VPY, IPF_YBD, IPF_YBS, IPF_YTD, IPF_YTS, IPF_Z0, IPF_Z1,
-            IPI_BSX, IPI_FL, IPI_LW, IPI_PIC, IPI_ROWS, IPI_SOFF,
-            IPI_TH, IPI_X0, IPI_X1E, is_behind_vertex,
+            IPI_PIC, IPI_ROWS, is_behind_vertex,
         )
 
-        # item packs group 4 items per SMEM row so the 128-lane window
-        # pad is zero: 4 * IPI_ROWS * TB = 256 and 4 * IPF_ROWS * TB =
-        # 384 lanes exactly
+        # the SMEM pack groups 4 items per row so the 128-lane window
+        # pad is zero (4 * IPI_ROWS * TB = 256 lanes exactly); only the
+        # per-(item, camera) picture id — a window-index scalar — still
+        # reads from it.  Everything else comes from the VMEM item
+        # field matrix via lane-slice broadcasts (IFM_* layout).
         def ii(n, r, b):
             return ivi_ref[
                 0, n >> 2, (n & 3) * (IPI_ROWS * TB) + r * TB + b
-            ]
-
-        def ifl(n, r, b):
-            return ivf_ref[
-                0, n >> 2, (n & 3) * (IPF_ROWS * TB) + r * TB + b
             ]
 
         def paint_item(b, pres, ct, cb, by, ty, offy, th, uy1, light, zd,
@@ -714,66 +758,51 @@ def _kernel(
             wlo = wb * LANES
             whi = wlo + LANES
             one = f32(1.0)
-            sub8 = lax.broadcasted_iota(I32, (TB, LANES), 0)
-
-            def vec8(read, fdt=None):
-                """(TB, LANES) vreg whose sublane b holds the SMEM
-                scalar read(b) — per-camera values enter vector math
-                without any per-camera serial loop."""
-                v = jnp.full((TB, LANES), read(0), fdt or I32)
-                for b in range(1, TB):
-                    v = jnp.where(sub8 == b, read(b), v)
-                return v
 
             def item_body(j, carry):
                 n = ilist_ref[0, 0, 0, j]
-                live = []
-                for b in range(TB):
-                    fl_b = ii(n, IPI_FL, b)
-                    live.append(
-                        ((fl_b & 1) != 0)
-                        & (ii(n, IPI_X0, b) < whi)
-                        & (ii(n, IPI_X1E, b) > wlo)
-                    )
-                live_any = live[0]
-                for lv in live[1:]:
-                    live_any = live_any | lv
+                wi = ifm_ref[0, n]                   # (TB, 128) f32
+                mfv = lambda r: jnp.broadcast_to(
+                    wi[:, r:r + 1], (TB, LANES)
+                )
+                miv = lambda r: mfv(r).astype(I32)
+                fl_v = miv(IFM_FL)
+                valid_v = (fl_v & 1) != 0
+                x0_v = miv(IFM_X0)
+                x1e_v = miv(IFM_X1E)
+                live_any = (
+                    valid_v & (x0_v < whi) & (x1e_v > wlo)
+                ).any()
 
                 @pl.when(live_any)
-                def _live(n=n, live=live):
-                    # ---- per-camera scalars -> sublane vregs ----
-                    iv = lambda r: vec8(lambda b: ii(n, r, b))
-                    fv = lambda r: vec8(lambda b: ifl(n, r, b), F32)
-                    fl_v = iv(IPI_FL)
-                    valid_v = (fl_v & 1) != 0
+                def _live(n=n, mfv=mfv, miv=miv, fl_v=fl_v,
+                          valid_v=valid_v, x0_v=x0_v, x1e_v=x1e_v):
                     spr_v = (fl_v & 2) != 0
-                    in_r = (
-                        (xx >= iv(IPI_X0)) & (xx < iv(IPI_X1E)) & valid_v
-                    )
+                    in_r = (xx >= x0_v) & (xx < x1e_v) & valid_v
 
                     # ---- sprite billboard math (things.py [B, N, W]
                     # stages), all cameras at once ----
-                    xb = f32(xx - iv(IPI_BSX))
-                    ax = xb / fv(IPF_DX)
-                    denom = smul(one - ax, fv(IPF_INV0)) \
-                        + smul(ax, fv(IPF_INV1))
+                    xb = f32(xx - miv(IFM_BSX))
+                    ax = xb / mfv(IFM_DX)
+                    denom = smul(one - ax, mfv(IFM_INV0)) \
+                        + smul(ax, mfv(IFM_INV1))
                     u = (
-                        smul(one - ax, fv(IPF_Z0))
-                        + smul(ax, fv(IPF_Z1))
+                        smul(one - ax, mfv(IFM_Z0))
+                        + smul(ax, mfv(IFM_Z1))
                     ) / denom
-                    lw_v = iv(IPI_LW)
-                    soff_v = iv(IPI_SOFF)       # sprite soff / mid seg id
+                    light_v = miv(IFM_LIGHT)
+                    soff_v = miv(IFM_SOFF)      # sprite soff / mid seg id
                     s_tx = wrap_tex(
-                        as_i16(u) + soff_v, jnp.maximum(lw_v >> 16, 1)
+                        as_i16(u) + soff_v, jnp.maximum(miv(IFM_WPIC), 1)
                     )
                     s_zd = as_i16(((one - ax) + ax) / denom)
-                    s_by = as_i16(fv(IPF_YBS) + smul(xb, fv(IPF_YBD)))
-                    s_ty = as_i16(fv(IPF_YTS) + smul(xb, fv(IPF_YTD)))
+                    s_by = as_i16(mfv(IFM_YBS) + smul(xb, mfv(IFM_YBD)))
+                    s_ty = as_i16(mfv(IFM_YTS) + smul(xb, mfv(IFM_YTD)))
 
                     # ---- sprite seg clip: fold the clip pool
                     # (map_objects.rs:127-166), all cameras at once ----
-                    vpx_v = fv(IPF_VPX)
-                    vpy_v = fv(IPF_VPY)
+                    vpx_v = mfv(IFM_VPX)
+                    vpy_v = mfv(IFM_VPY)
                     ccnt = cntc_ref[0]
                     tsc = jnp.full((TB, LANES), -1, I32)
                     bsc = jnp.full((TB, LANES), H, I32)
@@ -808,7 +837,7 @@ def _kernel(
                     s_cb = jnp.minimum(jnp.minimum(H - 1, s_by), bsc)
 
                     # ---- mid draw data from the in-VMEM mid pool ----
-                    pid_v = iv(IPI_PIC)
+                    pid_v = miv(IFM_PIC)
                     mcnt = cntm_ref[0]
                     found = jnp.zeros((TB, LANES), bool)
                     w_v = jnp.zeros((TB, LANES), I32)
@@ -836,17 +865,17 @@ def _kernel(
                     tx = jnp.where(spr_v, s_tx, dv[0] - pid_v * TW_ATLAS)
                     offy = jnp.where(spr_v, 0, dv[2] >> 16)
                     th = jnp.where(
-                        spr_v, iv(IPI_TH), (dv[2] << 16) >> 16
+                        spr_v, miv(IFM_TH), (dv[2] << 16) >> 16
                     )
-                    light = jnp.where(spr_v, lw_v & 0xFFFF, dv[3] >> 16)
+                    light = jnp.where(spr_v, light_v, dv[3] >> 16)
                     zd = jnp.where(spr_v, s_zd, (dv[3] << 16) >> 16)
                     uy1 = jnp.where(
-                        spr_v, fv(IPF_UY1),
+                        spr_v, mfv(IFM_UY1),
                         lax.bitcast_convert_type(dv[4], F32),
                     )
 
                     for b in range(TB):
-                        @pl.when(live[b] & pres[b:b + 1, :].any())
+                        @pl.when(pres[b:b + 1, :].any())
                         def _b(n=n, b=b):
                             paint_item(
                                 b, pres[b:b + 1, :], ct[b:b + 1, :],
@@ -1026,41 +1055,61 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # thw 8-11 | off_y 12-15 | light 16
     smi = jnp.concatenate([tex_safe, flat_sm, ph_sm, pi_sm], axis=-1)
 
-    def b32(x):
-        return lax.bitcast_convert_type(x, I32)
+    # VMEM per-seg field matrix [B, G, SVF_FD] f32 (SVF_* layout): the
+    # kernel broadcasts each field to (TB, LANES) with a static
+    # lane-slice broadcast — an exact bit copy.  Int fields ride as
+    # exact f32 < 2^24 (x0/x1 are FOV-clip bounded, ids/offsets are
+    # small) and convert back in-kernel; yb_s/yt_s are stored
+    # pre-converted exactly as the kernel's old f32() on the i32 rows
+    # rounded them.  f32-sourced fields of INVALID segs can carry
+    # inf/NaN (e.g. slopes with a zero denom) — sanitized here so the
+    # pack stays broadcast-method agnostic; sanitized lanes are only
+    # ever consumed masked.
+    def fin(x):
+        return jnp.where(jnp.isfinite(x), x, f32(0.0))
 
-    # VMEM i32 pack [B, G, 44] (f32 fields ride bitcast; the kernel's
-    # _RowView restores them): rows 0 g | 1 x0 | 2 x1 | 3 flags |
-    # 4-9 lsx,lsy,lex,ley,length,soff (f32) | 10 offx | 11 light |
-    # 12 texv | 16 ybs | 20 ybd (f32) | 24 yts | 28 ytd (f32) |
-    # 32 offy | 36 thw | 40 uy1 (f32)
-    sv = jnp.concatenate(
+    svf = jnp.concatenate(
         [
             jnp.stack(
                 [
-                    order.astype(I32),
-                    ordered(frame["x0"]), ordered(frame["x1"]), flags,
-                    b32(ordered(frame["lsx"])), b32(ordered(frame["lsy"])),
-                    b32(ordered(frame["lex"])), b32(ordered(frame["ley"])),
-                    b32(ordered(frame["length"])),
-                    b32(ordered(frame["start_offset"])),
-                    ordered(frame["offset_x_total"]), light_o,
+                    order.astype(F32),
+                    ordered(frame["x0"]).astype(F32),
+                    ordered(frame["x1"]).astype(F32),
+                    flags.astype(F32),
+                    fin(ordered(frame["lsx"])), fin(ordered(frame["lsy"])),
+                    fin(ordered(frame["lex"])), fin(ordered(frame["ley"])),
+                    fin(ordered(frame["length"])),
+                    fin(ordered(frame["start_offset"])),
+                    ordered(frame["offset_x_total"]).astype(F32),
+                    light_o.astype(F32),
                 ],
                 axis=-1,
             ),
-            tex_safe,
-            ordered(frame["yb_s"]), b32(ordered(frame["yb_d"])),
-            ordered(frame["yt_s"]), b32(ordered(frame["yt_d"])),
-            offy_o, thw, b32(uy1_o),
+            # per-piece fields interleaved piece-major: [B, G, 4, 9]
+            jnp.stack(
+                [
+                    f32(ordered(frame["yb_s"])),
+                    fin(ordered(frame["yb_d"])),
+                    f32(ordered(frame["yt_s"])),
+                    fin(ordered(frame["yt_d"])),
+                    (thw >> 16).astype(F32),
+                    (thw & 0xFFFF).astype(F32),
+                    offy_o.astype(F32),
+                    tex_safe.astype(F32),
+                    fin(uy1_o),
+                ],
+                axis=-1,
+            ).reshape(B, G, 4 * SVF_PROWS),
         ],
         axis=-1,
     )
 
-    # per-ITEM scalar packs (SMEM; things.py IPI_*/IPF_* row layout,
-    # cameras flattened into the last dim so the SMEM window's 128-lane
-    # padding is paid once, not per row)
+    # per-ITEM inputs: a small SMEM pack (the per-(item, camera)
+    # picture id must be a window-index scalar) + the VMEM item field
+    # matrix [B/TB, NI, TB, 128] f32 (IFM_* layout) the kernel
+    # broadcasts fields from with lane slices
     if items is not None:
-        from doomtpu.render.things import IPF_ROWS, IPI_ROWS
+        from doomtpu.render.things import IPI_LW, IPI_ROWS
 
         assert level.itempaint_ok, "level not eligible for item paint"
         NI = items["i"].shape[1]
@@ -1079,12 +1128,28 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             )
 
         ivi = tile_items(items["i"], IPI_ROWS)
-        ivf = tile_items(items["f"], IPF_ROWS)
+        ip_i = items["i"].astype(F32)                # ints < 2^24: exact
+        lw = items["i"][:, :, IPI_LW]
+        ifm = jnp.concatenate(
+            [
+                ip_i[:, :, :IPI_LW],                 # fl, x0, x1e
+                (lw & 0xFFFF).astype(F32)[..., None],
+                (lw >> 16).astype(F32)[..., None],
+                ip_i[:, :, IPI_LW + 1:],             # pic, th, soff, bsx
+                items["f"],                          # IPF rows = IFM 9..20
+            ],
+            axis=-1,
+        )                                            # [B, NI, IFM_FD]
+        ifm = (
+            jnp.pad(ifm, ((0, 0), (0, 0), (0, LANES - IFM_FD)))
+            .reshape(B // TB, TB, NI, LANES)
+            .transpose(0, 2, 1, 3)                   # [Bt, NI, TB, 128]
+        )
         item_tables = [level.item_q, level.item_mq]
     else:
         NI = 0
         ivi = jnp.zeros((B // TB, 1, 8), jnp.int32)
-        ivf = jnp.zeros((B // TB, 1, 8), jnp.float32)
+        ifm = jnp.zeros((B // TB, 1, 8, LANES), jnp.float32)
         item_tables = [
             jnp.zeros((8, 128), jnp.int32), jnp.zeros((8, 128), jnp.int32)
         ]
@@ -1122,7 +1187,11 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     smi_f = flat_tb(tile4(smi))[ti, slist]      # [Bt, NBW, Gp, 17*TB]
     pf_f = flat_tb(tile4(uy1_o))[ti, slist]     # [Bt, NBW, Gp, 4*TB]
-    sv_c = tile4(sv)[ti, slist]                 # [Bt, NBW, Gp, 44, TB]
+    svf_c = (
+        padg(jnp.pad(svf, ((0, 0), (0, 0), (0, LANES - SVF_FD))))
+        .reshape(Bt, TB, Gp, LANES)
+        .transpose(0, 2, 1, 3)
+    )[ti, slist]                                # [Bt, NBW, Gp, TB, 128]
 
     # [B/T, 4, T] -> [B/T, 1, 4*T] (read as [0, 0, r*TB + b]; the unit
     # dim keeps the block's last-two dims equal to the array's)
@@ -1161,7 +1230,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                 memory_space=space,
             )
         return pl.BlockSpec(
-            (1, 1, UG, x.shape[3], TB), lambda i, w, g: (i, w, g, 0, 0),
+            (1, 1, UG) + x.shape[3:], lambda i, w, g: (i, w, g, 0, 0),
             memory_space=space,
         )
 
@@ -1192,11 +1261,16 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     in_specs = (
         [seg_spec(smi_f, pltpu.SMEM), seg_spec(pf_f, pltpu.SMEM),
          cnt_spec4(scnt)]
-        + [item_spec(x) for x in (ivi, ivf)]
+        + [item_spec(ivi),
+           pl.BlockSpec(
+               (1,) + ifm.shape[1:],
+               lambda i, w, g: (i, 0, 0, 0),
+               memory_space=pltpu.VMEM,
+           )]
         + [cnt_spec4(ilist) if NI > 0 else item_spec(ilist),
            cnt_spec4(icnt) if NI > 0 else item_spec(icnt)]
         + [cam_spec(pltpu.SMEM) for _ in cam_inputs]
-        + [seg_spec(sv_c, pltpu.VMEM)]
+        + [seg_spec(svf_c, pltpu.VMEM)]
         + [table_spec(x) for x in tables + item_tables]
     )
 
@@ -1255,7 +1329,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(smi_f, pf_f, scnt, ivi, ivf, ilist, icnt, *cam_inputs, sv_c,
+    )(smi_f, pf_f, scnt, ivi, ifm, ilist, icnt, *cam_inputs, svf_c,
       *tables, *item_tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])

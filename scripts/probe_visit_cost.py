@@ -266,3 +266,265 @@ def main5():
 
 if __name__ == "__main__" and os.environ.get("V5"):
     main5()
+
+
+def k_mxuexact(w_ref, s_ref, o_ref):
+    # exactness: broadcast field f of w (8,128) f32 via one-hot dot;
+    # output row-block j holds broadcast of field j (j < 8)
+    for f in range(8):
+        bc = jnp.dot(w_ref[...], s_ref[f * 128:(f + 1) * 128, :])
+        o_ref[pl.ds(0, 8), :] = jnp.where(
+            lax.broadcasted_iota(I32, (8, 128), 0) == f,
+            lax.bitcast_convert_type(bc, I32)[0:1],  # row 0? no: need per-f
+            o_ref[pl.ds(0, 8), :],
+        )
+
+
+def main6():
+    print("--- v6: MXU broadcast exactness ---", flush=True)
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    # f32 values: mix of normal floats (coords, slopes) incl. negatives
+    wf = (rng.standard_normal((8, 128)) * 1e3).astype(_np.float32)
+    # int values <= 2^24 as f32
+    wi = rng.integers(-(1 << 24), 1 << 24, (8, 128)).astype(_np.float32)
+    s = _np.zeros((8 * 128, 128), _np.float32)
+    for f in range(8):
+        s[f * 128 + f, :] = 1.0
+
+    def kern(w_ref, s_ref, o_ref):
+        # o rows 8*f..8*f+8 = broadcast of field f (all lanes)
+        for f in range(8):
+            bc = jnp.dot(w_ref[...], s_ref[f * 128:(f + 1) * 128, :])
+            o_ref[pl.ds(f * 8, 8), :] = lax.bitcast_convert_type(bc, I32)
+
+    f = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((64, 128), jnp.int32),
+        out_specs=pl.BlockSpec((64, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    for name, w in (("f32", wf), ("i24", wi)):
+        out = _np.asarray(jax.jit(f)(jnp.asarray(w), jnp.asarray(s)))
+        # rows f*8..f*8+8 should equal w[:, f] broadcast: build ref
+        ref = _np.zeros((64, 128), _np.int32)
+        for fidx in range(8):
+            ref[fidx * 8:(fidx + 1) * 8, :] = (
+                w[:, fidx].view(_np.int32)[:, None]
+            )
+        ok = (out == ref).all()
+        nbad = int((out != ref).sum())
+        print(f"mxuexact {name}: exact={bool(ok)} bad={nbad}", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("V6"):
+    main6()
+
+
+def main7():
+    print("--- v7: MXU exactness at HIGHEST precision ---", flush=True)
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    wf = (rng.standard_normal((8, 128)) * 1e3).astype(_np.float32)
+    wi = rng.integers(-(1 << 24), 1 << 24, (8, 128)).astype(_np.float32)
+    s = _np.zeros((8 * 128, 128), _np.float32)
+    for f in range(8):
+        s[f * 128 + f, :] = 1.0
+
+    def kern(w_ref, s_ref, o_ref):
+        for f in range(8):
+            bc = lax.dot_general(
+                w_ref[...], s_ref[f * 128:(f + 1) * 128, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[pl.ds(f * 8, 8), :] = lax.bitcast_convert_type(bc, I32)
+
+    f = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((64, 128), jnp.int32),
+        out_specs=pl.BlockSpec((64, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    for name, w in (("f32", wf), ("i24", wi)):
+        out = _np.asarray(jax.jit(f)(jnp.asarray(w), jnp.asarray(s)))
+        ref = _np.zeros((64, 128), _np.int32)
+        for fidx in range(8):
+            ref[fidx * 8:(fidx + 1) * 8, :] = (
+                w[:, fidx].view(_np.int32)[:, None]
+            )
+        ok = (out == ref).all()
+        nbad = int((out != ref).sum())
+        print(f"mxuexact-hi {name}: exact={bool(ok)} bad={nbad}", flush=True)
+        if not ok:
+            i, j = _np.argwhere(out != ref)[0]
+            print(f"  sample [{i},{j}]: got {out[i,j]:08x} want "
+                  f"{ref[i,j]:08x} (val {w[j if False else i % 8, i // 8]})",
+                  flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("V7"):
+    main7()
+
+
+def k_mxu13hi(x_ref, s_ref, o_ref):
+    # 13 distinct-selector dots at HIGHEST precision (the bit-exact
+    # config from v7) — the real candidate's cost
+    def body(i, acc):
+        w = x_ref[0, i & 63]
+        outs = []
+        for f in range(13):
+            outs.append(lax.dot_general(
+                w, s_ref[f * 128:(f + 1) * 128, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ))
+        for o in outs:
+            acc = acc + o
+        return acc
+    o_ref[...] = lax.fori_loop(
+        0, N, body, jnp.zeros((8, 128), jnp.float32)).astype(I32)
+
+
+def main8():
+    print("--- v8: 13 distinct selectors, HIGHEST ---", flush=True)
+    import numpy as _np
+    xb = jnp.asarray(_np.random.rand(1, 64, 8, 128), jnp.float32)
+    s = _np.zeros((13 * 128, 128), _np.float32)
+    for f in range(13):
+        s[f * 128 + f, :] = 1.0
+    run("mxu13hi", k_mxu13hi, xb, jnp.asarray(s))
+
+
+if __name__ == "__main__" and os.environ.get("V8"):
+    main8()
+
+
+def k_mxu48(x_ref, s_ref, o_ref):
+    # (8,48) @ (48,128) HIGHEST dots, 13 distinct selectors, window
+    # loaded from a [1,64,8,128] block's first 48 lanes
+    def body(i, acc):
+        w = x_ref[0, i & 63][:, :48]
+        outs = []
+        for f in range(13):
+            outs.append(lax.dot_general(
+                w, s_ref[f * 48:(f + 1) * 48, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ))
+        for o in outs:
+            acc = acc + o
+        return acc
+    o_ref[...] = lax.fori_loop(
+        0, N, body, jnp.zeros((8, 128), jnp.float32)).astype(I32)
+
+
+def main9():
+    print("--- v9: (8,48)@(48,128) HIGHEST ---", flush=True)
+    import numpy as _np
+    xb = jnp.asarray(_np.random.rand(1, 64, 8, 128), jnp.float32)
+    s = _np.zeros((13 * 48, 128), _np.float32)
+    for f in range(13):
+        s[f * 48 + (f % 48), :] = 1.0
+    run("mxu48hi", k_mxu48, xb, jnp.asarray(s))
+
+
+if __name__ == "__main__" and os.environ.get("V9"):
+    main9()
+
+
+def k_mxu13cvt(x_ref, s_ref, o_ref):
+    # 13 distinct-selector HIGHEST dots + f32->i32 astype on each
+    # result (the paint kernel's int-field pattern)
+    def body(i, acc):
+        w = x_ref[0, i & 63][:, :48]
+        outs = []
+        for f in range(13):
+            outs.append(lax.dot_general(
+                w, s_ref[f * 48:(f + 1) * 48, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ).astype(I32))
+        for o in outs:
+            acc = acc + o
+        return acc
+    o_ref[...] = lax.fori_loop(0, N, body, jnp.zeros((8, 128), I32))
+
+
+def main10():
+    print("--- v10: dots + i32 converts ---", flush=True)
+    import numpy as _np
+    xb = jnp.asarray(_np.random.rand(1, 64, 8, 128) * 100, jnp.float32)
+    s = _np.zeros((13 * 48, 128), _np.float32)
+    for f in range(13):
+        s[f * 48 + (f % 48), :] = 1.0
+    run("mxu13cvt", k_mxu13cvt, xb, jnp.asarray(s))
+
+
+if __name__ == "__main__" and os.environ.get("V10"):
+    main10()
+
+
+def _mk_branchy(use_mxu):
+    def kern(x_ref, s_ref, o_ref):
+        def body(i, acc):
+            if use_mxu:
+                w = x_ref[0, i & 63][:, :48]
+                vals = []
+                for f in range(13):
+                    vals.append(lax.dot_general(
+                        w, s_ref[f * 48:(f + 1) * 48, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    ).astype(I32))
+            else:
+                vals = [
+                    x_ref[0, i & 63, :, f].astype(I32)[:, None]
+                    + jnp.zeros((8, 128), I32)
+                    for f in range(13)
+                ]
+            live = (vals[0] + i > -1).any()
+
+            @pl.when(live)
+            def _():
+                t = vals[1] + vals[2]
+                for v in vals[3:]:
+                    t = t + v
+                o_ref[...] = o_ref[...] + t
+
+            return acc
+        o_ref[...] = jnp.zeros((8, 128), I32)
+        lax.fori_loop(0, N, body, 0)
+    return kern
+
+
+def main11():
+    print("--- v11: dots/loads + consuming branch ---", flush=True)
+    import numpy as _np
+    xb = jnp.asarray(_np.random.rand(1, 64, 8, 128) * 100, jnp.float32)
+    s = _np.zeros((13 * 48, 128), _np.float32)
+    for f in range(13):
+        s[f * 48 + (f % 48), :] = 1.0
+    run("branchy-mxu", _mk_branchy(True), xb, jnp.asarray(s))
+    run("branchy-ld", _mk_branchy(False), xb, jnp.asarray(s))
+
+
+if __name__ == "__main__" and os.environ.get("V11"):
+    main11()

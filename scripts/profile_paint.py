@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Time ONLY the render_paint kernel on TPU (fast A/B loop).
+
+Env: B (default 256), LEVEL=demo|e1m1, ITEMS=1 to include the
+in-kernel item pass.  Timing discipline per PERF.md.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def main():
+    B = int(os.environ.get("B", 256))
+    level_name = os.environ.get("LEVEL", "e1m1")
+    with_items = os.environ.get("ITEMS", "0") != "0"
+    from doomtpu.config import RenderConfig
+    from doomtpu.engine import DoomEngine
+    from doomtpu.render import camera as cam, things
+    from doomtpu.ops.pallas_paint import render_paint
+    from doomtpu.wad import synth
+
+    cfg = RenderConfig(span_capacity=48)
+    wad = synth.demo_wad() if level_name == "demo" else synth.e1m1_scale_wad()
+    eng = DoomEngine.from_wad_bytes(wad, "e1m1", config=cfg)
+    level = eng.level
+    print(f"backend={jax.default_backend()} B={B} items={with_items} "
+          f"G={level.num_segs}", flush=True)
+    state = eng.new_game(B, key=jax.random.PRNGKey(0))
+    px, py = state.pos[:, 0], state.pos[:, 1]
+    ang, fh = state.angle, state.floor_height
+    sl, ts = state.sector_light, state.timestamp
+
+    def fn(lv, x, y, an, f, s_l, t, ms):
+        frame = cam.build_seg_frame(lv, cfg, x, y, an, f, s_l, t)
+        frame = jax.lax.optimization_barrier(frame)
+        rank = cam.traversal_rank(lv, x, y)
+        order = cam.seg_order(lv, rank)
+        ip = None
+        if with_items:
+            ip, _ = things.item_pack(
+                lv, cfg, frame, order, x, y, an, f, s_l, ms
+            )
+        return render_paint(lv, cfg, frame, order, an, x, y, f, items=ip)[
+            "rgb"
+        ]
+
+    f = jax.jit(fn)
+    t0 = time.time()
+    out = f(level, px, py, ang, fh, sl, ts, state.mobj_state)
+    _ = int(np.asarray(out.sum()))
+    comp = time.time() - t0
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        out = f(level, px, py, ang, fh, sl, ts, state.mobj_state)
+    _ = int(np.asarray(out.sum()))
+    dt = (time.time() - t0) / n
+    print(f"paint(+camera stage): {dt * 1000:9.2f} ms  (compile {comp:.0f}s)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
