@@ -621,21 +621,33 @@ def _kernel(
                                 ct, cb, by, ty, tx, zdist,
                             )
 
+                            # floor + ceiling spans, each ONE paint_plane
+                            # call covering both the in_ver emission and
+                            # the occluded-gap fill (disjoint columns:
+                            # gap ⊆ ~in_ver), halving the per-visit
+                            # branch count; relative paint order of the
+                            # merged pairs is unchanged per column
+                            gap = open_ & ~in_ver & (fo > co)
+                            keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
+                            gap_b = gap & (by <= co)
+                            gap_t = gap & draw_c & (ty >= fo)
+
                             fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
                             fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
-                            paint_plane(u_, 0, fl_emit, cb, fo)
+                            gb_m = gap_b & (f_sky | keep_g)
+                            paint_plane(
+                                u_, 0, fl_emit | gb_m,
+                                jnp.where(fl_emit, cb, co), fo,
+                            )
                             ce_keep = c_sky | (
                                 jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
                             )
                             ce_emit = in_ver & draw_c & (ct > co) & ce_keep
-                            paint_plane(u_, 1, ce_emit, co, ct)
-
-                            gap = open_ & ~in_ver & (fo > co)
-                            keep_g = jnp.minimum(H - 1, fo) - jnp.maximum(0, co) > 1
-                            gap_b = gap & (by <= co)
-                            paint_plane(u_, 0, gap_b & (f_sky | keep_g), co, fo)
-                            gap_t = gap & draw_c & (ty >= fo)
-                            paint_plane(u_, 1, gap_t & (c_sky | keep_g), co, fo)
+                            gt_m = gap_t & (c_sky | keep_g)
+                            paint_plane(
+                                u_, 1, ce_emit | gt_m, co,
+                                jnp.where(ce_emit, ct, fo),
+                            )
                             gap_occl = gap_b | gap_t
 
                             occl_m = in_ver & two_sided

@@ -31,6 +31,11 @@ def main():
     print(f"backend={jax.default_backend()} B={B} items={with_items} "
           f"G={level.num_segs}", flush=True)
     state = eng.new_game(B, key=jax.random.PRNGKey(0))
+    if os.environ.get("SORT", "0") != "0":
+        from doomtpu.engine import _camera_sort_perm
+
+        perm = _camera_sort_perm(state)
+        state = jax.tree_util.tree_map(lambda x: x[perm], state)
     px, py = state.pos[:, 0], state.pos[:, 1]
     ang, fh = state.angle, state.floor_height
     sl, ts = state.sector_light, state.timestamp
