@@ -54,9 +54,16 @@ def main() -> int:
     use_itempaint = os.environ.get("DOOMTPU_BENCH_ITEMPAINT", "0") != "0"
 
     chunk = int(os.environ.get("DOOMTPU_BENCH_CHUNK", 256))
+    # deferred-pass cost is linear in the selected-item count N; the
+    # e1m1-scale fixture peaks at 284 valid items per camera over the
+    # bench poses (incl. ticks), so a 320 cap drops NOTHING (bit-exact
+    # output, items_dropped == 0 — see tests/test_scale.py) while
+    # cutting every [B, N, W] stage ~22%
+    maxn = int(os.environ.get("DOOMTPU_BENCH_MAXN", 320))
     cfg = RenderConfig(
         width=320, height=200,
         render_chunk=chunk,
+        max_visible_mobjs=maxn,
         # 64 random views on the e1m1-scale fixture peak at 46
         # spans/column (tests/test_scale.py measures this)
         span_capacity=48,

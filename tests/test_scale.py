@@ -107,3 +107,35 @@ def test_big_map_over_2047_segs(info):
     cfg = RenderConfig(width=160, height=100, span_capacity=96)
     views = [(300.0, 300.0, 0.8)]
     _assert_views_bit_exact(mt, assets, level, info, cfg, views)
+
+
+def test_max_visible_cap_bit_exact(info):
+    """A max_visible_mobjs cap ABOVE every camera's valid-item count
+    changes nothing: the nearest-N selection keeps all items, so frames
+    are bit-identical and items_dropped == 0.  bench.py relies on this
+    (DOOMTPU_BENCH_MAXN; the e1m1-scale fixture peaks at 284 valid
+    items per camera over the bench poses)."""
+    mt, assets, level = _load(synth.e1m1_scale_level, info)
+    views = [(290.0, 300.0, 0.7), (1400.0, 900.0, 3.9)]
+    B = len(views)
+    px = jnp.asarray([v[0] for v in views], jnp.float32)
+    py = jnp.asarray([v[1] for v in views], jnp.float32)
+    pa = jnp.asarray([v[2] for v in views], jnp.float32)
+    fh = jnp.asarray(
+        [float(mt.sector_floor_h[mt.sector_at(v[0], v[1])]) for v in views],
+        jnp.float32,
+    )
+    sl = jnp.asarray(mt.sector_light, jnp.int32)[None].repeat(B, 0)
+    mp, ma, ms = _mobjs(mt, info)
+    mstate = jnp.asarray(ms)[None].repeat(B, 0)
+    ts = jnp.zeros(B, jnp.float32)
+    outs = {}
+    for maxn in (0, 320):
+        cfg = RenderConfig(span_capacity=48, max_visible_mobjs=maxn)
+        idx, rgb, aux = render_frame(
+            level, cfg, px, py, pa, fh, sl, mstate, ts
+        )
+        assert int(np.asarray(aux["items_dropped"]).max()) == 0
+        outs[maxn] = (np.asarray(idx), np.asarray(rgb))
+    np.testing.assert_array_equal(outs[0][0], outs[320][0])
+    np.testing.assert_array_equal(outs[0][1], outs[320][1])
