@@ -92,12 +92,12 @@ SEG_UNROLL = int(_os.environ.get("DOOMTPU_PAINT_UNROLL", "4"))
 # probe_paint_cost.py), so the g grid dim is coarsened to U*GSUB segs
 # per step without growing the compiled program
 SEG_GSUB = int(_os.environ.get("DOOMTPU_PAINT_GSUB", "8"))
-# guard each camera's paint body with pl.when(mask[b].any()): skips the
-# gather setup for dead cameras, but costs a branch flush per camera per
-# paint call (~24/visit).  Dead cameras already produce EMPTY y-loops
-# (ylo/yhi from an all-false mask), so the guard is semantics-neutral;
-# 0 drops it for A/B.
-PAINT_BWHEN = _os.environ.get("DOOMTPU_PAINT_BWHEN", "0") != "0"
+# run the paint y-loops as ONE merged fori whose body interleaves all
+# TB cameras (per-camera setups hoisted above the loop), instead of TB
+# serial per-camera foris.  The 8 chains are independent, so the merged
+# body hides the dynamic-load + VMEM read-modify-write stalls a serial
+# per-camera loop exposes.  0 restores the serial per-b loops for A/B.
+PAINT_MERGEB = _os.environ.get("DOOMTPU_PAINT_MERGEB", "1") != "0"
 # measurement-only bitmask: 1 skips wall paints, 2 skips plane paints,
 # 4 skips pool emits (outputs are WRONG with any bit set — profiling
 # decomposition only)
@@ -361,17 +361,38 @@ def _kernel(
                 (mask & ~fits).sum(axis=-1).astype(I32)
             )
 
-    def _per_b(mask, body):
-        """Run body(b) per camera, optionally guarded on that camera's
-        mask row (PAINT_BWHEN).  Unguarded, a dead camera still pays the
-        gather setup but its y-loop is empty (ylo > yhi)."""
-        for b in range(TB):
-            if PAINT_BWHEN:
-                @pl.when(mask[b:b + 1, :].any())
-                def _b(b=b):
-                    body(b)
-            else:
-                body(b)
+    def _paint_cams(yb_lo, yb_hi, setup, rowwork):
+        """Run the per-camera paint chains over y-blocks [yb_lo, yb_hi).
+
+        setup(b) -> per-camera state tuple (texture gathers, SMEM
+        scalars); rowwork(b, state, ys, yy8) paints one 8-row block of
+        camera b.  Merged mode hoists all TB setups above ONE fori whose
+        body interleaves the TB independent chains (ILP hides the
+        dynamic-load / read-modify-write stalls); serial mode keeps the
+        classic per-camera foris.  Cameras write disjoint [b] buffers,
+        so the two orders are bit-identical."""
+        if PAINT_MERGEB:
+            setups = [setup(b) for b in range(TB)]
+
+            def body(yb, carry, setups=setups):
+                ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+                yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
+                for b in range(TB):
+                    rowwork(b, setups[b], ys, yy8)
+                return carry
+
+            lax.fori_loop(yb_lo, yb_hi, body, 0)
+        else:
+            for b in range(TB):
+                st = setup(b)
+
+                def body(yb, carry, st=st, b=b):
+                    ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+                    yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
+                    rowwork(b, st, ys, yy8)
+                    return carry
+
+                lax.fori_loop(yb_lo, yb_hi, body, 0)
 
     # ---------------- paint: wall columns ------------------------------------
     def paint_wall(u_, p, mask, ct, cb, by, ty, tx, zdist):
@@ -392,58 +413,53 @@ def _kernel(
             yb_lo = jnp.maximum(ylo, 0) // 8
             yb_hi = jnp.minimum(yhi, H - 1) // 8 + 1
 
-            def wall_b(b):
-                    texid = texid_ref[0, u_, p, b]
-                    # ONE dynamic-offset window load (32, 128), statically
-                    # sliced into the 4 row-packed vregs — dynamic VMEM
-                    # window loads pay a fixed stall each
-                    tv32 = texq_ref[
-                        pl.ds(pl.multiple_of(texid * 32, 8), 32), :
-                    ]
-                    tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
-                    # per-(seg, piece, camera) SMEM scalars — NEVER (1,1)
-                    # value slices (Mosaic probe: those fail to compile)
-                    th_b = jnp.maximum(pi_ref[0, u_, PI_THW + p, b] >> 16, 1)
-                    uy1_b = pf_ref[0, 0, u_, b * 4 + p]
-                    offy_b = pi_ref[0, u_, PI_OFFY + p, b]
-                    light_b = pi_ref[0, u_, PI_LIGHT, b]
-                    ldc = (light_b << 16) | LD_WRITTEN
-                    mrow = mask[b:b + 1, :]
-                    ct_r = ct[b:b + 1, :]
-                    cb_r = cb[b:b + 1, :]
-                    cpat = jnp.broadcast_to(
-                        jnp.clip(tx[b:b + 1, :], 0, LANES - 1),
-                        (8, LANES),
-                    )
-                    gv = [_gather_lane(t, cpat) for t in tv]
-                    ty_r = ty[b:b + 1, :]
-                    denom_v = f32(by[b:b + 1, :] - ty_r)
-                    ld_r = jnp.broadcast_to(
-                        zdist[b:b + 1, :] & 0xFFFF, (8, LANES)
-                    ) | ldc
+            def wall_setup(b):
+                texid = texid_ref[0, u_, p, b]
+                # ONE dynamic-offset window load (32, 128), statically
+                # sliced into the 4 row-packed vregs — dynamic VMEM
+                # window loads pay a fixed stall each
+                tv32 = texq_ref[
+                    pl.ds(pl.multiple_of(texid * 32, 8), 32), :
+                ]
+                tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
+                # per-(seg, piece, camera) SMEM scalars — NEVER (1,1)
+                # value slices (Mosaic probe: those fail to compile)
+                th_b = jnp.maximum(pi_ref[0, u_, PI_THW + p, b] >> 16, 1)
+                uy1_b = pf_ref[0, 0, u_, b * 4 + p]
+                offy_b = pi_ref[0, u_, PI_OFFY + p, b]
+                light_b = pi_ref[0, u_, PI_LIGHT, b]
+                ldc = (light_b << 16) | LD_WRITTEN
+                mrow = mask[b:b + 1, :]
+                ct_r = ct[b:b + 1, :]
+                cb_r = cb[b:b + 1, :]
+                cpat = jnp.broadcast_to(
+                    jnp.clip(tx[b:b + 1, :], 0, LANES - 1),
+                    (8, LANES),
+                )
+                gv = [_gather_lane(t, cpat) for t in tv]
+                ty_r = ty[b:b + 1, :]
+                denom_v = f32(by[b:b + 1, :] - ty_r)
+                ld_r = jnp.broadcast_to(
+                    zdist[b:b + 1, :] & 0xFFFF, (8, LANES)
+                ) | ldc
+                return (mrow, ct_r, cb_r, ty_r, denom_v, gv, th_b,
+                        uy1_b, offy_b, ld_r)
 
-                    def body(yb, carry, mrow=mrow, ct_r=ct_r, cb_r=cb_r,
-                             ty_r=ty_r, denom_v=denom_v, gv=gv,
-                             th_b=th_b, uy1_b=uy1_b, offy_b=offy_b,
-                             ld_r=ld_r, b=b):
-                        ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
-                        yy8 = lax.broadcasted_iota(
-                            I32, (8, LANES), 0) + yb * 8
-                        cover = mrow & (yy8 >= ct_r) & (yy8 <= cb_r)
-                        ay = f32(yy8 - ty_r) / denom_v
-                        tyv = as_i16(f32(th_b) + smul(ay, uy1_b)) + offy_b
-                        tyv = wrap_tex(tyv, th_b, pow2=TEX_POW2)
-                        word = _select_q(gv, tyv >> 2)
-                        texel = _byte(word, tyv)
-                        widx_s[b, ys, :] = jnp.where(
-                            cover, texel, widx_s[b, ys, :])
-                        wld_s[b, ys, :] = jnp.where(
-                            cover, ld_r, wld_s[b, ys, :])
-                        return carry
+            def wall_row(b, st, ys, yy8):
+                (mrow, ct_r, cb_r, ty_r, denom_v, gv, th_b,
+                 uy1_b, offy_b, ld_r) = st
+                cover = mrow & (yy8 >= ct_r) & (yy8 <= cb_r)
+                ay = f32(yy8 - ty_r) / denom_v
+                tyv = as_i16(f32(th_b) + smul(ay, uy1_b)) + offy_b
+                tyv = wrap_tex(tyv, th_b, pow2=TEX_POW2)
+                word = _select_q(gv, tyv >> 2)
+                texel = _byte(word, tyv)
+                widx_s[b, ys, :] = jnp.where(
+                    cover, texel, widx_s[b, ys, :])
+                wld_s[b, ys, :] = jnp.where(
+                    cover, ld_r, wld_s[b, ys, :])
 
-                    lax.fori_loop(yb_lo, yb_hi, body, 0)
-
-            _per_b(mask, wall_b)
+            _paint_cams(yb_lo, yb_hi, wall_setup, wall_row)
 
     # ---------------- paint: visplane / sky spans ---------------------------
     def paint_plane(u_, which, m, y0, y1):
@@ -463,96 +479,91 @@ def _kernel(
             yb_lo = jnp.maximum(ylo, 0) // 8
             yb_hi = jnp.minimum(yhi, H - 1) // 8 + 1
 
-            def plane_b(b):
-                    fl = flatid_ref[0, u_, which, b]
-                    is_sky = (fl & FLAT_SKY_BIT) != 0
-                    fl_id = fl & ~FLAT_SKY_BIT
-                    h_s = pheight_ref[0, u_, which, b]
-                    cosv = camf_ref[0, 0, 0 * TB + b]
-                    sinv = camf_ref[0, 0, 1 * TB + b]
-                    fh = camf_ref[0, 0, 2 * TB + b]
-                    pxi = cami_ref[0, 0, 0 * TB + b]
-                    pyi = cami_ref[0, 0, 1 * TB + b]
-                    txoff = cami_ref[0, 0, 2 * TB + b]
-                    light_b = pi_ref[0, u_, PI_LIGHT, b]
-                    wz = f32(h_s) - fh - f32(PLAYER_EYE_HEIGHT)
-                    fv16 = flatq_ref[
-                        pl.ds(pl.multiple_of(fl_id * 16, 8), 16), :
-                    ]
-                    fv = [fv16[j * 8:(j + 1) * 8] for j in range(2)]
-                    ldc = (light_b << 16) | LD_WRITTEN | jnp.where(
-                        is_sky, LD_SKY, 0
+            def plane_setup(b):
+                fl = flatid_ref[0, u_, which, b]
+                is_sky = (fl & FLAT_SKY_BIT) != 0
+                fl_id = fl & ~FLAT_SKY_BIT
+                h_s = pheight_ref[0, u_, which, b]
+                cosv = camf_ref[0, 0, 0 * TB + b]
+                sinv = camf_ref[0, 0, 1 * TB + b]
+                fh = camf_ref[0, 0, 2 * TB + b]
+                pxi = cami_ref[0, 0, 0 * TB + b]
+                pyi = cami_ref[0, 0, 1 * TB + b]
+                txoff = cami_ref[0, 0, 2 * TB + b]
+                light_b = pi_ref[0, u_, PI_LIGHT, b]
+                wz = f32(h_s) - fh - f32(PLAYER_EYE_HEIGHT)
+                fv16 = flatq_ref[
+                    pl.ds(pl.multiple_of(fl_id * 16, 8), 16), :
+                ]
+                fv = [fv16[j * 8:(j + 1) * 8] for j in range(2)]
+                ldc = (light_b << 16) | LD_WRITTEN | jnp.where(
+                    is_sky, LD_SKY, 0
+                )
+                mrow = m[b:b + 1, :]
+                y0_r = y0c[b:b + 1, :]
+                y1_r = y1c[b:b + 1, :]
+                xw = xx[b:b + 1, :]
+                # sky lane pattern is row-invariant per block
+                stx = rem_trunc(
+                    as_i16(
+                        f32(xw) * f32(float(stw)) / f32(float(W))
+                    ) + txoff,
+                    stw,
+                )
+                spat = jnp.broadcast_to(stx & (LANES - 1), (8, LANES))
+                shalf = jnp.broadcast_to(stx >= LANES, (8, LANES))
+                skv = [
+                    jnp.where(
+                        shalf,
+                        _gather_lane(
+                            skyq_ref[j * 8:(j + 1) * 8, LANES:], spat
+                        ),
+                        _gather_lane(
+                            skyq_ref[j * 8:(j + 1) * 8, :LANES], spat
+                        ),
                     )
-                    mrow = m[b:b + 1, :]
-                    y0_r = y0c[b:b + 1, :]
-                    y1_r = y1c[b:b + 1, :]
-                    xw = xx[b:b + 1, :]
-                    # sky lane pattern is row-invariant per block
-                    stx = rem_trunc(
-                        as_i16(
-                            f32(xw) * f32(float(stw)) / f32(float(W))
-                        ) + txoff,
-                        stw,
-                    )
-                    spat = jnp.broadcast_to(stx & (LANES - 1), (8, LANES))
-                    shalf = jnp.broadcast_to(stx >= LANES, (8, LANES))
-                    skv = [
-                        jnp.where(
-                            shalf,
-                            _gather_lane(
-                                skyq_ref[j * 8:(j + 1) * 8, LANES:], spat
-                            ),
-                            _gather_lane(
-                                skyq_ref[j * 8:(j + 1) * 8, :LANES], spat
-                            ),
-                        )
-                        for j in range(4)
-                    ]
-                    vx = (
-                        f32(float(W) / 2.0) - f32(xw)
-                    ) / f32(float(ASPECT_RATIO_CORRECTION))
+                    for j in range(4)
+                ]
+                vx = (
+                    f32(float(W) / 2.0) - f32(xw)
+                ) / f32(float(ASPECT_RATIO_CORRECTION))
+                return (mrow, y0_r, y1_r, vx, skv, fv, wz, cosv, sinv,
+                        pxi, pyi, ldc, is_sky)
 
-                    def body(yb, carry, mrow=mrow, y0_r=y0_r, y1_r=y1_r,
-                             vx=vx, skv=skv, fv=fv, wz=wz, cosv=cosv,
-                             sinv=sinv, pxi=pxi, pyi=pyi, ldc=ldc,
-                             is_sky=is_sky, b=b):
-                        ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
-                        yy8 = lax.broadcasted_iota(
-                            I32, (8, LANES), 0) + yb * 8
-                        cover = mrow & (yy8 >= y0_r) & (yy8 <= y1_r)
-                        # flat texel (visplanes.rs:103-129)
-                        vy = f32(float(H) / 2.0) - f32(yy8)
-                        wx = f32(
-                            float(W) / 2.0 / ASPECT_RATIO_CORRECTION
-                        ) * wz / vy
-                        wy = wz * vx / vy
-                        rx = smul(wx, cosv) - smul(wy, sinv)
-                        ry = smul(wy, cosv) + smul(wx, sinv)
-                        ftx = (as_i16(rx) + pxi) & (FLAT_SIZE - 1)
-                        fty = (as_i16(ry) + pyi) & (FLAT_SIZE - 1)
-                        fword = _gather_2d(fv, fty >> 2, ftx)
-                        flat_texel = _byte(fword, fty)
-                        pdist = as_i16(wx) & 0xFFFF
-                        # sky texel (visplanes.rs:42-80)
-                        sty = as_i16(
-                            f32(yy8) * f32(float(sth)) * f32(2.0)
-                            / f32(float(H))
-                        )
-                        sty = jnp.where(sty < 0, sty + sth, sty)
-                        sty = rem_trunc(sty, sth)
-                        sword = _select_q(skv, sty >> 2)
-                        sky_texel = _byte(sword, sty)
-                        texel = jnp.where(is_sky, sky_texel, flat_texel)
-                        ldw = ldc | pdist
-                        pidx_s[b, ys, :] = jnp.where(
-                            cover, texel, pidx_s[b, ys, :])
-                        pld_s[b, ys, :] = jnp.where(
-                            cover, ldw, pld_s[b, ys, :])
-                        return carry
+            def plane_row(b, st, ys, yy8):
+                (mrow, y0_r, y1_r, vx, skv, fv, wz, cosv, sinv,
+                 pxi, pyi, ldc, is_sky) = st
+                cover = mrow & (yy8 >= y0_r) & (yy8 <= y1_r)
+                # flat texel (visplanes.rs:103-129)
+                vy = f32(float(H) / 2.0) - f32(yy8)
+                wx = f32(
+                    float(W) / 2.0 / ASPECT_RATIO_CORRECTION
+                ) * wz / vy
+                wy = wz * vx / vy
+                rx = smul(wx, cosv) - smul(wy, sinv)
+                ry = smul(wy, cosv) + smul(wx, sinv)
+                ftx = (as_i16(rx) + pxi) & (FLAT_SIZE - 1)
+                fty = (as_i16(ry) + pyi) & (FLAT_SIZE - 1)
+                fword = _gather_2d(fv, fty >> 2, ftx)
+                flat_texel = _byte(fword, fty)
+                pdist = as_i16(wx) & 0xFFFF
+                # sky texel (visplanes.rs:42-80)
+                sty = as_i16(
+                    f32(yy8) * f32(float(sth)) * f32(2.0)
+                    / f32(float(H))
+                )
+                sty = jnp.where(sty < 0, sty + sth, sty)
+                sty = rem_trunc(sty, sth)
+                sword = _select_q(skv, sty >> 2)
+                sky_texel = _byte(sword, sty)
+                texel = jnp.where(is_sky, sky_texel, flat_texel)
+                ldw = ldc | pdist
+                pidx_s[b, ys, :] = jnp.where(
+                    cover, texel, pidx_s[b, ys, :])
+                pld_s[b, ys, :] = jnp.where(
+                    cover, ldw, pld_s[b, ys, :])
 
-                    lax.fori_loop(yb_lo, yb_hi, body, 0)
-
-            _per_b(m, plane_b)
+            _paint_cams(yb_lo, yb_hi, plane_setup, plane_row)
 
     # ---------------- the seg loop ------------------------------------------
     # field broadcast: one (TB, 128) window load per seg, then each
@@ -775,34 +786,56 @@ def _kernel(
                 0, n >> 2, (n & 3) * (IPI_ROWS * TB) + r * TB + b
             ]
 
-        def paint_item(b, pres, ct, cb, by, ty, offy, th, uy1, light, zd,
-                       pid_b, tx):
-            """Draw one item's columns for camera b (bitmap_render.rs:
-            253-263 v interpolation; masked texels skipped)."""
-            ld_r = (light << 16) | (zd & 0xFFFF) | LD_WRITTEN
-            tv32 = itemq_ref[
-                pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
-            ]
-            tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
-            cpat = jnp.broadcast_to(
-                jnp.clip(tx, 0, LANES - 1), (8, LANES)
-            )
-            gv = [_gather_lane(t, cpat) for t in tv]
-            mtab = itemmq_ref[pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :]
-            mgv = _gather_lane(mtab, cpat)
+        def paint_item_cams(n, pres, ct, cb, by, ty, offy, th, uy1,
+                            light, zd, tx):
+            """Draw one item's columns for all TB cameras
+            (bitmap_render.rs:253-263 v interpolation; masked texels
+            skipped).  Shared y bounds + merged camera chains exactly
+            like paint_wall."""
             ylo = jnp.min(jnp.where(pres, ct, H))
             yhi = jnp.max(jnp.where(pres, cb, -1))
-            denom_v = f32(by - ty)
+            yb_lo = jnp.maximum(ylo, 0) // 8
+            yb_hi = jnp.minimum(yhi, H - 1) // 8 + 1
 
-            def body(yb, carry, pres=pres, ct=ct, cb=cb, ty=ty,
-                     denom_v=denom_v, gv=gv, mgv=mgv, th=th, uy1=uy1,
-                     offy=offy, ld_r=ld_r, b=b):
-                ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
-                yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
-                cover = pres & (yy8 >= ct) & (yy8 <= cb)
-                ay = f32(yy8 - ty) / denom_v
-                tyv = as_i16(f32(th) + smul(ay, uy1)) + offy
-                tyv = wrap_tex(tyv, jnp.maximum(th, 1))
+            def item_setup(b):
+                # every per-(item, camera) picture id is in-table even
+                # for non-present cameras (pad items carry id 0), so the
+                # unguarded window loads are safe
+                pid_b = ii(n, IPI_PIC, b)
+                tv32 = itemq_ref[
+                    pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
+                ]
+                tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
+                cpat = jnp.broadcast_to(
+                    jnp.clip(tx[b:b + 1, :], 0, LANES - 1), (8, LANES)
+                )
+                gv = [_gather_lane(t, cpat) for t in tv]
+                mtab = itemmq_ref[
+                    pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
+                ]
+                mgv = _gather_lane(mtab, cpat)
+                pres_r = pres[b:b + 1, :]
+                ct_r = ct[b:b + 1, :]
+                cb_r = cb[b:b + 1, :]
+                ty_r = ty[b:b + 1, :]
+                denom_v = f32(by[b:b + 1, :] - ty_r)
+                th_r = th[b:b + 1, :]
+                uy1_r = uy1[b:b + 1, :]
+                offy_r = offy[b:b + 1, :]
+                ld_r = (
+                    (light[b:b + 1, :] << 16)
+                    | (zd[b:b + 1, :] & 0xFFFF) | LD_WRITTEN
+                )
+                return (pres_r, ct_r, cb_r, ty_r, denom_v, gv, mgv,
+                        th_r, uy1_r, offy_r, ld_r)
+
+            def item_row(b, st, ys, yy8):
+                (pres_r, ct_r, cb_r, ty_r, denom_v, gv, mgv,
+                 th_r, uy1_r, offy_r, ld_r) = st
+                cover = pres_r & (yy8 >= ct_r) & (yy8 <= cb_r)
+                ay = f32(yy8 - ty_r) / denom_v
+                tyv = as_i16(f32(th_r) + smul(ay, uy1_r)) + offy_r
+                tyv = wrap_tex(tyv, jnp.maximum(th_r, 1))
                 word = _select_q(gv, tyv >> 2)
                 texel = _byte(word, tyv)
                 mword = _gather_sub(mgv, (tyv >> 5) & 7)
@@ -810,13 +843,8 @@ def _kernel(
                 wr = cover & opaque
                 pidx_s[b, ys, :] = jnp.where(wr, texel, pidx_s[b, ys, :])
                 pld_s[b, ys, :] = jnp.where(wr, ld_r, pld_s[b, ys, :])
-                return carry
 
-            lax.fori_loop(
-                jnp.maximum(ylo, 0) // 8,
-                jnp.minimum(yhi, H - 1) // 8 + 1,
-                body, 0,
-            )
+            _paint_cams(yb_lo, yb_hi, item_setup, item_row)
 
         @pl.when(gi == n_g - 1)
         def _items():
@@ -939,17 +967,12 @@ def _kernel(
                         lax.bitcast_convert_type(dv[4], F32),
                     )
 
-                    for b in range(TB):
-                        @pl.when(pres[b:b + 1, :].any())
-                        def _b(n=n, b=b):
-                            paint_item(
-                                b, pres[b:b + 1, :], ct[b:b + 1, :],
-                                cb[b:b + 1, :], by[b:b + 1, :],
-                                ty[b:b + 1, :], offy[b:b + 1, :],
-                                th[b:b + 1, :], uy1[b:b + 1, :],
-                                light[b:b + 1, :], zd[b:b + 1, :],
-                                ii(n, IPI_PIC, b), tx[b:b + 1, :],
-                            )
+                    @pl.when(pres.any())
+                    def _paint(n=n):
+                        paint_item_cams(
+                            n, pres, ct, cb, by, ty, offy, th, uy1,
+                            light, zd, tx,
+                        )
 
                 return carry
 
