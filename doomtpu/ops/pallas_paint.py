@@ -269,7 +269,8 @@ def _kernel(
     # [1, NIg, 4*rows*TB] (i32 + f32; see things.py IPI_*/IPF_* layout)
     # with their per-block live-item list + count, and per-camera
     # scalars (constant over the seg grid dim)
-    smi_ref, pf_ref, scnt_ref, ivi_ref, ifm_ref, ilist_ref, icnt_ref,
+    smi_ref, pf_ref, scnt_ref, plive_ref, ivi_ref, ifm_ref, ilist_ref,
+    icnt_ref,
     camf_ref,       # [1, 1, 4*TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 1, 4*TB] i32: pxi, pyi, sky tx_off, 0
     # VMEM: per-seg field matrix [1, 1, U*GSUB, TB, 128] f32 (SVF_*
@@ -323,11 +324,11 @@ def _kernel(
     km_iota = lax.broadcasted_iota(I32, (TB, KM, LANES), 1)
     kc_iota = lax.broadcasted_iota(I32, (TB, KC, LANES), 1)
 
-    def emit_mid(mask, rec, data):
+    def emit_mid(mask, rec, data, mask_any=None):
         if PAINT_SKIP & 4:
             return
 
-        @pl.when(mask.any())
+        @pl.when(mask.any() if mask_any is None else mask_any)
         def _():
             cnt = cntm_ref[0]
             fits = cnt < KM
@@ -341,11 +342,11 @@ def _kernel(
                 (mask & ~fits).sum(axis=-1).astype(I32)
             )
 
-    def emit_clip(mask, rec, d2, d6, coords):
+    def emit_clip(mask, rec, d2, d6, coords, mask_any=None):
         if PAINT_SKIP & 4:
             return
 
-        @pl.when(mask.any())
+        @pl.when(mask.any() if mask_any is None else mask_any)
         def _():
             cnt = cntc_ref[0]
             fits = cnt < KC
@@ -394,24 +395,36 @@ def _kernel(
 
                 lax.fori_loop(yb_lo, yb_hi, body, 0)
 
+    def _ybounds(mask, ylo_v, yhi_v):
+        """Shared y-block bounds over the whole (tile, block) vreg: ONE
+        vector->scalar reduction pair per paint call (not per camera) —
+        the union range costs a few masked extra rows instead (cameras
+        in a sorted tile see near-identical y ranges).  Callers issue
+        ALL of a piece's reduction pairs back-to-back BEFORE the first
+        scalar use, so the vector->scalar sync stalls overlap instead of
+        serializing; yb_lo < yb_hi doubles as the emptiness guard (an
+        all-false mask yields H//8 > 0)."""
+        ylo = jnp.min(jnp.where(mask, ylo_v, H))
+        yhi = jnp.max(jnp.where(mask, yhi_v, -1))
+        return jnp.maximum(ylo, 0) // 8, jnp.minimum(yhi, H - 1) // 8 + 1
+
+    def _clamp_span(y0, y1):
+        """Screen-clamp a plane span (the old paint_plane entry clamps,
+        hoisted to the caller so _ybounds sees clamped values)."""
+        return (
+            jnp.maximum(jnp.clip(y0, -1, 254), 0),
+            jnp.minimum(jnp.clip(y1, -1, 254), H - 1),
+        )
+
     # ---------------- paint: wall columns ------------------------------------
-    def paint_wall(u_, p, mask, ct, cb, by, ty, tx, zdist):
+    def paint_wall(u_, p, mask, ct, cb, by, ty, tx, zdist, yb_lo, yb_hi):
         """Texture v by linear interpolation over the FULL (unclipped)
         bottom..top edges + offset, wrapped (bitmap_render.rs:253-263)."""
         if PAINT_SKIP & 1:
             return
 
-        @pl.when(mask.any())
+        @pl.when(yb_lo < yb_hi)
         def _():
-            # shared y bounds: ONE vector->scalar reduction pair per call
-            # (not per camera) — each reduction feeding a dynamic fori
-            # bound is a vector/scalar-domain sync stall; the union range
-            # costs a few masked extra rows instead (cameras in a sorted
-            # tile see near-identical y ranges)
-            ylo = jnp.min(jnp.where(mask, ct, H))
-            yhi = jnp.max(jnp.where(mask, cb, -1))
-            yb_lo = jnp.maximum(ylo, 0) // 8
-            yb_hi = jnp.minimum(yhi, H - 1) // 8 + 1
 
             def wall_setup(b):
                 texid = texid_ref[0, u_, p, b]
@@ -462,22 +475,17 @@ def _kernel(
             _paint_cams(yb_lo, yb_hi, wall_setup, wall_row)
 
     # ---------------- paint: visplane / sky spans ---------------------------
-    def paint_plane(u_, which, m, y0, y1):
+    def paint_plane(u_, which, m, y0c, y1c, yb_lo, yb_hi):
         """Fill a span: per-pixel inverse projection + flat sample
-        (visplanes.rs:82-152) or sky columns (visplanes.rs:42-80)."""
+        (visplanes.rs:82-152) or sky columns (visplanes.rs:42-80).
+        y0c/y1c arrive screen-clamped (see _clamp_span); yb_lo/yb_hi are
+        the caller's batched _ybounds over them."""
         if PAINT_SKIP & 2:
             return
-        y0c = jnp.maximum(jnp.clip(y0, -1, 254), 0)
-        y1c = jnp.minimum(jnp.clip(y1, -1, 254), H - 1)
         stw, sth = SKY_TEXTURE_WIDTH, SKY_TEXTURE_HEIGHT
 
-        @pl.when(m.any())
+        @pl.when(yb_lo < yb_hi)
         def _():
-            # shared y bounds (see paint_wall): one reduction pair per call
-            ylo = jnp.min(jnp.where(m, y0c, H))
-            yhi = jnp.max(jnp.where(m, y1c, -1))
-            yb_lo = jnp.maximum(ylo, 0) // 8
-            yb_hi = jnp.minimum(yhi, H - 1) // 8 + 1
 
             def plane_setup(b):
                 fl = flatid_ref[0, u_, which, b]
@@ -590,6 +598,13 @@ def _kernel(
         for uu in range(U):
             u_ = g0 + uu
             w = svf_ref[0, 0, 0 if PAINT_STATLOAD else u_]  # (TB, 128) f32
+            # per-(tile, block, seg) piece-live bits, precomputed on the
+            # XLA side: bit p set iff piece p is active for SOME tile
+            # camera whose seg row overlaps this column block.  An SMEM
+            # scalar branch replaces the old per-piece
+            # ((flags & (1<<p)) != 0).any() vector->scalar reductions
+            # (4 sync stalls per seg visit).
+            pl_bits = plive_ref[0, 0, u_]
             bcf, bci = _field_bc(w)
             flags = bci(SVF_FLAGS)
             x0 = bci(SVF_X0)
@@ -607,7 +622,7 @@ def _kernel(
                 continue
 
             def _seg_body(u_=u_, bcf=bcf, bci=bci, flags=flags, x0=x0,
-                          x1=x1, x0i=x0i, x1i=x1i):
+                          x1=x1, x0i=x0i, x1i=x1i, pl_bits=pl_bits):
                 two_sided = (flags & 16) != 0
                 draw_c = (flags & 32) != 0
                 f_sky = (flags & 1024) != 0
@@ -639,11 +654,13 @@ def _kernel(
                 )
 
                 for p in range(4):
-                    # skip pieces no camera in the tile has (solid segs
-                    # have piece 0 only; saves ~3/4 of per-seg math).
-                    # All state writes below are no-ops when act is
-                    # all-false, so skipping is semantics-preserving.
-                    @pl.when(((flags & (1 << p)) != 0).any())
+                    # skip pieces no camera in the tile has live in this
+                    # block (solid segs have piece 0 only; saves ~3/4 of
+                    # per-seg math).  All state writes below are no-ops
+                    # when act is all-false or the seg misses the block
+                    # (covered requires x in [x0, x1]), so the stricter
+                    # precomputed guard is semantics-preserving.
+                    @pl.when((pl_bits & (1 << p)) != 0)
                     def _piece(p=p):
                         pbase = SVF_PIECE0 + SVF_PROWS * p
                         act = (flags & (1 << p)) != 0
@@ -676,11 +693,8 @@ def _kernel(
                             solid = ~two_sided
                             rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
                             rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                            emit_clip(in_ver & solid, rec, cd2, g_bc, coords)
-                            paint_wall(
-                                u_, p, in_ver & solid & draws_p,
-                                ct, cb, by, ty, tx, zdist,
-                            )
+                            m_e = in_ver & solid
+                            m_w = m_e & draws_p
 
                             # floor + ceiling spans, each ONE paint_plane
                             # call covering both the in_ver emission and
@@ -696,19 +710,37 @@ def _kernel(
                             fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
                             fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
                             gb_m = gap_b & (f_sky | keep_g)
-                            paint_plane(
-                                u_, 0, fl_emit | gb_m,
-                                jnp.where(fl_emit, cb, co), fo,
+                            m_f = fl_emit | gb_m
+                            y0f, y1f = _clamp_span(
+                                jnp.where(fl_emit, cb, co), fo
                             )
                             ce_keep = c_sky | (
                                 jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
                             )
                             ce_emit = in_ver & draw_c & (ct > co) & ce_keep
                             gt_m = gap_t & (c_sky | keep_g)
-                            paint_plane(
-                                u_, 1, ce_emit | gt_m, co,
-                                jnp.where(ce_emit, ct, fo),
+                            m_c = ce_emit | gt_m
+                            y0c_, y1c_ = _clamp_span(
+                                co, jnp.where(ce_emit, ct, fo)
                             )
+                            # ALL of this piece's vector->scalar
+                            # reductions issue here, back to back, before
+                            # the first scalar consumer — the sync
+                            # latencies overlap instead of serializing
+                            # through guard->reduce->loop chains
+                            e_any = m_e.any()
+                            w_lo, w_hi = _ybounds(m_w, ct, cb)
+                            f_lo, f_hi = _ybounds(m_f, y0f, y1f)
+                            c_lo, c_hi = _ybounds(m_c, y0c_, y1c_)
+
+                            emit_clip(m_e, rec, cd2, g_bc, coords,
+                                      mask_any=e_any)
+                            paint_wall(
+                                u_, p, m_w, ct, cb, by, ty, tx, zdist,
+                                w_lo, w_hi,
+                            )
+                            paint_plane(u_, 0, m_f, y0f, y1f, f_lo, f_hi)
+                            paint_plane(u_, 1, m_c, y0c_, y1c_, c_lo, c_hi)
                             gap_occl = gap_b | gap_t
 
                             occl_m = in_ver & two_sided
@@ -722,7 +754,11 @@ def _kernel(
                             rec = pack_span(KIND_MID, ct, cb) | jnp.where(
                                 draw_c, SPAN_DC, 0
                             )
-                            emit_clip(in_ver, rec, cd2, g_bc, coords)
+                            m_m = in_ver & has_mid
+                            iv_any = in_ver.any()
+                            mm_any = m_m.any()
+                            emit_clip(in_ver, rec, cd2, g_bc, coords,
+                                      mask_any=iv_any)
                             md1 = bci(pbase + SVF_P_TEXV) * TW_ATLAS + tx
                             md3 = pack16(bci(pbase + SVF_P_OFFY), th)
                             md4 = pack16(light, zdist)
@@ -730,24 +766,33 @@ def _kernel(
                                 bcf(pbase + SVF_P_UY1), I32
                             )
                             emit_mid(
-                                in_ver & has_mid, rec, (md1, cd2, md3, md4, md5, g_bc)
+                                m_m, rec, (md1, cd2, md3, md4, md5, g_bc),
+                                mask_any=mm_any,
                             )
                         elif p == 2:
                             rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
                             rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                            emit_clip(in_ver, rec, cd2, g_bc, coords)
+                            m_w = in_ver & draws_p
+                            iv_any = in_ver.any()
+                            w_lo, w_hi = _ybounds(m_w, ct, cb)
+                            emit_clip(in_ver, rec, cd2, g_bc, coords,
+                                      mask_any=iv_any)
                             paint_wall(
-                                u_, p, in_ver & draws_p,
-                                ct, cb, by, ty, tx, zdist,
+                                u_, p, m_w, ct, cb, by, ty, tx, zdist,
+                                w_lo, w_hi,
                             )
                             fo_s[...] = jnp.where(in_ver, ct, fo)
                         else:
                             rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
                             rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                            emit_clip(in_ver, rec, cd2, g_bc, coords)
+                            m_w = in_ver & draws_p
+                            iv_any = in_ver.any()
+                            w_lo, w_hi = _ybounds(m_w, ct, cb)
+                            emit_clip(in_ver, rec, cd2, g_bc, coords,
+                                      mask_any=iv_any)
                             paint_wall(
-                                u_, p, in_ver & draws_p,
-                                ct, cb, by, ty, tx, zdist,
+                                u_, p, m_w, ct, cb, by, ty, tx, zdist,
+                                w_lo, w_hi,
                             )
                             co_s[...] = jnp.where(in_ver, cb, co)
 
@@ -787,16 +832,11 @@ def _kernel(
             ]
 
         def paint_item_cams(n, pres, ct, cb, by, ty, offy, th, uy1,
-                            light, zd, tx):
+                            light, zd, tx, yb_lo, yb_hi):
             """Draw one item's columns for all TB cameras
             (bitmap_render.rs:253-263 v interpolation; masked texels
             skipped).  Shared y bounds + merged camera chains exactly
             like paint_wall."""
-            ylo = jnp.min(jnp.where(pres, ct, H))
-            yhi = jnp.max(jnp.where(pres, cb, -1))
-            yb_lo = jnp.maximum(ylo, 0) // 8
-            yb_hi = jnp.minimum(yhi, H - 1) // 8 + 1
-
             def item_setup(b):
                 # every per-(item, camera) picture id is in-table even
                 # for non-present cameras (pad items carry id 0), so the
@@ -967,11 +1007,13 @@ def _kernel(
                         lax.bitcast_convert_type(dv[4], F32),
                     )
 
-                    @pl.when(pres.any())
-                    def _paint(n=n):
+                    i_lo, i_hi = _ybounds(pres, ct, cb)
+
+                    @pl.when(i_lo < i_hi)
+                    def _paint(n=n, i_lo=i_lo, i_hi=i_hi):
                         paint_item_cams(
                             n, pres, ct, cb, by, ty, offy, th, uy1,
-                            light, zd, tx,
+                            light, zd, tx, i_lo, i_hi,
                         )
 
                 return carry
@@ -1249,14 +1291,15 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # The traversal reorder (`order`) and the compaction (`slist`) are
     # COMPOSED into one index array, so each per-seg pack is gathered
     # exactly once, with pack-row-sized slices.
-    act_o = jnp.take_along_axis((flags & 15) != 0, order, axis=1)
+    pact_o = jnp.take_along_axis(flags & 15, order, axis=1)     # [B,G]
+    act_o = pact_o != 0
     x0i_o = jnp.take_along_axis(as_i16(frame["x0"]), order, axis=1)
     x1i_o = jnp.take_along_axis(as_i16(frame["x1"]), order, axis=1)
     wlo = jnp.arange(NBW, dtype=I32)[None, None] * LANES        # [1,1,NBW]
-    live_s = (
-        act_o[..., None] & (x0i_o[..., None] < wlo + LANES)
-        & (x1i_o[..., None] >= wlo)
+    overlap_s = (
+        (x0i_o[..., None] < wlo + LANES) & (x1i_o[..., None] >= wlo)
     )                                                           # [B,G,NBW]
+    live_s = act_o[..., None] & overlap_s
     live_st = jnp.swapaxes(
         padg(live_s).reshape(Bt, TB, Gp, NBW).any(1), 1, 2
     )                                                           # [Bt,NBW,Gp]
@@ -1265,6 +1308,19 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         jnp.where(live_st, u_iota, Gp + u_iota), axis=-1
     ).astype(I32)                                               # [Bt,NBW,Gp]
     scnt = live_st.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+    # per-(tile, block, compacted seg) piece-live bits (SMEM scalars in
+    # the kernel): bit p = piece p active for some tile camera whose seg
+    # row overlaps the block.  Replaces the in-kernel per-piece
+    # ((flags & (1<<p)) != 0).any() reductions with scalar bit tests.
+    plive = jnp.zeros((Bt, NBW, Gp), I32)
+    for p in range(4):
+        pb = (((pact_o >> p) & 1) != 0)[..., None] & overlap_s  # [B,G,NBW]
+        pbt = jnp.swapaxes(
+            padg(pb).reshape(Bt, TB, Gp, NBW).any(1), 1, 2
+        )                                                       # [Bt,NBW,Gp]
+        plive = plive | (
+            jnp.take_along_axis(pbt, slist, axis=-1).astype(I32) << p
+        )
 
     # comb2[bt, w*Gp+g, b] = seg index of tile bt camera b's g-th live
     # seg of block w — dead/padded rows point at an appended zero row
@@ -1395,9 +1451,12 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             memory_space=pltpu.VMEM,
         )
 
+    plive_spec = pl.BlockSpec(
+        (1, 1, UG), lambda i, w, g: (i, w, g), memory_space=pltpu.SMEM
+    )
     in_specs = (
         [seg_spec(smi_f, pltpu.SMEM), seg_spec(pf_f, pltpu.SMEM),
-         cnt_spec4(scnt)]
+         cnt_spec4(scnt), plive_spec]
         + [item_spec(ivi),
            pl.BlockSpec(
                (1,) + ifm.shape[1:],
@@ -1480,8 +1539,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(smi_f, pf_f, scnt, ivi, ifm, ilist, icnt, *cam_inputs, svf_c,
-      *tables, *item_tables)
+    )(smi_f, pf_f, scnt, plive, ivi, ifm, ilist, icnt, *cam_inputs,
+      svf_c, *tables, *item_tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
     tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]
