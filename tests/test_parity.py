@@ -190,3 +190,24 @@ def test_wall_tex_opacity_invariant(info, config):
         warnings.simplefilter("error")
         level = build(synth.two_room_level, mid_tex="GRATE")
     assert level.wall_tex_all_opaque
+
+
+def test_traversal_positions_inverse_of_order(setup, demo_level, config):
+    """traversal_positions is exactly the inverse permutation of
+    seg_order (the sort-free construction must match the stable
+    argsort, ties included)."""
+    from doomtpu.render import camera as cam
+
+    level, _ = setup
+    B = 16
+    rng = np.random.default_rng(3)
+    t = demo_level.tables
+    left, right, top, bottom = [float(v) for v in t.bbox]
+    px = jnp.asarray(rng.uniform(left, right, B), jnp.float32)
+    py = jnp.asarray(rng.uniform(top, bottom, B), jnp.float32)
+    rank = cam.traversal_rank(level, px, py)
+    order = np.asarray(cam.seg_order(level, rank))
+    pos = np.asarray(cam.traversal_positions(level, rank))
+    G = order.shape[1]
+    for b in range(B):
+        assert (order[b, pos[b]] == np.arange(G)).all()
