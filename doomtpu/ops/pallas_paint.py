@@ -888,8 +888,6 @@ def _kernel(
 
         @pl.when(gi == n_g - 1)
         def _items():
-            wlo = wb * LANES
-            whi = wlo + LANES
             one = f32(1.0)
 
             def item_body(j, carry):
@@ -903,11 +901,11 @@ def _kernel(
                 valid_v = (fl_v & 1) != 0
                 x0_v = miv(IFM_X0)
                 x1e_v = miv(IFM_X1E)
-                live_any = (
-                    valid_v & (x0_v < whi) & (x1e_v > wlo)
-                ).any()
 
-                @pl.when(live_any)
+                # no liveness re-check: ilist was compacted on the XLA
+                # side with EXACTLY this predicate (valid & block
+                # x-overlap, any camera), so every j < icnt entry is
+                # live by construction
                 def _live(n=n, mfv=mfv, miv=miv, fl_v=fl_v,
                           valid_v=valid_v, x0_v=x0_v, x1e_v=x1e_v):
                     spr_v = (fl_v & 2) != 0
@@ -1016,6 +1014,7 @@ def _kernel(
                             light, zd, tx, i_lo, i_hi,
                         )
 
+                _live()
                 return carry
 
             # only items live in this (tile, block): the XLA side
