@@ -185,19 +185,20 @@ def _select_items(
         yb_d = f32(yb_s - yb_e) / denom_x
         yt_d = f32(yt_s - yt_e) / denom_x
 
-        # back-to-front order: stable sort by as_i16(lsx) then reverse
+        # back-to-front painter position j_of_m WITHOUT a sort: the old
+        # path argsorted (as_i16(lsx), m) ascending, reversed it, and
+        # scattered positions back; j_of_m[m] is simply MO-1 minus m's
+        # ascending comparison-count (ties broken by index), which is a
+        # fused O(MO^2) compare-reduce — bit-identical, no sort/scatter
         key_m = as_i16(lsx)
-        asc = jnp.argsort(
-            key_m * (MO + 1) + jnp.arange(MO, dtype=I32)[None], axis=1,
-            stable=True,
-        ).astype(I32)
-        draw_order = asc[:, ::-1]                                # [B, MO]
-        j_of_m = jnp.zeros((B, MO), I32).at[
-            jnp.arange(B)[:, None], draw_order
-        ].set(jnp.arange(MO, dtype=I32)[None])
+        mi = jnp.arange(MO, dtype=I32)
+        before_m = (key_m[:, None, :] < key_m[:, :, None]) | (
+            (key_m[:, None, :] == key_m[:, :, None])
+            & (mi[None, None, :] < mi[None, :, None])
+        )                                                        # [B, MO, MO]
+        j_of_m = (MO - 1) - before_m.sum(-1).astype(I32)         # [B, MO]
     else:
         valid = jnp.zeros((B, 0), bool)
-        draw_order = jnp.zeros((B, 0), I32)
 
     # ---------------- masked mid seg painter keys ---------------------------
     if D > 0:
@@ -209,19 +210,24 @@ def _select_items(
                 frame["lex"][:, dsegs_j, None], frame["ley"][:, dsegs_j, None],
                 midx[:, None, :], midy[:, None, :],
             )                                                   # [B, D, MO]
-            b_ord = jnp.take_along_axis(
-                behind_mid & valid[:, None, :], draw_order[:, None, :], axis=2
-            )
-            j_first = jnp.where(
-                b_ord.any(-1), jnp.argmax(b_ord, axis=-1).astype(I32), MO
-            )
+            # first draw-order position among behind+valid mobjs = the
+            # MINIMUM painter position (no sorted-order take + argmax)
+            bv = behind_mid & valid[:, None, :]
+            j_first = jnp.min(
+                jnp.where(bv, j_of_m[:, None, :], MO), axis=-1
+            )                                                    # [B, D]
         else:
             j_first = jnp.full((B, D), 0, I32)
 
-        inv_pos = jnp.zeros((B, G), I32).at[
-            jnp.arange(B)[:, None], order
-        ].set(jnp.arange(G, dtype=I32)[None])
-        tie_d = (G - 1) - inv_pos[:, dsegs_j]                    # [B, D]
+        # traversal position of each drawable-mid seg via a one-hot
+        # weighted sum over the order (fused compare-reduce) instead of
+        # scattering a full [B, G] inverse permutation
+        g_iota = jnp.arange(G, dtype=I32)
+        pos_d = (
+            (order[:, :, None] == dsegs_j[None, None, :])
+            * g_iota[None, :, None]
+        ).sum(1).astype(I32)                                     # [B, D]
+        tie_d = (G - 1) - pos_d                                  # [B, D]
         dseg_valid = frame["valid"][:, dsegs_j] & frame["active"][:, dsegs_j, 1]
     else:
         j_first = jnp.zeros((B, 0), I32)
@@ -237,20 +243,91 @@ def _select_items(
     key_seg = (2 * j_first) * TIE + tie_d
     item_key = jnp.concatenate([key_sprite, key_seg], axis=1)    # [B, I]
     item_valid = jnp.concatenate([valid, dseg_valid], axis=1)
-    # invalid items get key -1 so the LAST N of the ascending sort are
+    # invalid items get key -1 so the LAST N of the ascending order are
     # exactly the nearest N valid items (valid keys are >= 0)
     item_key = jnp.where(item_valid, item_key, -1)
-    item_sorted = jnp.argsort(item_key, axis=1, stable=True).astype(I32)
-    sel = item_sorted[:, I - N:]                                 # [B, N]
-    sel_valid = jnp.take_along_axis(item_valid, sel, axis=1)
+
+    # nearest-N selection WITHOUT the [B, I] argsort and without a
+    # take_along_axis per field: stable ascending positions by
+    # comparison count (ties by index — identical to the stable
+    # argsort), then ONE exact one-hot MXU contraction gathers every
+    # per-item field at the selected slots.  Fields ride as u16 halves
+    # (exactly representable in f32; a one-hot row holds a single 1.0),
+    # so the result is bit-identical to the gather path — the same
+    # discipline as the paint-kernel input compaction
+    # (ops/pallas_paint.py).
+    ii_ = jnp.arange(I, dtype=I32)
+    before_i = (item_key[:, None, :] < item_key[:, :, None]) | (
+        (item_key[:, None, :] == item_key[:, :, None])
+        & (ii_[None, None, :] < ii_[None, :, None])
+    )                                                            # [B, I, I]
+    pos_i = before_i.sum(-1).astype(I32)                         # [B, I]
+    slot_i = pos_i - (I - N)                                     # >= 0: kept
+    onehot = (
+        slot_i[:, :, None] == jnp.arange(N, dtype=I32)[None, None, :]
+    ).astype(F32)                                                # [B, I, N]
+
     n_valid = item_valid.sum(axis=1).astype(I32)
     items_dropped = jnp.maximum(0, n_valid - N)
 
-    is_spr_sel = sel < MO if MO > 0 else jnp.zeros((B, N), bool)
+    def padI(x):
+        return jnp.pad(x, ((0, 0), (0, I - x.shape[1])))
 
-    def gspr(x):
-        """Gather a [B, MO] sprite scalar at the selected items."""
-        return jnp.take_along_axis(x, jnp.clip(sel, 0, max(MO - 1, 0)), axis=1)
+    def bits(x):
+        return lax.bitcast_convert_type(f32(x), I32) if x.dtype != I32 \
+            else x
+
+    cols = [
+        jnp.broadcast_to(ii_[None], (B, I)),                     # sel index
+        item_valid.astype(I32),
+    ]
+    spr_names = []
+    if MO > 0:
+        s_len = jnp.sqrt(
+            smul(lsx - lex, lsx - lex) + smul(lsy - ley, lsy - ley)
+        )
+        spr_fields = [
+            ("lsx", lsx, True), ("lsy", lsy, True),
+            ("lex", lex, True), ("ley", ley, True),
+            ("soff", start_off, True), ("pic", pic_s, False),
+            ("wpic", w_pic, False), ("light", light_m, False),
+            ("bsx", bsx, False), ("bex", bex, False),
+            ("ybs", f32(yb_s), True), ("ybd", yb_d, True),
+            ("yts", f32(yt_s), True), ("ytd", yt_d, True),
+            ("uy1", top_h - bottom_h, True), ("slen", s_len, True),
+            ("vpx", vpx, True), ("vpy", vpy, True),
+        ]
+        for name, v, _isf in spr_fields:
+            spr_names.append((name, _isf))
+            cols.append(padI(bits(v)))
+    if D > 0:
+        cols.append(
+            jnp.concatenate(
+                [
+                    jnp.zeros((B, MO), I32),
+                    jnp.broadcast_to(dsegs_j[None], (B, D)),
+                ],
+                axis=1,
+            )
+        )
+    src = jnp.stack(cols, axis=-1)                               # [B, I, C]
+    C = src.shape[-1]
+    halves = jnp.concatenate(
+        [f32(src & 0xFFFF), f32((src >> 16) & 0xFFFF)], axis=-1
+    )                                                            # [B, I, 2C]
+    folded = lax.dot_general(
+        onehot, halves,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=F32,
+    )                                                            # [B, N, 2C]
+    outc = folded[..., :C].astype(I32) | (
+        folded[..., C:].astype(I32) << 16
+    )                                                            # [B, N, C]
+
+    sel = outc[..., 0]                                           # [B, N]
+    sel_valid = outc[..., 1] != 0
+    is_spr_sel = sel < MO if MO > 0 else jnp.zeros((B, N), bool)
 
     out = {
         "B": B, "MO": MO, "D": D, "I": I, "N": N,
@@ -258,22 +335,16 @@ def _select_items(
         "items_dropped": items_dropped,
     }
     if MO > 0:
-        s_len = jnp.sqrt(
-            smul(lsx - lex, lsx - lex) + smul(lsy - ley, lsy - ley)
-        )
-        out["spr"] = {
-            "lsx": gspr(lsx), "lsy": gspr(lsy),
-            "lex": gspr(lex), "ley": gspr(ley),
-            "soff": gspr(start_off), "pic": gspr(pic_s),
-            "wpic": gspr(w_pic), "light": gspr(light_m),
-            "bsx": gspr(bsx), "bex": gspr(bex),
-            "ybs": gspr(f32(yb_s)), "ybd": gspr(yb_d),
-            "yts": gspr(f32(yt_s)), "ytd": gspr(yt_d),
-            "uy1": gspr(top_h - bottom_h), "slen": gspr(s_len),
-            "vpx": gspr(vpx), "vpy": gspr(vpy),
-        }
+        spr = {}
+        for ci, (name, isf) in enumerate(spr_names):
+            v = outc[..., 2 + ci]
+            spr[name] = lax.bitcast_convert_type(v, F32) if isf else v
+        out["spr"] = spr
+        # seg-item slots carry zeros in the sprite fields (the old
+        # gather fetched an arbitrary sprite's values there); every
+        # consumer masks them behind is_spr_sel
     if D > 0:
-        out["segsel"] = dsegs_j[jnp.clip(sel - MO, 0, D - 1)]    # [B, N]
+        out["segsel"] = outc[..., C - 1]                         # [B, N]
     return out
 
 
