@@ -110,6 +110,16 @@ PAINT_SEGWHEN = _os.environ.get("DOOMTPU_PAINT_SEGWHEN", "0") != "0"
 # measurement-only: load every seg's field matrix from a STATIC index
 # (wrong results) to attribute the cost of the dynamic-index VMEM load
 PAINT_STATLOAD = _os.environ.get("DOOMTPU_PAINT_STATLOAD", "0") != "0"
+# early exit: skip a grid step's whole seg fori once the occlusion
+# state hor is all-ones over the (tile, block) — every later seg's body
+# is a provable no-op (open_ = covered & ~hor is false everywhere; the
+# p==0 hor/fo/co updates are idempotent on closed columns; every paint
+# mask and emit mask requires open_).  MEASURED DEAD END on the e1m1
+# fixture (scripts/probe_closure.py): closure arrives at the very end
+# of each (tile, block)'s live list — the XLA-side FOV + x-overlap
+# culling already drops 99.6% of post-closure visits — so the per-step
+# reduction would cost more than it saves.  Kept off for A/B.
+PAINT_EXIT = _os.environ.get("DOOMTPU_PAINT_EXIT", "0") != "0"
 
 LANES = 128
 
@@ -806,7 +816,14 @@ def _kernel(
     # run only the sub-steps that hold live segs for this block: the
     # compacted list puts them first, scnt counts them
     rem = scnt_ref[0, 0, 0, 0] - gi * (U * GSUB)
-    lax.fori_loop(0, jnp.clip((rem + U - 1) // U, 0, GSUB), _gsub, 0)
+    nsub = jnp.clip((rem + U - 1) // U, 0, GSUB)
+    if PAINT_EXIT:
+        # skip the whole step once this (tile, block) is fully occluded
+        @pl.when((hor_s[...] == 0).any())
+        def _seg_steps():
+            lax.fori_loop(0, nsub, _gsub, 0)
+    else:
+        lax.fori_loop(0, nsub, _gsub, 0)
 
     # ---------------- deferred items painted in-kernel -----------------------
     # Sprites + masked mids (things.py deferred_pass semantics) drawn
