@@ -13,7 +13,10 @@ import time
 import numpy as np
 
 
-def run_viewer(engine, state, print_fps: bool = False, scale: int = 3) -> int:
+def run_viewer(engine, state, print_fps: bool = False, scale: int = 3,
+               max_frames: int | None = None) -> int:
+    """max_frames bounds the loop (headless/dummy-driver testing);
+    None = run until quit, like the reference's main_loop."""
     try:
         import pygame
     except ImportError:
@@ -91,3 +94,5 @@ def run_viewer(engine, state, print_fps: bool = False, scale: int = 3) -> int:
         clock.add_elapsed_interval(time.time() - t0)
         if print_fps:
             print(f"FPS {clock.fps():.1f}")
+        if max_frames is not None and frame_i >= max_frames:
+            return 0
