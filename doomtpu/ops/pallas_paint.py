@@ -1082,7 +1082,8 @@ def _kernel(
 
 def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                  angle, px, py, floor_height, items=None,
-                 interpret: bool = False):
+                 interpret: bool = False, unroll: int | None = None,
+                 gsub: int | None = None):
     """Run the paint kernel over B cameras.
 
     Returns dict with idx/ld/rgb [B, H, W], mid pool (7 x [B, W, KM]),
@@ -1093,6 +1094,11 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     level.itempaint_ok), sprites + masked mids are painted INSIDE the
     kernel too — idx/ld/rgb then hold the complete frame and the
     deferred pass is not needed.
+
+    unroll/gsub override SEG_UNROLL/SEG_GSUB per call (outputs are
+    identical for any values; interpret-mode tests pass small ones —
+    the XLA:CPU compile of the interpret program scales with the
+    unrolled body size, minutes at the production U=4/GSUB=8).
     """
     from doomtpu.render import jmath
     from doomtpu.render.jmath import cos_sin
@@ -1112,8 +1118,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     assert B % 4 == 0, f"batch {B} must be a multiple of 4"
     # full-vreg camera tiles when the batch allows it (tests use B=4)
     TB = 8 if B % 8 == 0 else 4
-    U = min(SEG_UNROLL, G)
-    GSUB = SEG_GSUB
+    U = min(SEG_UNROLL if unroll is None else unroll, G)
+    GSUB = SEG_GSUB if gsub is None else gsub
     UG = U * GSUB
     Gp = ((G + UG - 1) // UG) * UG
 

@@ -71,8 +71,13 @@ def test_paint_walls_planes_bit_exact(setup, demo_level, config, nviews):
     )
     rgb_r = res.shade(level, idx_r, light_r, dist_r, sky_r, onehot=False)
 
+    # unroll=1/gsub=2: identical outputs for any unroll; the XLA:CPU
+    # compile of the interpret program scales with the unrolled body
+    # (production U=4/GSUB=8 costs minutes per variant — covered once in
+    # test_paint_full_frame_bit_exact)
     out = render_paint(
-        level, config, frame, order, pa, px, py, fh, interpret=True
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
     )
     ld = np.asarray(out["ld"])
     idx_r = np.asarray(idx_r)
@@ -152,7 +157,7 @@ def test_paint_items_in_kernel_bit_exact(setup, demo_level, config, nviews):
     )
     out = render_paint(
         level, config, frame, order, pa, px, py, fh, items=ipack,
-        interpret=True,
+        interpret=True, unroll=1, gsub=2,
     )
     np.testing.assert_array_equal(np.asarray(out["idx"]), np.asarray(idx_r))
     np.testing.assert_array_equal(np.asarray(out["rgb"]), np.asarray(rgb_r))
@@ -178,7 +183,8 @@ def test_paint_full_frame_item_kernel(setup, demo_level, config):
     frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
     order = cam.seg_order(level, cam.traversal_rank(level, px, py))
     out = render_paint(
-        level, config, frame, order, pa, px, py, fh, interpret=True
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
     )
     ld = out["ld"]
     light = (ld >> 16) & 0xFF
