@@ -85,6 +85,19 @@ class RenderConfig:
     # much smaller than span_capacity; the deferred pass's per-slot
     # clip reductions scale with it).  Overflow is counted at runtime.
     clip_capacity: int = 16
+    # Input-compaction method cutover for the paint kernel: maps with
+    # padded seg count <= this use the one-hot MXU compaction (measured
+    # ~1.7x faster than a slice-gather at e1m1 sizes, but its one-hot
+    # operand is [.., NBW*Gp, Gp+1] f32 — QUADRATIC in map size, ~1.7 GB
+    # at 736 segs and ~13 GB at 2048); larger maps use the linear
+    # slice-gather (bit-identical either way).
+    paint_onehot_max_segs: int = 1024
+    # Largest map (in segs) eligible for the paint kernel at all: the
+    # compacted per-(tile, block) input packs are sized Gp rows per
+    # block (static worst case), ~2 GB per 256-camera chunk at 4096
+    # segs.  Bigger maps fall back to the scan-pool pipeline, whose
+    # working set is G-independent.
+    paint_max_segs: int = 4096
 
     @property
     def camera_focus_x(self) -> float:

@@ -1361,12 +1361,15 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         vlive.reshape(Bt, NBW * Gp)[..., None], comb2, Gp
     )
 
-    # ONE exact one-hot MXU contraction compacts ALL per-seg packs at
-    # once (svf 48 f32 | smi 17 i32 | pf 4 f32 = 69 i32 words per row,
-    # split into u16 halves — exactly representable in f32, and a
-    # one-hot row has a single 1.0, so the recombined output is
-    # bit-identical to a gather; measured ~1.7x faster than the XLA
-    # slice-gather at these slice sizes, scripts/probe_compact_gather.py)
+    # Compact ALL per-seg packs at once (svf 48 f32 | smi 17 i32 | pf 4
+    # f32 = 69 i32 words per row).  Small maps: ONE exact one-hot MXU
+    # contraction (fields split into u16 halves — exactly representable
+    # in f32, and a one-hot row has a single 1.0, so the recombined
+    # output is bit-identical to a gather; measured ~1.7x faster than
+    # the XLA slice-gather at e1m1 sizes,
+    # scripts/probe_compact_gather.py).  Large maps: the slice-gather —
+    # the one-hot operand is [.., NBW*Gp, Gp+1] f32, QUADRATIC in map
+    # size (~13 GB at 2048 segs), while the gather is linear.
     NR = SVF_FD + smi.shape[-1] + uy1_o.shape[-1]
     pack_i = jnp.concatenate(
         [
@@ -1379,27 +1382,38 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         padg(pack_i).reshape(Bt, TB, Gp, NR),
         ((0, 0), (0, 0), (0, 1), (0, 0)),
     )                                           # [Bt, TB, Gp+1, NR]
-    halves = jnp.concatenate(
-        [
-            (pack_i_ & 0xFFFF).astype(F32)
-            for pack_i_ in (pack_t, (pack_t >> 16))
-        ],
-        axis=-1,
-    )                                           # [Bt, TB, Gp+1, 2*NR]
-    oh = (
-        comb2.transpose(0, 2, 1)[..., None]
-        == jnp.arange(Gp + 1, dtype=I32)
-    ).astype(F32)                               # [Bt, TB, NBW*Gp, Gp+1]
-    folded = lax.dot_general(
-        oh, halves,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=F32,
-    )                                           # [Bt, TB, NBW*Gp, 2*NR]
-    out_i = (
-        folded[..., :NR].astype(I32)
-        | (folded[..., NR:].astype(I32) << 16)
-    ).transpose(0, 2, 1, 3).reshape(Bt, NBW, Gp, TB, NR)
+    if Gp + 1 <= cfg.paint_onehot_max_segs:
+        halves = jnp.concatenate(
+            [
+                (pack_i_ & 0xFFFF).astype(F32)
+                for pack_i_ in (pack_t, (pack_t >> 16))
+            ],
+            axis=-1,
+        )                                       # [Bt, TB, Gp+1, 2*NR]
+        oh = (
+            comb2.transpose(0, 2, 1)[..., None]
+            == jnp.arange(Gp + 1, dtype=I32)
+        ).astype(F32)                           # [Bt, TB, NBW*Gp, Gp+1]
+        folded = lax.dot_general(
+            oh, halves,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=F32,
+        )                                       # [Bt, TB, NBW*Gp, 2*NR]
+        out_i = (
+            folded[..., :NR].astype(I32)
+            | (folded[..., NR:].astype(I32) << 16)
+        )                                       # [Bt, TB, NBW*Gp, NR]
+    else:
+        out_i = jnp.take_along_axis(
+            pack_t,
+            jnp.broadcast_to(
+                comb2.transpose(0, 2, 1)[..., None],
+                (Bt, TB, NBW * Gp, NR),
+            ),
+            axis=2,
+        )                                       # [Bt, TB, NBW*Gp, NR]
+    out_i = out_i.transpose(0, 2, 1, 3).reshape(Bt, NBW, Gp, TB, NR)
     svf_c = lax.bitcast_convert_type(out_i[..., :SVF_FD], F32)
     smi_f = out_i[..., SVF_FD:SVF_FD + smi.shape[-1]].reshape(
         Bt, NBW, Gp, TB * smi.shape[-1]

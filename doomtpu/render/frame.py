@@ -25,6 +25,10 @@ def paint_available(level, cfg, B) -> bool:
     return (
         cfg.use_pallas_paint
         and level.paint_ok
+        # the per-(tile, block) compacted input packs are sized Gp rows
+        # per block (static worst case) — bounded at ~2 GB per 256-
+        # camera chunk by this cap; bigger maps take the scan-pool path
+        and level.num_segs <= cfg.paint_max_segs
         and B % 4 == 0
         and cfg.height % 8 == 0
         and _jax.default_backend() != "cpu"

@@ -94,6 +94,34 @@ def test_paint_walls_planes_bit_exact(setup, demo_level, config, nviews):
     assert int(np.asarray(out["overflow"]).max()) == 0
 
 
+def test_paint_gather_compaction_bit_exact(setup, demo_level, config):
+    """The large-map slice-gather input compaction == the one-hot MXU
+    path, bit for bit (paint_onehot_max_segs=0 forces the gather)."""
+    from doomtpu.ops.pallas_paint import render_paint
+
+    level = setup
+    views = VIEWS[:4]
+    px, py, pa, fh, sl, ts = _state(demo_level, views)
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    import dataclasses
+
+    cfg_g = dataclasses.replace(config, paint_onehot_max_segs=0)
+    out_oh = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    out_ga = render_paint(
+        level, cfg_g, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip"):
+        np.testing.assert_array_equal(
+            np.asarray(out_oh[k]), np.asarray(out_ga[k])
+        )
+
+
 def test_paint_full_frame_bit_exact(setup, demo_level, config):
     """Full pipeline: paint kernel + split-pool deferred pass (sprites +
     masked mids, shaded rgb merge) == XLA render_frame."""
