@@ -58,6 +58,27 @@ def _fmod(a, b):
     return jnp.fmod(f32(a), f32(b))
 
 
+def stable_positions(key, size_cutoff: int = 768):
+    """Ascending stable-sort position of each element along axis 1.
+
+    Equals the position a stable argsort on (key, index) would assign.
+    Small axes use an O(I^2) fused compare-reduce (pure VPU work — XLA
+    sorts lower to O(n log^2 n) bitonic passes on TPU, slower at these
+    sizes); large axes fall back to the double stable argsort, because
+    the compare-reduce's [B, I, I] operand is quadratic in memory
+    (~1 GB of bool at I=2048, B=256).  Both are exact."""
+    B, I = key.shape
+    if I <= size_cutoff:
+        ii = jnp.arange(I, dtype=I32)
+        before = (key[:, None, :] < key[:, :, None]) | (
+            (key[:, None, :] == key[:, :, None])
+            & (ii[None, None, :] < ii[None, :, None])
+        )                                                    # [B, I, I]
+        return before.sum(-1).astype(I32)
+    order = jnp.argsort(key, axis=1, stable=True)
+    return jnp.argsort(order, axis=1, stable=True).astype(I32)
+
+
 def sprite_rotation(player_angle, mobj_angle):
     """0..7 rotation index (:53-67), f32 like the reference."""
     two_pi = f32(2.0) * _PI
@@ -185,18 +206,11 @@ def _select_items(
         yb_d = f32(yb_s - yb_e) / denom_x
         yt_d = f32(yt_s - yt_e) / denom_x
 
-        # back-to-front painter position j_of_m WITHOUT a sort: the old
-        # path argsorted (as_i16(lsx), m) ascending, reversed it, and
-        # scattered positions back; j_of_m[m] is simply MO-1 minus m's
-        # ascending comparison-count (ties broken by index), which is a
-        # fused O(MO^2) compare-reduce — bit-identical, no sort/scatter
-        key_m = as_i16(lsx)
-        mi = jnp.arange(MO, dtype=I32)
-        before_m = (key_m[:, None, :] < key_m[:, :, None]) | (
-            (key_m[:, None, :] == key_m[:, :, None])
-            & (mi[None, None, :] < mi[None, :, None])
-        )                                                        # [B, MO, MO]
-        j_of_m = (MO - 1) - before_m.sum(-1).astype(I32)         # [B, MO]
+        # back-to-front painter position j_of_m WITHOUT a scatter: the
+        # old path argsorted (as_i16(lsx), m) ascending, reversed it,
+        # and scattered positions back; j_of_m[m] is simply MO-1 minus
+        # m's ascending stable position — bit-identical
+        j_of_m = (MO - 1) - stable_positions(as_i16(lsx))        # [B, MO]
     else:
         valid = jnp.zeros((B, 0), bool)
 
@@ -247,21 +261,16 @@ def _select_items(
     # exactly the nearest N valid items (valid keys are >= 0)
     item_key = jnp.where(item_valid, item_key, -1)
 
-    # nearest-N selection WITHOUT the [B, I] argsort and without a
-    # take_along_axis per field: stable ascending positions by
-    # comparison count (ties by index — identical to the stable
-    # argsort), then ONE exact one-hot MXU contraction gathers every
-    # per-item field at the selected slots.  Fields ride as u16 halves
-    # (exactly representable in f32; a one-hot row holds a single 1.0),
-    # so the result is bit-identical to the gather path — the same
-    # discipline as the paint-kernel input compaction
+    # nearest-N selection WITHOUT a take_along_axis per field: stable
+    # ascending positions (compare-reduce / double-argsort by size, see
+    # stable_positions), then ONE exact one-hot MXU contraction gathers
+    # every per-item field at the selected slots.  Fields ride as u16
+    # halves (exactly representable in f32; a one-hot row holds a
+    # single 1.0), so the result is bit-identical to the gather path —
+    # the same discipline as the paint-kernel input compaction
     # (ops/pallas_paint.py).
     ii_ = jnp.arange(I, dtype=I32)
-    before_i = (item_key[:, None, :] < item_key[:, :, None]) | (
-        (item_key[:, None, :] == item_key[:, :, None])
-        & (ii_[None, None, :] < ii_[None, :, None])
-    )                                                            # [B, I, I]
-    pos_i = before_i.sum(-1).astype(I32)                         # [B, I]
+    pos_i = stable_positions(item_key)                           # [B, I]
     slot_i = pos_i - (I - N)                                     # >= 0: kept
     onehot = (
         slot_i[:, :, None] == jnp.arange(N, dtype=I32)[None, None, :]
