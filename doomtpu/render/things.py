@@ -233,14 +233,21 @@ def _select_items(
         else:
             j_first = jnp.full((B, D), 0, I32)
 
-        # traversal position of each drawable-mid seg via a one-hot
-        # weighted sum over the order (fused compare-reduce) instead of
-        # scattering a full [B, G] inverse permutation
-        g_iota = jnp.arange(G, dtype=I32)
-        pos_d = (
-            (order[:, :, None] == dsegs_j[None, None, :])
-            * g_iota[None, :, None]
-        ).sum(1).astype(I32)                                     # [B, D]
+        # traversal position of each drawable-mid seg: a one-hot
+        # weighted sum over the order (fused compare-reduce) for small
+        # G x D, else invert the permutation with one stable argsort —
+        # the one-hot operand is [B, G, D] (quadratic-ish at big maps)
+        if G * D <= 1 << 20:
+            g_iota = jnp.arange(G, dtype=I32)
+            pos_d = (
+                (order[:, :, None] == dsegs_j[None, None, :])
+                * g_iota[None, :, None]
+            ).sum(1).astype(I32)                                 # [B, D]
+        else:
+            positions = jnp.argsort(
+                order, axis=1, stable=True
+            ).astype(I32)                                        # [B, G]
+            pos_d = positions[:, dsegs_j]
         tie_d = (G - 1) - pos_d                                  # [B, D]
         dseg_valid = frame["valid"][:, dsegs_j] & frame["active"][:, dsegs_j, 1]
     else:

@@ -17,6 +17,23 @@ def _brute(key):
     return out
 
 
+def test_position_inverse_paths_agree():
+    """_select_items' two pos_d formulas: one-hot weighted sum over the
+    order == stable argsort of the permutation (its inverse)."""
+    rng = np.random.default_rng(5)
+    B, G, D = 3, 41, 7
+    order = np.stack([rng.permutation(G) for _ in range(B)]).astype(np.int32)
+    dsegs = rng.choice(G, size=D, replace=False).astype(np.int32)
+    g_iota = np.arange(G, dtype=np.int32)
+    onehot = (
+        (order[:, :, None] == dsegs[None, None, :]) * g_iota[None, :, None]
+    ).sum(1)
+    inv = np.asarray(
+        jnp.argsort(jnp.asarray(order), axis=1, stable=True)
+    )[np.arange(B)[:, None], np.broadcast_to(dsegs, (B, D))]
+    np.testing.assert_array_equal(onehot, inv)
+
+
 def test_stable_positions_paths_agree():
     rng = np.random.default_rng(3)
     # heavy ties stress the stable tie-break
