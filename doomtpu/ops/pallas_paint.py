@@ -1044,9 +1044,15 @@ def _kernel(
         zero8 = jnp.zeros((8, LANES), I32)
         pal0 = _gather_sub(pal_ref[...], zero8)
         pal1 = _gather_sub(pal_ref[...], zero8 + 1)
-        for b in range(TB):
-            for yb in range(H // 8):
-                ys = slice(yb * 8, yb * 8 + 8)
+
+        # ONE fori over y-blocks whose body interleaves the TB cameras
+        # (disjoint writes — pure loop reorder of the old unrolled
+        # TB x H/8 double loop, which inflated the compiled program by
+        # ~25x; program size is a measured Mosaic cost, see the U=8
+        # regression in PERF.md)
+        def fin_body(yb, carry):
+            ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+            for b in range(TB):
                 pw = pld_s[b, ys, :]
                 ww = wld_s[b, ys, :]
                 use_p = (pw & LD_WRITTEN) != 0
@@ -1078,6 +1084,9 @@ def _kernel(
                 idx_out[b, ys, :] = jnp.where(written, texel, -1)
                 ld_out[b, ys, :] = ldw
                 rgb_out[b, ys, :] = jnp.where(written, packed, 0)
+            return carry
+
+        lax.fori_loop(0, H // 8, fin_body, 0)
 
 
 def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
