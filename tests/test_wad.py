@@ -128,3 +128,22 @@ def test_playpal():
     np.testing.assert_array_equal(
         np.frombuffer(raw[:768], np.uint8).reshape(256, 3), pal
     )
+
+
+def test_select_sky_name():
+    """Sky-by-map-name rules (reference game.rs:199-227): doom1 episode
+    digit picks SKY{e} (unknown episode falls back to SKY1); doom2 two-
+    digit map number buckets <12 / <21 / rest; anything else SKY1."""
+    from doomtpu.assets.bundle import select_sky_name
+
+    assert select_sky_name("e1m1") == "SKY1"
+    assert select_sky_name("E2M7") == "SKY2"
+    assert select_sky_name("e3m9") == "SKY3"
+    assert select_sky_name("e4m1") == "SKY1"     # "should not happen" arm
+    assert select_sky_name("map01") == "SKY1"
+    assert select_sky_name("map11") == "SKY1"
+    assert select_sky_name("map12") == "SKY2"
+    assert select_sky_name("map20") == "SKY2"
+    assert select_sky_name("map21") == "SKY3"
+    assert select_sky_name("map30") == "SKY3"
+    assert select_sky_name("weird") == "SKY1"
