@@ -34,7 +34,9 @@ are emitted into two small pools (mid: full draw G-buffer, clip: span
 word + full edge ys + seg id), consumed by render/things.py.
 
 Eligibility is static per level (`DeviceLevel.paint_ok`): wall-piece
-textures <= 128x128 and fully opaque, opaque sky.  Like pallas_scan,
+textures <= 256x128 (widths above 128 switch the texel fetch to the
+sky-style two-half lane select, `DeviceLevel.texq_wide`) and fully
+opaque, opaque sky.  Like pallas_scan,
 this is the fast path: plain f32 arithmetic (Mosaic may contract
 mul+add; boundary pixels can differ from the strict-FP oracle).  In
 interpret mode it is bit-identical to the XLA path (tests/test_paint.py).
@@ -298,7 +300,7 @@ def _kernel(
     cntm_ref, cntc_ref, ovf_ref,
     # scratch
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s,
-    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, NI,
+    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, NI, TEXQ_WIDE,
 ):
     # views reconstruct the original per-field refs (same loads, same
     # dtypes — f32 fields bitcast back on read)
@@ -438,9 +440,9 @@ def _kernel(
 
             def wall_setup(b):
                 texid = texid_ref[0, u_, p, b]
-                # ONE dynamic-offset window load (32, 128), statically
-                # sliced into the 4 row-packed vregs — dynamic VMEM
-                # window loads pay a fixed stall each
+                # ONE dynamic-offset window load (32, 128|256),
+                # statically sliced into the 4 row-packed vregs —
+                # dynamic VMEM window loads pay a fixed stall each
                 tv32 = texq_ref[
                     pl.ds(pl.multiple_of(texid * 32, 8), 32), :
                 ]
@@ -455,11 +457,27 @@ def _kernel(
                 mrow = mask[b:b + 1, :]
                 ct_r = ct[b:b + 1, :]
                 cb_r = cb[b:b + 1, :]
-                cpat = jnp.broadcast_to(
-                    jnp.clip(tx[b:b + 1, :], 0, LANES - 1),
-                    (8, LANES),
-                )
-                gv = [_gather_lane(t, cpat) for t in tv]
+                if TEXQ_WIDE:
+                    # up-to-256-wide wall textures: two-half lane select
+                    # exactly like the sky path (lane pattern stays
+                    # per-column constant, so _select_q remains valid)
+                    cw = jnp.clip(tx[b:b + 1, :], 0, 2 * LANES - 1)
+                    spat = jnp.broadcast_to(cw & (LANES - 1), (8, LANES))
+                    shalf = jnp.broadcast_to(cw >= LANES, (8, LANES))
+                    gv = [
+                        jnp.where(
+                            shalf,
+                            _gather_lane(t[:, LANES:], spat),
+                            _gather_lane(t[:, :LANES], spat),
+                        )
+                        for t in tv
+                    ]
+                else:
+                    cpat = jnp.broadcast_to(
+                        jnp.clip(tx[b:b + 1, :], 0, LANES - 1),
+                        (8, LANES),
+                    )
+                    gv = [_gather_lane(t, cpat) for t in tv]
                 ty_r = ty[b:b + 1, :]
                 denom_v = f32(by[b:b + 1, :] - ty_r)
                 ld_r = jnp.broadcast_to(
@@ -1568,6 +1586,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     kernel = functools.partial(
         _kernel, W=W, H=H, TEX_POW2=level.tex_sizes_pow2, U=U,
         KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB, GSUB=GSUB, NI=NI,
+        TEXQ_WIDE=level.texq_wide,
     )
     outs = pl.pallas_call(
         kernel,

@@ -147,9 +147,12 @@ class DeviceLevel:
     # opaque (vanilla-asset invariant; guarantees the resolve winner-fold
     # is exact — see build() and resolve.py)
     wall_tex_all_opaque: bool = True
-    # static eligibility for the Pallas paint kernel (texture dims <= 128,
-    # opaque wall pieces + opaque sky)
+    # static eligibility for the Pallas paint kernel (wall-piece texture
+    # dims <= 256 x 128, opaque wall pieces + opaque sky)
     paint_ok: bool = False
+    # tex_q is 256 lanes wide (some wall-piece texture is > 128 wide);
+    # the kernel then uses the sky-style two-half lane select
+    texq_wide: bool = False
     # static eligibility for the item-composite kernel: every atlas
     # column fits the 128-row packed tables
     items_ok: bool = False
@@ -160,7 +163,7 @@ class DeviceLevel:
 
     _STATIC_FIELDS = (
         "sky_is_opaque", "tex_sizes_pow2", "wall_tex_all_opaque",
-        "paint_ok", "items_ok", "itempaint_ok",
+        "paint_ok", "texq_wide", "items_ok", "itempaint_ok",
     )
 
     def tree_flatten(self):
@@ -325,16 +328,21 @@ class DeviceLevel:
             ).astype(np.uint32).astype(np.int64).astype(np.int32)
 
         QT = 32  # q-rows per texture (128 rows / 4)
-        tex_q = np.zeros((T_ * QT, 128), np.int32)
         # the paint kernel draws only wall-piece textures (mids/sprites
         # take the deferred path, sky has its own table), so eligibility
-        # depends on THOSE textures' dims, not the atlas padding
+        # depends on THOSE textures' dims, not the atlas padding.  Wall
+        # textures up to 256 wide (stock doom1/doom2 use some) get a
+        # 256-lane table + the sky-style two-half lane select in-kernel
+        # (texq_wide); narrow levels keep the cheap 128-lane path.
+        texq_wide = any(a.tex_w[ti] > 128 for ti in wall_piece_tex)
+        TWQ = 256 if texq_wide else 128
+        tex_q = np.zeros((T_ * QT, TWQ), np.int32)
         paint_ok = bool(wall_tex_all_opaque) and all(
-            a.tex_w[ti] <= 128 and a.tex_h[ti] <= 128
+            a.tex_w[ti] <= TWQ and a.tex_h[ti] <= 128
             for ti in wall_piece_tex
         )
         for ti in range(T_):
-            win = a.tex_pixels[ti][:128, :128].astype(np.uint8)
+            win = a.tex_pixels[ti][:128, :TWQ].astype(np.uint8)
             q = pack_rows4(win)
             tex_q[ti * QT : ti * QT + q.shape[0], : win.shape[1]] = q
         QF = 16  # 64 flat rows / 4
@@ -391,7 +399,9 @@ class DeviceLevel:
 
         U_ = T_ + P_
         item_q = np.zeros((U_ * QT, 128), np.int32)
-        item_q[: T_ * QT] = tex_q
+        # item paint only ever fetches mid textures (<= 128 wide, gated
+        # by itempaint_ok), so the narrow half of a wide tex_q suffices
+        item_q[: T_ * QT] = tex_q[:, :128]
         item_mq = np.zeros((U_ * 8, 128), np.int32)
         for ti in range(T_):
             item_mq[ti * 8 : (ti + 1) * 8, :] = pack_maskrows(
@@ -428,6 +438,7 @@ class DeviceLevel:
             atlas_colsq=_j(atlas_colsq, jnp.int32),
             atlas_maskq=_j(atlas_maskq, jnp.int32),
             paint_ok=paint_ok,
+            texq_wide=texq_wide,
             items_ok=items_ok,
             seg_v1=_j(t.vertexes[t.seg_v[:, 0]], jnp.float32),
             seg_v2=_j(t.vertexes[t.seg_v[:, 1]], jnp.float32),

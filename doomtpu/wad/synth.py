@@ -440,12 +440,14 @@ def standard_assets(builder: WadBuilder) -> None:
     pstep = make_wall_patch(12, 64, 64, 75)
     pgrate, grate_mask = make_grate()
     psky = make_sky_patch()
+    pwide = make_wall_patch(13, 64, 128, 110)
     opaque = lambda a: np.ones_like(a, dtype=bool)
     builder.add("PWALL", encode_picture(pwall, opaque(pwall)))
     builder.add("PSTEP", encode_picture(pstep, opaque(pstep)))
     builder.add("PGRATE", encode_picture(pgrate, grate_mask))
     builder.add("PSKY", encode_picture(psky, opaque(psky)))
-    pnames = ["PWALL", "PSTEP", "PGRATE", "PSKY"]
+    builder.add("PWIDE", encode_picture(pwide, opaque(pwide)))
+    pnames = ["PWALL", "PSTEP", "PGRATE", "PSKY", "PWIDE"]
     builder.add("PNAMES", encode_pnames(pnames))
     builder.add(
         "TEXTURE1",
@@ -467,6 +469,13 @@ def standard_assets(builder: WadBuilder) -> None:
             # texel is covered, so the texture stays wall-opaque
             {"name": "WALL3", "width": 64, "height": 128,
              "patches": [(-16, -24, 0), (32, 0, 0), (0, 96, 1)]},
+            # a 256-wide wall texture (stock doom1/doom2 have these);
+            # levels using it on wall pieces exercise the paint kernel's
+            # wide-texture two-half select (DeviceLevel.texq_wide).  The
+            # halves differ (PWALL|PWIDE vs PWIDE|PWALL) so fetching the
+            # wrong half shows up in parity.
+            {"name": "WIDE1", "width": 256, "height": 128,
+             "patches": [(0, 0, 0), (64, 0, 4), (128, 0, 4), (192, 0, 0)]},
         ]),
     )
 
@@ -578,6 +587,21 @@ def demo_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
         ThingSpec(300, 700, 0, 34),       # candle in the nukage pit
         ThingSpec(400, -500, 90, 2035),   # barrel behind the grate
     ]
+    return rooms, things
+
+
+def wide_tex_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """Two rooms whose walls use the 256-wide WIDE1 texture: exercises
+    the paint kernel's texq_wide two-half texel fetch on solid, lower
+    and upper pieces (x offsets walk u across both halves)."""
+    rooms = [
+        RoomSpec(0, 0, 640, 512, floor_h=0, ceil_h=160, light=208,
+                 wall_tex="WIDE1", lower_tex="WIDE1", upper_tex="WIDE1"),
+        RoomSpec(640, 128, 1280, 384, floor_h=32, ceil_h=128, light=160,
+                 wall_tex="WIDE1", lower_tex="WIDE1", upper_tex="WIDE1",
+                 floor_flat="FLOOR2"),
+    ]
+    things = [ThingSpec(256, 256, 0, 1), ThingSpec(900, 256, 180, 2035)]
     return rooms, things
 
 
@@ -710,6 +734,10 @@ def two_room_wad() -> bytes:
 
 def demo_wad() -> bytes:
     return build_wad(*demo_level())
+
+
+def wide_tex_wad() -> bytes:
+    return build_wad(*wide_tex_level())
 
 
 def sky_hack_wad() -> bytes:

@@ -94,6 +94,47 @@ def test_paint_walls_planes_bit_exact(setup, demo_level, config, nviews):
     assert int(np.asarray(out["overflow"]).max()) == 0
 
 
+def test_paint_wide_texture_bit_exact(config, info):
+    """256-wide wall textures (DeviceLevel.texq_wide two-half texel
+    fetch) == the XLA pipeline, bit for bit, on a level whose wall/
+    lower/upper pieces all use WIDE1 with distinct halves."""
+    from doomtpu.ops.pallas_paint import render_paint
+    from doomtpu.render.frame import render_frame
+    from tests.conftest import Level
+
+    lv = Level(synth.wide_tex_wad(), info)
+    level = DeviceLevel.build(lv.tables, lv.assets, lv.info)
+    assert level.texq_wide and level.paint_ok
+    views = [
+        (256.0, 256.0, 0.0), (900.0, 256.0, 3.1),
+        (500.0, 300.0, 1.2), (320.0, 400.0, 5.0),
+    ]
+    px, py, pa, fh, sl, ts = _state(lv, views)
+    mp, ma, ms = lv.spawn_mobjs()
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(len(views), 0)
+
+    idx_r, rgb_r, _ = render_frame(
+        level, config, px, py, pa, fh, sl, mstate, ts
+    )
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    out = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    ld = out["ld"]
+    from doomtpu.ops.pallas_paint import LD_SKY
+
+    pools = things.pools_from_paint(out)
+    idx_p, _, _, _, daux = things.deferred_pass(
+        level, config, frame, pools, order, px, py, pa, fh, sl, mstate,
+        out["idx"], (ld >> 16) & 0xFF, ((ld & 0xFFFF) << 16) >> 16,
+        (ld & LD_SKY) != 0, rgb=out["rgb"],
+    )
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(daux["rgb"]), np.asarray(rgb_r))
+
+
 def test_paint_gather_compaction_bit_exact(setup, demo_level, config):
     """The large-map slice-gather input compaction == the one-hot MXU
     path, bit for bit (paint_onehot_max_segs=0 forces the gather)."""
