@@ -119,11 +119,32 @@ class DoomEngine:
         )
 
     def rollout(self, state: GameState, controls_seq, key,
-                return_frames: bool = True):
-        return _rollout_jit(
-            self.level, self.thinkers, self.config, state, controls_seq, key,
-            return_frames,
-        )
+                return_frames: bool = True, max_ticks_per_jit: int = 32):
+        """T ticks of step+render as lax.scan segments on device.
+
+        Long rollouts are chained as <= max_ticks_per_jit-tick jitted
+        scans: the relay-backed TPU runtime kills single executions
+        over ~100 s (B=2048 x 32 ticks measures ~53 s), and each
+        segment is one compiled dispatch so per-op relay overhead never
+        appears.  The per-tick keys come from ONE split of `key`, so
+        chained output == one long scan, bit for bit.  Pass
+        max_ticks_per_jit=0 to run one unchained scan."""
+        T = controls_seq.shape[0]
+        keys = jax.random.split(key, T)
+        S = max_ticks_per_jit
+        if not S or T <= S:
+            return _rollout_jit(
+                self.level, self.thinkers, self.config, state,
+                controls_seq, keys, return_frames,
+            )
+        outs = []
+        for s0 in range(0, T, S):
+            state, out = _rollout_jit(
+                self.level, self.thinkers, self.config, state,
+                controls_seq[s0:s0 + S], keys[s0:s0 + S], return_frames,
+            )
+            outs.append(out)
+        return state, jnp.concatenate(outs, axis=0)
 
     def kill_everything(self, state):
         return step_mod.kill_everything(self.level, state)
@@ -286,14 +307,14 @@ def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
 
 
 @partial(jax.jit, static_argnums=(2, 6))
-def _rollout_jit(level, thinkers, cfg, state, controls_seq, key,
+def _rollout_jit(level, thinkers, cfg, state, controls_seq, keys,
                  return_frames):
     # one jit around the whole scan: without it every surrounding op
     # dispatches individually through the relay (~ms each) and a T-step
     # rollout takes minutes instead of milliseconds
     return step_mod.rollout(
-        level, thinkers, cfg, state, controls_seq, key,
-        return_frames=return_frames,
+        level, thinkers, cfg, state, controls_seq, None,
+        return_frames=return_frames, keys=keys,
     )
 
 

@@ -315,7 +315,13 @@ def _kernel(
 
     @pl.when(gi == 0)
     def _init():
-        hor_s[...] = jnp.zeros((TB, LANES), I32)
+        # pad lanes (column >= W in the last block) can never be painted
+        # or occluded (x1 < W bounds `covered`), so mark them occluded
+        # up front: every consumer masks them out anyway, and the
+        # PAINT_EXIT all-occluded check would otherwise never fire on a
+        # padded block
+        xx0 = lax.broadcasted_iota(I32, (TB, LANES), 1) + wb * LANES
+        hor_s[...] = (xx0 >= W).astype(I32)
         fo_s[...] = jnp.full((TB, LANES), H, I32)
         co_s[...] = jnp.full((TB, LANES), -1, I32)
         widx_s[...] = jnp.zeros((TB, H, LANES), I32)
@@ -1409,7 +1415,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         padg(pack_i).reshape(Bt, TB, Gp, NR),
         ((0, 0), (0, 0), (0, 1), (0, 0)),
     )                                           # [Bt, TB, Gp+1, NR]
-    if Gp + 1 <= cfg.paint_onehot_max_segs:
+    if Gp <= cfg.paint_onehot_max_segs:
         halves = jnp.concatenate(
             [
                 (pack_i_ & 0xFFFF).astype(F32)

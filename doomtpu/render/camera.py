@@ -76,20 +76,14 @@ def traversal_positions(level: DeviceLevel, rank):
     `seg_order`'s permutation: order[b, traversal_positions(...)[b, i]]
     == i, exactly.
 
-    Computed by comparison counting instead of a sort (XLA sorts lower
-    to O(n log^2 n) bitonic passes on TPU; the O(G^2) compare-reduce is
-    pure fused VPU work).  A seg's position is the number of segs that
-    the stable rank-argsort places before it: lower subsector rank, or
-    equal rank (same subsector) and lower seg index.
-    """
-    seg_rank = rank[:, level.seg_sub]                     # [B, G]
-    G = seg_rank.shape[1]
-    jj = jnp.arange(G, dtype=I32)
-    before = (seg_rank[:, None, :] < seg_rank[:, :, None]) | (
-        (seg_rank[:, None, :] == seg_rank[:, :, None])
-        & (jj[None, None, :] < jj[None, :, None])
-    )                                                     # [B, G, G]
-    return before.sum(-1).astype(I32)
+    A seg's position is the number of segs the stable rank-argsort
+    places before it: lower subsector rank, or equal rank (same
+    subsector) and lower seg index — i.e. jmath.stable_positions
+    (compare-reduce for small maps, double stable argsort above its
+    quadratic-memory cutoff)."""
+    from doomtpu.render.jmath import stable_positions
+
+    return stable_positions(rank[:, level.seg_sub])
 
 
 # ---------------------------------------------------------------------------

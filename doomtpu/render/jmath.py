@@ -132,3 +132,24 @@ def cross(ax, ay, bx, by):
 def is_left_of(px, py, sx, sy, ex, ey):
     """vertexes.rs:32-34: cross(p - s, e - s) <= 0."""
     return cross(px - sx, py - sy, ex - sx, ey - sy) <= 0.0
+
+
+def stable_positions(key, size_cutoff: int = 768):
+    """Ascending stable-sort position of each element along axis 1.
+
+    Equals the position a stable argsort on (key, index) would assign.
+    Small axes use an O(I^2) fused compare-reduce (pure VPU work — XLA
+    sorts lower to O(n log^2 n) bitonic passes on TPU, slower at these
+    sizes); large axes fall back to the double stable argsort, because
+    the compare-reduce's [B, I, I] operand is quadratic in memory
+    (~1 GB of bool at I=2048, B=256).  Both are exact."""
+    B, I = key.shape
+    if I <= size_cutoff:
+        ii = jnp.arange(I, dtype=I32)
+        before = (key[:, None, :] < key[:, :, None]) | (
+            (key[:, None, :] == key[:, :, None])
+            & (ii[None, None, :] < ii[None, :, None])
+        )                                                    # [B, I, I]
+        return before.sum(-1).astype(I32)
+    order = jnp.argsort(key, axis=1, stable=True)
+    return jnp.argsort(order, axis=1, stable=True).astype(I32)

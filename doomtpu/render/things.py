@@ -42,7 +42,8 @@ from doomtpu.config import PLAYER_EYE_HEIGHT, RenderConfig
 from doomtpu.render import camera as cam
 from doomtpu.render.device import DeviceLevel
 from doomtpu.render.jmath import (
-    F32, I32, as_i16, f32, is_left_of, rotate, smul, wrap_tex,
+    F32, I32, as_i16, f32, is_left_of, rotate, smul, stable_positions,
+    wrap_tex,
 )
 from doomtpu.render.resolve import unpack16_hi, unpack16_lo
 from doomtpu.render.walls import (
@@ -56,27 +57,6 @@ SPR_MARK = 1 << 29  # item-pool word flag: slot is a sprite (seg-clippable)
 
 def _fmod(a, b):
     return jnp.fmod(f32(a), f32(b))
-
-
-def stable_positions(key, size_cutoff: int = 768):
-    """Ascending stable-sort position of each element along axis 1.
-
-    Equals the position a stable argsort on (key, index) would assign.
-    Small axes use an O(I^2) fused compare-reduce (pure VPU work — XLA
-    sorts lower to O(n log^2 n) bitonic passes on TPU, slower at these
-    sizes); large axes fall back to the double stable argsort, because
-    the compare-reduce's [B, I, I] operand is quadratic in memory
-    (~1 GB of bool at I=2048, B=256).  Both are exact."""
-    B, I = key.shape
-    if I <= size_cutoff:
-        ii = jnp.arange(I, dtype=I32)
-        before = (key[:, None, :] < key[:, :, None]) | (
-            (key[:, None, :] == key[:, :, None])
-            & (ii[None, None, :] < ii[None, :, None])
-        )                                                    # [B, I, I]
-        return before.sum(-1).astype(I32)
-    order = jnp.argsort(key, axis=1, stable=True)
-    return jnp.argsort(order, axis=1, stable=True).astype(I32)
 
 
 def sprite_rotation(player_angle, mobj_angle):

@@ -70,17 +70,23 @@ def rollout(
     controls_seq,       # [T, B] i32
     key,
     return_frames: bool = True,
+    keys=None,          # [T, 2] u32: per-tick keys (overrides key)
 ):
     """lax.scan rollout: T ticks of step+render (the RL-env workload).
 
     With return_frames=True yields [T, B, H, W] palette-index frames —
     mind HBM (T*B*H*W*4 bytes); with False, a cheap per-step checksum
     [T, B] is emitted instead (frames are still fully rendered).
+
+    `keys` lets a caller pre-split the per-tick keys (engine.rollout's
+    segment chaining passes slices of one split so chained == unchained
+    bit for bit).
     """
     from doomtpu.render.frame import render_frame
 
     T = controls_seq.shape[0]
-    keys = jax.random.split(key, T)
+    if keys is None:
+        keys = jax.random.split(key, T)
 
     B = state.pos.shape[0]
     C = cfg.render_chunk

@@ -34,7 +34,10 @@ from doomtpu.wad import synth
 
 def main():
     B = int(os.environ.get("B", 256))
-    T = int(os.environ.get("T", 32))    # keep <= 32 per jit on relay TPUs
+    # engine.rollout chains long rollouts as <=32-tick jitted scan
+    # segments automatically (relay TPU workers kill single executions
+    # over ~100 s), bit-identical to one long scan
+    T = int(os.environ.get("T", 32))
 
     # any IWAD works (DoomEngine.from_wad("doom1.wad", "e1m1")); the
     # synthetic e1m1-scale level needs no game files

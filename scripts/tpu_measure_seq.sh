@@ -5,13 +5,19 @@
 LOG=${LOG:-/tmp/tpu_measure.log}
 cd "$(dirname "$0")/.."
 echo "=== tpu_measure_seq start $(date)" >> "$LOG"
+UP=
 for i in $(seq 1 400); do
   if timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     echo "=== relay up after probe $i $(date)" >> "$LOG"
+    UP=1
     break
   fi
   sleep 90
 done
+if [ -z "$UP" ]; then
+  echo "=== relay never came up; aborting sweep $(date)" >> "$LOG"
+  exit 1
+fi
 run() {
   echo "=== $1 $(date)" >> "$LOG"
   shift

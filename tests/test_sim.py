@@ -217,3 +217,27 @@ def test_rollout_scan(demo_env):
         return_frames=False,
     )
     assert sums.shape == (4, 2)
+
+
+def test_rollout_chaining_bit_identical(demo_env):
+    """engine.rollout's segment chaining == one unchained scan, bit for
+    bit (the per-tick keys come from one split)."""
+    import jax
+
+    from doomtpu.config import RenderConfig
+    from doomtpu.engine import DoomEngine
+
+    level, tkt = demo_env
+    cfg = RenderConfig(width=64, height=48, span_capacity=12)
+    eng = DoomEngine.__new__(DoomEngine)
+    eng.level, eng.thinkers, eng.config = level, tkt, cfg
+    state = GameState.initial(level, tkt, batch=2, key=jax.random.PRNGKey(0))
+    controls = jnp.full((5, 2), KEY_UP, jnp.int32)
+    key = jax.random.PRNGKey(7)
+    f1, frames1 = eng.rollout(state, controls, key, max_ticks_per_jit=0)
+    f2, frames2 = eng.rollout(state, controls, key, max_ticks_per_jit=2)
+    np.testing.assert_array_equal(np.asarray(frames1), np.asarray(frames2))
+    np.testing.assert_array_equal(np.asarray(f1.pos), np.asarray(f2.pos))
+    np.testing.assert_array_equal(
+        np.asarray(f1.sector_light), np.asarray(f2.sector_light)
+    )

@@ -4,7 +4,7 @@ same function (and both equal the brute-force stable rank)."""
 import numpy as np
 import jax.numpy as jnp
 
-from doomtpu.render.things import stable_positions
+from doomtpu.render.jmath import stable_positions
 
 
 def _brute(key):
