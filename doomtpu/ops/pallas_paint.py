@@ -112,6 +112,15 @@ PAINT_SEGWHEN = _os.environ.get("DOOMTPU_PAINT_SEGWHEN", "0") != "0"
 # measurement-only: load every seg's field matrix from a STATIC index
 # (wrong results) to attribute the cost of the dynamic-index VMEM load
 PAINT_STATLOAD = _os.environ.get("DOOMTPU_PAINT_STATLOAD", "0") != "0"
+# shared texture/flat window loads: Morton-sorted camera tiles are
+# near-100% coherent (scripts/probe_coherence: every live compacted
+# slot holds the SAME seg for all 8 cameras on the e1m1 fixture), so
+# the per-(slot, piece) texture id is usually tile-uniform.  The XLA
+# side ships a per-slot uniform id (-1 when cameras disagree); the
+# kernel then issues ONE dynamic VMEM window load per paint call
+# instead of TB, with a guarded per-camera copy fallback.  Outputs are
+# identical either way (the fallback arm reproduces the old loads).
+PAINT_SHAREDTEX = _os.environ.get("DOOMTPU_PAINT_SHAREDTEX", "1") != "0"
 # early exit: skip a grid step's whole seg fori once the occlusion
 # state hor is all-ones over the (tile, block) — every later seg's body
 # is a provable no-op (open_ = covered & ~hor is false everywhere; the
@@ -281,8 +290,8 @@ def _kernel(
     # [1, NIg, 4*rows*TB] (i32 + f32; see things.py IPI_*/IPF_* layout)
     # with their per-block live-item list + count, and per-camera
     # scalars (constant over the seg grid dim)
-    smi_ref, pf_ref, scnt_ref, plive_ref, ivi_ref, ifm_ref, ilist_ref,
-    icnt_ref,
+    smi_ref, pf_ref, scnt_ref, plive_ref, uni_ref, ivi_ref, ifm_ref,
+    ilist_ref, icnt_ref,
     camf_ref,       # [1, 1, 4*TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 1, 4*TB] i32: pxi, pyi, sky tx_off, 0
     # VMEM: per-seg field matrix [1, 1, U*GSUB, TB, 128] f32 (SVF_*
@@ -299,9 +308,12 @@ def _kernel(
     c_span, c_d2, c_d6, c_lsx, c_lsy, c_lex, c_ley,
     cntm_ref, cntc_ref, ovf_ref,
     # scratch
-    widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s,
+    widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s, texscr_s, flatscr_s,
     *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, NI, TEXQ_WIDE,
 ):
+    # shared window loads need the hoisted-setups structure of merged
+    # mode (serial per-camera foris keep the classic per-camera loads)
+    SHTEX = PAINT_SHAREDTEX and PAINT_MERGEB
     # views reconstruct the original per-field refs (same loads, same
     # dtypes — f32 fields bitcast back on read)
     texid_ref = _RowView(smi_ref, 0, rows_total=17)
@@ -443,15 +455,43 @@ def _kernel(
 
         @pl.when(yb_lo < yb_hi)
         def _():
+            if SHTEX:
+                # tile-uniform texture id: ONE window load for all TB
+                # cameras; the (rare) divergent-tile fallback copies
+                # each camera's window into scratch under pl.when
+                ut = uni_ref[0, 0, u_, p]
+                sh = ut >= 0
+                tvs = texq_ref[
+                    pl.ds(pl.multiple_of(jnp.maximum(ut, 0) * 32, 8), 32),
+                    :,
+                ]
+
+                @pl.when(~sh)
+                def _copy_windows():
+                    for b in range(TB):
+                        texscr_s[pl.ds(b * 32, 32), :] = texq_ref[
+                            pl.ds(
+                                pl.multiple_of(
+                                    texid_ref[0, u_, p, b] * 32, 8
+                                ),
+                                32,
+                            ),
+                            :,
+                        ]
 
             def wall_setup(b):
-                texid = texid_ref[0, u_, p, b]
-                # ONE dynamic-offset window load (32, 128|256),
-                # statically sliced into the 4 row-packed vregs —
-                # dynamic VMEM window loads pay a fixed stall each
-                tv32 = texq_ref[
-                    pl.ds(pl.multiple_of(texid * 32, 8), 32), :
-                ]
+                if SHTEX:
+                    tv32 = jnp.where(
+                        sh, tvs, texscr_s[pl.ds(b * 32, 32), :]
+                    )
+                else:
+                    texid = texid_ref[0, u_, p, b]
+                    # ONE dynamic-offset window load (32, 128|256),
+                    # statically sliced into the 4 row-packed vregs —
+                    # dynamic VMEM window loads pay a fixed stall each
+                    tv32 = texq_ref[
+                        pl.ds(pl.multiple_of(texid * 32, 8), 32), :
+                    ]
                 tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
                 # per-(seg, piece, camera) SMEM scalars — NEVER (1,1)
                 # value slices (Mosaic probe: those fail to compile)
@@ -520,6 +560,23 @@ def _kernel(
 
         @pl.when(yb_lo < yb_hi)
         def _():
+            if SHTEX:
+                # tile-uniform flat id (sky bit rides in the word; the
+                # window base strips it) — see the wall-paint comment
+                uf = uni_ref[0, 0, u_, 4 + which]
+                shf = uf >= 0
+                ufid = jnp.maximum(uf, 0) & ~FLAT_SKY_BIT
+                fvs = flatq_ref[
+                    pl.ds(pl.multiple_of(ufid * 16, 8), 16), :
+                ]
+
+                @pl.when(~shf)
+                def _copy_flats():
+                    for b in range(TB):
+                        fl_b = flatid_ref[0, u_, which, b] & ~FLAT_SKY_BIT
+                        flatscr_s[pl.ds(b * 16, 16), :] = flatq_ref[
+                            pl.ds(pl.multiple_of(fl_b * 16, 8), 16), :
+                        ]
 
             def plane_setup(b):
                 fl = flatid_ref[0, u_, which, b]
@@ -534,9 +591,14 @@ def _kernel(
                 txoff = cami_ref[0, 0, 2 * TB + b]
                 light_b = pi_ref[0, u_, PI_LIGHT, b]
                 wz = f32(h_s) - fh - f32(PLAYER_EYE_HEIGHT)
-                fv16 = flatq_ref[
-                    pl.ds(pl.multiple_of(fl_id * 16, 8), 16), :
-                ]
+                if SHTEX:
+                    fv16 = jnp.where(
+                        shf, fvs, flatscr_s[pl.ds(b * 16, 16), :]
+                    )
+                else:
+                    fv16 = flatq_ref[
+                        pl.ds(pl.multiple_of(fl_id * 16, 8), 16), :
+                    ]
                 fv = [fv16[j * 8:(j + 1) * 8] for j in range(2)]
                 ldc = (light_b << 16) | LD_WRITTEN | jnp.where(
                     is_sky, LD_SKY, 0
@@ -1447,6 +1509,38 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             axis=2,
         )                                       # [Bt, TB, NBW*Gp, NR]
     out_i = out_i.transpose(0, 2, 1, 3).reshape(Bt, NBW, Gp, TB, NR)
+
+    # per-(tile, block, slot) UNIFORM texture/flat ids for the kernel's
+    # shared window loads: the id when every relevant live camera
+    # agrees, else -1 (kernel falls back to per-camera loads).  Sorted
+    # tiles are ~100% coherent (scripts/probe_coherence.py).
+    live_c = (comb2 != Gp).reshape(Bt, NBW, Gp, TB)
+    flags_c = lax.bitcast_convert_type(
+        out_i[..., SVF_FLAGS], F32
+    ).astype(I32)                                   # [Bt, NBW, Gp, TB]
+    IMIN, IMAX = jnp.int32(-0x80000000), jnp.int32(0x7FFFFFFF)
+
+    def uniform_id(vals, m):
+        vmax = jnp.max(jnp.where(m, vals, IMIN), axis=-1)
+        vmin = jnp.min(jnp.where(m, vals, IMAX), axis=-1)
+        return jnp.where(m.any(-1) & (vmax == vmin), vmax, -1)
+
+    uni_rows = [
+        uniform_id(
+            out_i[..., SVF_FD + p],
+            live_c & (((flags_c >> p) & 1) != 0),
+        )
+        for p in range(4)
+    ] + [
+        uniform_id(
+            out_i[..., SVF_FD + 4 + w_],
+            live_c & ((flags_c & 1) != 0),
+        )
+        for w_ in range(2)
+    ]
+    zrow = jnp.zeros_like(uni_rows[0])
+    uni = jnp.stack(uni_rows + [zrow, zrow], axis=-1)  # [Bt,NBW,Gp,8]
+
     svf_c = lax.bitcast_convert_type(out_i[..., :SVF_FD], F32)
     smi_f = out_i[..., SVF_FD:SVF_FD + smi.shape[-1]].reshape(
         Bt, NBW, Gp, TB * smi.shape[-1]
@@ -1525,7 +1619,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     )
     in_specs = (
         [seg_spec(smi_f, pltpu.SMEM), seg_spec(pf_f, pltpu.SMEM),
-         cnt_spec4(scnt), plive_spec]
+         cnt_spec4(scnt), plive_spec, seg_spec(uni, pltpu.SMEM)]
         + [item_spec(ivi),
            pl.BlockSpec(
                (1,) + ifm.shape[1:],
@@ -1604,12 +1698,17 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             pltpu.VMEM((TB, H, LANES), jnp.int32) for _ in range(4)
         ] + [
             pltpu.VMEM((TB, LANES), jnp.int32) for _ in range(3)
+        ] + [
+            # per-camera window copies for the divergent-tile fallback
+            # of the shared texture/flat loads
+            pltpu.VMEM((TB * 32, level.tex_q.shape[1]), jnp.int32),
+            pltpu.VMEM((TB * 16, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(smi_f, pf_f, scnt, plive, ivi, ifm, ilist, icnt, *cam_inputs,
+    )(smi_f, pf_f, scnt, plive, uni, ivi, ifm, ilist, icnt, *cam_inputs,
       svf_c, *tables, *item_tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
