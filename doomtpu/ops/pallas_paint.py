@@ -291,7 +291,7 @@ def _kernel(
     # with their per-block live-item list + count, and per-camera
     # scalars (constant over the seg grid dim)
     smi_ref, pf_ref, scnt_ref, plive_ref, uni_ref, ivi_ref, ifm_ref,
-    ilist_ref, icnt_ref,
+    ilist_ref, icnt_ref, uit_ref,
     camf_ref,       # [1, 1, 4*TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 1, 4*TB] i32: pxi, pyi, sky tx_off, 0
     # VMEM: per-seg field matrix [1, 1, U*GSUB, TB, 128] f32 (SVF_*
@@ -934,28 +934,61 @@ def _kernel(
                 0, n >> 2, (n & 3) * (IPI_ROWS * TB) + r * TB + b
             ]
 
-        def paint_item_cams(n, pres, ct, cb, by, ty, offy, th, uy1,
+        def paint_item_cams(n, uid, pres, ct, cb, by, ty, offy, th, uy1,
                             light, zd, tx, yb_lo, yb_hi):
             """Draw one item's columns for all TB cameras
             (bitmap_render.rs:253-263 v interpolation; masked texels
             skipped).  Shared y bounds + merged camera chains exactly
-            like paint_wall."""
-            def item_setup(b):
-                # every per-(item, camera) picture id is in-table even
-                # for non-present cameras (pad items carry id 0), so the
-                # unguarded window loads are safe
-                pid_b = ii(n, IPI_PIC, b)
-                tv32 = itemq_ref[
-                    pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
+            like paint_wall; with a tile-uniform picture id (uid >= 0 —
+            the common case, sprite rotations agree across a sorted
+            tile) the texture + mask window loads happen ONCE, not TB
+            times (the scratch windows are free here: the seg loop has
+            finished)."""
+            if SHTEX:
+                sh_i = uid >= 0
+                ub = jnp.maximum(uid, 0)
+                tvs_i = itemq_ref[
+                    pl.ds(pl.multiple_of(ub * 32, 8), 32), :
                 ]
+                mvs_i = itemmq_ref[
+                    pl.ds(pl.multiple_of(ub * 8, 8), 8), :
+                ]
+
+                @pl.when(~sh_i)
+                def _copy_item_windows():
+                    for b in range(TB):
+                        pid_b = ii(n, IPI_PIC, b)
+                        texscr_s[pl.ds(b * 32, 32), :LANES] = itemq_ref[
+                            pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
+                        ]
+                        flatscr_s[pl.ds(b * 8, 8), :] = itemmq_ref[
+                            pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
+                        ]
+
+            def item_setup(b):
+                if SHTEX:
+                    tv32 = jnp.where(
+                        sh_i, tvs_i, texscr_s[pl.ds(b * 32, 32), :LANES]
+                    )
+                    mtab = jnp.where(
+                        sh_i, mvs_i, flatscr_s[pl.ds(b * 8, 8), :]
+                    )
+                else:
+                    # every per-(item, camera) picture id is in-table
+                    # even for non-present cameras (pad items carry id
+                    # 0), so the unguarded window loads are safe
+                    pid_b = ii(n, IPI_PIC, b)
+                    tv32 = itemq_ref[
+                        pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
+                    ]
+                    mtab = itemmq_ref[
+                        pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
+                    ]
                 tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
                 cpat = jnp.broadcast_to(
                     jnp.clip(tx[b:b + 1, :], 0, LANES - 1), (8, LANES)
                 )
                 gv = [_gather_lane(t, cpat) for t in tv]
-                mtab = itemmq_ref[
-                    pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
-                ]
                 mgv = _gather_lane(mtab, cpat)
                 pres_r = pres[b:b + 1, :]
                 ct_r = ct[b:b + 1, :]
@@ -995,6 +1028,7 @@ def _kernel(
 
             def item_body(j, carry):
                 n = ilist_ref[0, 0, 0, j]
+                uid = uit_ref[0, 0, 0, j]
                 wi = ifm_ref[0, n]                   # (TB, 128) f32
                 mfv = lambda r: jnp.broadcast_to(
                     wi[:, r:r + 1], (TB, LANES)
@@ -1111,9 +1145,9 @@ def _kernel(
                     i_lo, i_hi = _ybounds(pres, ct, cb)
 
                     @pl.when(i_lo < i_hi)
-                    def _paint(n=n, i_lo=i_lo, i_hi=i_hi):
+                    def _paint(n=n, uid=uid, i_lo=i_lo, i_hi=i_hi):
                         paint_item_cams(
-                            n, pres, ct, cb, by, ty, offy, th, uy1,
+                            n, uid, pres, ct, cb, by, ty, offy, th, uy1,
                             light, zd, tx, i_lo, i_hi,
                         )
 
@@ -1559,7 +1593,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     # ---- per-(tile, block) live-item lists ------------------------------
     if NI > 0:
-        from doomtpu.render.things import IPI_FL, IPI_X0, IPI_X1E
+        from doomtpu.render.things import (
+            IPI_FL, IPI_PIC, IPI_X0, IPI_X1E,
+        )
 
         ip = items["i"]
         live_i = (
@@ -1575,9 +1611,25 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             jnp.where(live_it, n_iota, NI + n_iota), axis=-1
         ).astype(I32).reshape(Bt, NBW, 1, NI)
         icnt = live_it.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+        # per-(tile, block, compacted item) UNIFORM picture id for the
+        # kernel's shared item-window loads (-1 = cameras disagree);
+        # uniformity over the cameras the item is live for
+        live_i4 = live_i.reshape(Bt, TB, NI, NBW)
+        pic_t = jnp.broadcast_to(
+            ip[:, :, IPI_PIC].reshape(Bt, TB, NI, 1), live_i4.shape
+        )
+        pmax = jnp.max(jnp.where(live_i4, pic_t, IMIN), axis=1)
+        pmin = jnp.min(jnp.where(live_i4, pic_t, IMAX), axis=1)
+        uit = jnp.where(
+            live_i4.any(1) & (pmax == pmin), pmax, -1
+        )                                                       # [Bt,NI,NBW]
+        uit_c = jnp.take_along_axis(
+            jnp.swapaxes(uit, 1, 2), ilist[:, :, 0, :], axis=-1
+        ).reshape(Bt, NBW, 1, NI)
     else:
         ilist = jnp.zeros((Bt, 1, 1, 8), jnp.int32)
         icnt = jnp.zeros((Bt, 1, 1, 1), jnp.int32)
+        uit_c = jnp.zeros((Bt, 1, 1, 8), jnp.int32)
 
     def seg_spec(x, space):
         if x.ndim == 4:                    # flattened SMEM pack
@@ -1627,7 +1679,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                memory_space=pltpu.VMEM,
            )]
         + [cnt_spec4(ilist) if NI > 0 else item_spec(ilist),
-           cnt_spec4(icnt) if NI > 0 else item_spec(icnt)]
+           cnt_spec4(icnt) if NI > 0 else item_spec(icnt),
+           cnt_spec4(uit_c) if NI > 0 else item_spec(uit_c)]
         + [cam_spec(pltpu.SMEM) for _ in cam_inputs]
         + [seg_spec(svf_c, pltpu.VMEM)]
         + [table_spec(x) for x in tables + item_tables]
@@ -1708,8 +1761,8 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(smi_f, pf_f, scnt, plive, uni, ivi, ifm, ilist, icnt, *cam_inputs,
-      svf_c, *tables, *item_tables)
+    )(smi_f, pf_f, scnt, plive, uni, ivi, ifm, ilist, icnt, uit_c,
+      *cam_inputs, svf_c, *tables, *item_tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
     tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]
