@@ -1733,7 +1733,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             return {"rgb": scnt.sum() + comb2.sum()}
         return {"rgb": (
             svf_c.sum() + smi_f.sum() + pf_f.sum()
-            + scnt.sum() + ifm.sum()
+            + scnt.sum() + ifm.sum() + uni.sum() + uit_c.sum()
         )}
 
     kernel = functools.partial(

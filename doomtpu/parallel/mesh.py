@@ -27,7 +27,6 @@ def make_mesh(devices=None, axis: str = "env") -> Mesh:
 def shard_batch(tree, mesh: Mesh, axis: str = "env"):
     """Place every array with a leading batch axis on the mesh, sharded
     along that axis.  Batch sizes must divide the device count."""
-    sharding = NamedSharding(mesh, P(axis))
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
