@@ -515,7 +515,10 @@ def deferred_pass(
     # fold AND the per-slot sprite seg-clip run in VMEM; the [B,W,K,N]
     # clip reductions below are skipped entirely
     use_items = item_kernel and rgb is not None and level.items_ok
-    clip_in_kernel = use_items and MO > 0 and "lsx" in clip
+    # the item kernel's in-VMEM sprite clip holds all KI slots in one
+    # (8, 128) vreg (sublane = slot) — item_capacity above 8 falls back
+    # to the XLA clip reductions instead of asserting in the kernel
+    clip_in_kernel = use_items and MO > 0 and "lsx" in clip and KI <= 8
     yy = jnp.arange(H, dtype=I32)[None, :, None]
     xcol = jnp.arange(W, dtype=I32)[None, :]
 

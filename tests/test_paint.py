@@ -135,6 +135,42 @@ def test_paint_wide_texture_bit_exact(config, info):
     np.testing.assert_array_equal(np.asarray(daux["rgb"]), np.asarray(rgb_r))
 
 
+def test_paint_item_kernel_large_capacity(setup, demo_level):
+    """item_capacity > 8 disables the in-kernel sprite clip (one vreg
+    holds only 8 slots) and falls back to the XLA clip reductions +
+    clipless composite kernel — still bit-exact vs the XLA pipeline."""
+    import dataclasses
+
+    from doomtpu.render.frame import render_frame
+    from doomtpu.ops.pallas_paint import LD_SKY, render_paint
+
+    level = setup
+    cfg = dataclasses.replace(RenderConfig(), item_capacity=16)
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    mp, ma, ms = demo_level.spawn_mobjs()
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(len(VIEWS), 0)
+
+    idx_r, rgb_r, _ = render_frame(level, cfg, px, py, pa, fh, sl, mstate, ts)
+    frame = cam.build_seg_frame(level, cfg, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    out = render_paint(
+        level, cfg, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    ld = out["ld"]
+    pools = things.pools_from_paint(out)
+    idx_k, _, _, _, daux_k = things.deferred_pass(
+        level, cfg, frame, pools, order, px, py, pa, fh, sl, mstate,
+        out["idx"], (ld >> 16) & 0xFF, ((ld & 0xFFFF) << 16) >> 16,
+        (ld & LD_SKY) != 0, rgb=out["rgb"],
+        item_kernel=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+    np.testing.assert_array_equal(
+        np.asarray(daux_k["rgb"]), np.asarray(rgb_r)
+    )
+
+
 def test_paint_gather_compaction_bit_exact(setup, demo_level, config):
     """The large-map slice-gather input compaction == the one-hot MXU
     path, bit for bit (paint_onehot_max_segs=0 forces the gather)."""
