@@ -84,7 +84,10 @@ class RenderConfig:
     # mid spans only — plane spans never clip sprites, so this can be
     # much smaller than span_capacity; the deferred pass's per-slot
     # clip reductions scale with it).  Overflow is counted at runtime.
-    clip_capacity: int = 16
+    # The e1m1-scale fixture measures a max of 15 wall+mid spans per
+    # column over 64 bench poses — 24 leaves real headroom (an overflow
+    # silently weakens sprite clipping on dense columns).
+    clip_capacity: int = 24
     # Input-compaction method cutover for the paint kernel: maps with
     # padded seg count <= this use the one-hot MXU compaction (measured
     # ~1.7x faster than a slice-gather at e1m1 sizes, but its one-hot
