@@ -1245,8 +1245,14 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     assert H % 8 == 0, f"height {H} must be a multiple of 8"
     TW_ATLAS = level.tex_pixels.shape[2]
     assert B % 4 == 0, f"batch {B} must be a multiple of 4"
-    # full-vreg camera tiles when the batch allows it (tests use B=4)
+    # full-vreg camera tiles when the batch allows it (tests use B=4).
+    # DOOMTPU_PAINT_TB=16 doubles the tile: visits halve when the sorted
+    # tile stays coherent (probe_coherence), per-visit vector work
+    # doubles, fixed costs per visit stay — a measured A/B knob.
     TB = 8 if B % 8 == 0 else 4
+    _tb_env = int(_os.environ.get("DOOMTPU_PAINT_TB", "0"))
+    if _tb_env and B % _tb_env == 0:
+        TB = _tb_env
     U = min(SEG_UNROLL if unroll is None else unroll, G)
     GSUB = SEG_GSUB if gsub is None else gsub
     UG = U * GSUB
