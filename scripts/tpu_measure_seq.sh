@@ -41,7 +41,11 @@ run "U=8 GSUB=4 retry"                  DOOMTPU_PAINT_UNROLL=8 DOOMTPU_PAINT_GSU
 run "U=2 GSUB=8"                        DOOMTPU_PAINT_UNROLL=2 DOOMTPU_PAINT_GSUB=8 python scripts/profile_paint.py
 run "early-exit on"                     DOOMTPU_PAINT_EXIT=1 python scripts/profile_paint.py
 run "segwhen on"                        DOOMTPU_PAINT_SEGWHEN=1 python scripts/profile_paint.py
+run "sharedtex OFF (A/B)"               DOOMTPU_PAINT_SHAREDTEX=0 python scripts/profile_paint.py
+run "TB=16"                             DOOMTPU_PAINT_TB=16 python scripts/profile_paint.py
+run "TB=16 items"                       DOOMTPU_PAINT_TB=16 ITEMS=1 python scripts/profile_paint.py
 # headline numbers
 run "bench default"                     python bench.py
 run "bench itempaint"                   DOOMTPU_BENCH_ITEMPAINT=1 python bench.py
+run "bench TB=16"                       DOOMTPU_PAINT_TB=16 python bench.py
 echo "=== done $(date)" >> "$LOG"
