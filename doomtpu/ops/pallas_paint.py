@@ -700,7 +700,7 @@ def _kernel(
             # scalar branch replaces the old per-piece
             # ((flags & (1<<p)) != 0).any() vector->scalar reductions
             # (4 sync stalls per seg visit).
-            pl_bits = plive_ref[0, 0, u_]
+            pl_bits = plive_ref[0, 0, u_, 0]
             bcf, bci = _field_bc(w)
             flags = bci(SVF_FLAGS)
             x0 = bci(SVF_X0)
@@ -1672,8 +1672,13 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             memory_space=pltpu.VMEM,
         )
 
+    # trailing unit dim: Mosaic requires the block's last two dims to be
+    # (8, 128)-divisible or equal to the array dims — (1, 1, UG) lowers
+    # in interpret mode but is rejected on real TPU
+    plive = plive[..., None]
     plive_spec = pl.BlockSpec(
-        (1, 1, UG), lambda i, w, g: (i, w, g), memory_space=pltpu.SMEM
+        (1, 1, UG, 1), lambda i, w, g: (i, w, g, 0),
+        memory_space=pltpu.SMEM,
     )
     in_specs = (
         [seg_spec(smi_f, pltpu.SMEM), seg_spec(pf_f, pltpu.SMEM),
