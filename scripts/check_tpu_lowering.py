@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Lower every Pallas kernel for the REAL TPU backend without executing.
+
+Interpret-mode tests run the kernels' semantics on CPU but skip Mosaic's
+lowering rules (block-shape divisibility, layout legality, SMEM window
+checks...) — a kernel can pass the whole suite and still fail to lower
+on hardware (e.g. the plive (1, 1, UG) SMEM block, fixed in d6ee75a).
+`jax.jit(f).lower(...)` runs the Pallas->Mosaic lowering in-process and
+stops before the (slow, relayed) XLA compile, so this catches that
+class of bug in seconds.  Run after ANY kernel or block-spec change:
+
+    python scripts/check_tpu_lowering.py
+
+Exits non-zero on the first lowering failure.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    assert jax.default_backend() != "cpu", (
+        "needs the TPU backend registered (lowering only, no execution)"
+    )
+    from doomtpu.config import RenderConfig
+    from doomtpu.engine import DoomEngine
+    from doomtpu.render import camera as cam, things
+    from doomtpu.ops.pallas_paint import render_paint
+    from doomtpu.ops.pallas_scan import wall_scan_pallas
+    from doomtpu.wad import synth
+
+    cfg = RenderConfig(span_capacity=48)
+    eng = DoomEngine.from_wad_bytes(
+        synth.e1m1_scale_wad(), "e1m1", config=cfg
+    )
+    level = eng.level
+    B = 32
+    state = eng.new_game(B, key=jax.random.PRNGKey(0))
+    px, py = state.pos[:, 0], state.pos[:, 1]
+    ang, fh = state.angle, state.floor_height
+    sl, ts, ms = state.sector_light, state.timestamp, state.mobj_state
+
+    def paint(lv, x, y, an, f, s_l, t, mstate, with_items):
+        frame = cam.build_seg_frame(lv, cfg, x, y, an, f, s_l, t)
+        order = cam.seg_order(lv, cam.traversal_rank(lv, x, y))
+        ip = None
+        if with_items:
+            ip, _ = things.item_pack(
+                lv, cfg, frame, order, x, y, an, f, s_l, mstate
+            )
+        return render_paint(lv, cfg, frame, order, an, x, y, f, items=ip)
+
+    def scan(lv, x, y, an, f, s_l, t):
+        frame = cam.build_seg_frame(lv, cfg, x, y, an, f, s_l, t)
+        order = cam.seg_order(lv, cam.traversal_rank(lv, x, y))
+        return wall_scan_pallas(lv, cfg, frame, order)
+
+    def deferred(lv, x, y, an, f, s_l, t, mstate):
+        # paint + item-composite kernel path (frame.render_frame's
+        # default route: deferred_pass with item_kernel=True)
+        frame = cam.build_seg_frame(lv, cfg, x, y, an, f, s_l, t)
+        order = cam.seg_order(lv, cam.traversal_rank(lv, x, y))
+        out = render_paint(lv, cfg, frame, order, an, x, y, f)
+        ld = out["ld"]
+        light = (ld >> 16) & 0xFF
+        dist = ((ld & 0xFFFF) << 16) >> 16
+        is_sky = (ld & (1 << 25)) != 0
+        pools = things.pools_from_paint(out)
+        return things.deferred_pass(
+            lv, cfg, frame, pools, order, x, y, an, f, s_l, mstate,
+            out["idx"], light, dist, is_sky, rgb=out["rgb"],
+            item_kernel=True,
+        )
+
+    checks = [
+        ("render_paint", lambda: jax.jit(
+            lambda *a: paint(*a, with_items=False)
+        ).lower(level, px, py, ang, fh, sl, ts, ms)),
+        ("render_paint+items", lambda: jax.jit(
+            lambda *a: paint(*a, with_items=True)
+        ).lower(level, px, py, ang, fh, sl, ts, ms)),
+        ("wall_scan_pallas", lambda: jax.jit(scan).lower(
+            level, px, py, ang, fh, sl, ts)),
+        ("deferred+item_kernel", lambda: jax.jit(deferred).lower(
+            level, px, py, ang, fh, sl, ts, ms)),
+    ]
+    for name, fn in checks:
+        fn()
+        print(f"lowering OK: {name}", flush=True)
+    print("all kernels lower for TPU")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
