@@ -42,10 +42,9 @@ run "U=2 GSUB=8"                        DOOMTPU_PAINT_UNROLL=2 DOOMTPU_PAINT_GSU
 run "early-exit on"                     DOOMTPU_PAINT_EXIT=1 python scripts/profile_paint.py
 run "segwhen on"                        DOOMTPU_PAINT_SEGWHEN=1 python scripts/profile_paint.py
 run "sharedtex OFF (A/B)"               DOOMTPU_PAINT_SHAREDTEX=0 python scripts/profile_paint.py
-run "TB=16"                             DOOMTPU_PAINT_TB=16 python scripts/profile_paint.py
-run "TB=16 items"                       DOOMTPU_PAINT_TB=16 ITEMS=1 python scripts/profile_paint.py
+# TB=16 removed: crashes Mosaic AOT on real TPU (ApplyVectorLayoutPass
+# Check failed: limits[i] <= dim(i)); TB=8 is the only supported tile.
 # headline numbers
 run "bench default"                     python bench.py
 run "bench itempaint"                   DOOMTPU_BENCH_ITEMPAINT=1 python bench.py
-run "bench TB=16"                       DOOMTPU_PAINT_TB=16 python bench.py
 echo "=== done $(date)" >> "$LOG"
