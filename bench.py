@@ -52,6 +52,7 @@ def main() -> int:
     # at B=2048 (the per-(tile,block) item visits are still fixed-cost
     # bound; see PERF.md roadmap)
     use_itempaint = os.environ.get("DOOMTPU_BENCH_ITEMPAINT", "0") != "0"
+    use_itempass = os.environ.get("DOOMTPU_BENCH_ITEMPASS", "0") != "0"
 
     chunk = int(os.environ.get("DOOMTPU_BENCH_CHUNK", 256))
     # deferred-pass cost is linear in the selected-item count N; the
@@ -74,6 +75,8 @@ def main() -> int:
         # item pass inside the paint kernel (frame.itempaint_available
         # still gates on level eligibility + SMEM budget)
         use_item_paint=use_itempaint,
+        # standalone item-pass kernel (ops/pallas_itempass.py)
+        use_item_pass_kernel=use_itempass,
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
     if os.path.exists(wad_path):

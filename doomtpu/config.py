@@ -77,6 +77,20 @@ class RenderConfig:
     # slower than the deferred+item-kernel path (899 vs 1013 f/s/chip
     # at B=2048 e1m1-scale).
     use_item_paint: bool = False
+    # Run the deferred item pass as its own Pallas kernel
+    # (ops/pallas_itempass.py): per-column billboard math, sprite seg
+    # clip, mid-pool match and the painter fold all in VMEM over the
+    # paint kernel's pools — every [B, N, W] XLA array disappears.
+    # Like use_item_paint it draws EVERY selected item (no per-column
+    # item_capacity cap — exact reference painter semantics); requires
+    # level.itempaint_ok and the paint path.  Falls back to the
+    # deferred pass otherwise.  OFF by default: wins 1.39x at B=256
+    # clustered poses (129.0 -> 92.6 ms/chunk) but LOSES at the bench's
+    # B=2048 spread poses (1457.5 vs 1610.0 f/s/chip) — divergent
+    # per-camera sprite rotations defeat the tile-uniform picture
+    # window fast path, and the per-(tile, block) item visits are
+    # fixed-cost bound (same wall as use_item_paint; PERF.md cont. 5).
+    use_item_pass_kernel: bool = False
     # Per-column capacity of the masked-mid pool the paint kernel emits
     # (overlapping drawable two-sided mids per screen column).
     mid_capacity: int = 8

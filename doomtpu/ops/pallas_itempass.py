@@ -1,0 +1,436 @@
+"""Pallas TPU kernel: the DEFERRED ITEM PASS fully in-kernel.
+
+Replaces render/things.py's deferred composite chain — the [B, N, W]
+per-item column stages, the one-hot item-pool emission, the KI x KMID
+mid fill and the composite kernel (ops/pallas_items.py) — with ONE
+kernel over (camera tile, 128-column block) that loops the per-block
+live items and paints them straight into the frame:
+
+- per item, per-column billboard math (perspective u, y slopes), the
+  sprite-vs-seg clip fold over the paint kernel's clip pool
+  (renderer/map_objects.rs:127-166) and the mid-pool slot match all run
+  as (TB, 128) vregs — exactly the paint kernel's in-kernel item pass
+  (ops/pallas_paint.py), from which this code is taken
+- items arrive farthest-first (things.item_pack painter order), so
+  in-order painting with overwrite IS the reference's back-to-front
+  painter (renderer/map_objects.rs:216-240) — there is no per-column
+  item-capacity cap at all (the XLA pool path drops the farthest items
+  beyond item_capacity; this kernel never drops, like the reference)
+- written pixels are shaded in a final pass (bitmap_render.rs:190-208)
+  and merged over the already-shaded background frame
+
+vs. the in-kernel item paint inside the paint kernel itself
+(use_item_paint): same math, but running in a separate kernel keeps the
+paint kernel's occlusion-scan grid free of the item pass's VMEM working
+set and lets XLA overlap the two dispatches; vs. the pool+composite
+path it eliminates every [B, N, W] HBM array.
+
+Parity: bit-identical to things.deferred_pass on inputs where the item
+pool does not overflow (tests/test_paint.py); parity-critical products
+go through jmath.smul so strict interpret-mode tests are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from doomtpu.render.jmath import F32, I32, as_i16, f32, smul, wrap_tex
+from doomtpu.render.walls import KIND_MID, SPAN_DC, SPAN_E2B, SPAN_E2T
+
+from doomtpu.ops.pallas_paint import (
+    IFM_BSX, IFM_DX, IFM_FL, IFM_INV0, IFM_INV1, IFM_LIGHT, IFM_PIC,
+    IFM_SOFF, IFM_TH, IFM_UY1, IFM_VPX, IFM_VPY, IFM_WPIC, IFM_X0,
+    IFM_X1E, IFM_YBD, IFM_YBS, IFM_YTD, IFM_YTS, IFM_Z0, IFM_Z1,
+    LD_WRITTEN, PAINT_SHAREDTEX, _gather_lane, _gather_sub, _select_q,
+    _byte, build_item_lists, build_item_packs,
+)
+
+LANES = 128
+
+
+def _kernel(
+    # SMEM: per-(item, camera) i32 rows; live lists; counts
+    ivi_ref, ilist_ref, icnt_ref, uit_ref,
+    # VMEM: item field matrix [1, NI, TB, 128] f32
+    ifm_ref,
+    # VMEM: clip pool planes [TB, KC, LANES] + mid pool [TB, KM, LANES]
+    cspan_ref, cd2_ref, clsx_ref, clsy_ref, clex_ref, cley_ref,
+    mspan_ref, md1_ref, md2_ref, md3_ref, md4_ref, md5_ref, md6_ref,
+    ccnt_ref, mcnt_ref,                        # [1, TB, LANES]
+    idx_in, ld_in, rgb_in,                     # [TB, H, LANES]
+    itemq_ref, itemmq_ref, pal_ref,            # tables
+    idx_out, ld_out, rgb_out,
+    # scratch
+    pidx_s, pld_s, texscr_s, maskscr_s,
+    *, W, H, KM, KC, TB, NI, TW_ATLAS,
+):
+    from doomtpu.render.things import IPI_PIC, IPI_ROWS, is_behind_vertex
+
+    SHTEX = PAINT_SHAREDTEX
+    wb = pl.program_id(1)
+    xx = lax.broadcasted_iota(I32, (TB, LANES), 1) + wb * LANES
+    one = f32(1.0)
+
+    pidx_s[...] = jnp.zeros((TB, H, LANES), I32)
+    pld_s[...] = jnp.zeros((TB, H, LANES), I32)
+
+    def ii(n, r, b):
+        return ivi_ref[0, n >> 2, (n & 3) * (IPI_ROWS * TB) + r * TB + b]
+
+    def _ybounds(mask, ylo_v, yhi_v):
+        ylo = jnp.min(jnp.where(mask, ylo_v, H))
+        yhi = jnp.max(jnp.where(mask, yhi_v, -1))
+        return jnp.maximum(ylo, 0) // 8, jnp.minimum(yhi, H - 1) // 8 + 1
+
+    def paint_item_cams(n, uid, pres, ct, cb, by, ty, offy, th, uy1,
+                        light, zd, tx, yb_lo, yb_hi):
+        """One item's columns for all TB cameras (bitmap_render.rs:
+        253-263 v interpolation; masked texels skipped) — the paint
+        kernel's paint_item_cams verbatim, writing this kernel's
+        scratch framebuffers."""
+        if SHTEX:
+            sh_i = uid >= 0
+            ub = jnp.maximum(uid, 0)
+            tvs_i = itemq_ref[pl.ds(pl.multiple_of(ub * 32, 8), 32), :]
+            mvs_i = itemmq_ref[pl.ds(pl.multiple_of(ub * 8, 8), 8), :]
+
+            @pl.when(~sh_i)
+            def _copy_item_windows():
+                for b in range(TB):
+                    pid_b = ii(n, IPI_PIC, b)
+                    texscr_s[pl.ds(b * 32, 32), :] = itemq_ref[
+                        pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
+                    ]
+                    maskscr_s[pl.ds(b * 8, 8), :] = itemmq_ref[
+                        pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
+                    ]
+
+        def item_setup(b):
+            if SHTEX:
+                tv32 = jnp.where(sh_i, tvs_i, texscr_s[pl.ds(b * 32, 32), :])
+                mtab = jnp.where(sh_i, mvs_i, maskscr_s[pl.ds(b * 8, 8), :])
+            else:
+                pid_b = ii(n, IPI_PIC, b)
+                tv32 = itemq_ref[
+                    pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
+                ]
+                mtab = itemmq_ref[
+                    pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
+                ]
+            tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
+            cpat = jnp.broadcast_to(
+                jnp.clip(tx[b:b + 1, :], 0, LANES - 1), (8, LANES)
+            )
+            gv = [_gather_lane(t, cpat) for t in tv]
+            mgv = _gather_lane(mtab, cpat)
+            pres_r = pres[b:b + 1, :]
+            ct_r = ct[b:b + 1, :]
+            cb_r = cb[b:b + 1, :]
+            ty_r = ty[b:b + 1, :]
+            denom_v = f32(by[b:b + 1, :] - ty_r)
+            th_r = th[b:b + 1, :]
+            uy1_r = uy1[b:b + 1, :]
+            offy_r = offy[b:b + 1, :]
+            ld_r = (
+                (light[b:b + 1, :] << 16)
+                | (zd[b:b + 1, :] & 0xFFFF) | LD_WRITTEN
+            )
+            return (pres_r, ct_r, cb_r, ty_r, denom_v, gv, mgv,
+                    th_r, uy1_r, offy_r, ld_r)
+
+        def item_row(b, st, ys, yy8):
+            (pres_r, ct_r, cb_r, ty_r, denom_v, gv, mgv,
+             th_r, uy1_r, offy_r, ld_r) = st
+            cover = pres_r & (yy8 >= ct_r) & (yy8 <= cb_r)
+            ay = f32(yy8 - ty_r) / denom_v
+            tyv = as_i16(f32(th_r) + smul(ay, uy1_r)) + offy_r
+            tyv = wrap_tex(tyv, jnp.maximum(th_r, 1))
+            word = _select_q(gv, tyv >> 2)
+            texel = _byte(word, tyv)
+            mword = _gather_sub(mgv, (tyv >> 5) & 7)
+            opaque = ((mword >> (tyv & 31)) & 1) != 0
+            wr = cover & opaque
+            pidx_s[b, ys, :] = jnp.where(wr, texel, pidx_s[b, ys, :])
+            pld_s[b, ys, :] = jnp.where(wr, ld_r, pld_s[b, ys, :])
+
+        setups = [item_setup(b) for b in range(TB)]
+
+        def body(yb, carry, setups=setups):
+            ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+            yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
+            for b in range(TB):
+                item_row(b, setups[b], ys, yy8)
+            return carry
+
+        lax.fori_loop(yb_lo, yb_hi, body, 0)
+
+    # ---------------- the item loop (paint kernel item_body verbatim) ----
+    def item_body(j, carry):
+        n = ilist_ref[0, 0, 0, j]
+        uid = uit_ref[0, 0, 0, j]
+        wi = ifm_ref[0, n]                       # (TB, 128) f32
+        mfv = lambda r: jnp.broadcast_to(wi[:, r:r + 1], (TB, LANES))
+        miv = lambda r: mfv(r).astype(I32)
+        fl_v = miv(IFM_FL)
+        valid_v = (fl_v & 1) != 0
+        x0_v = miv(IFM_X0)
+        x1e_v = miv(IFM_X1E)
+        spr_v = (fl_v & 2) != 0
+        in_r = (xx >= x0_v) & (xx < x1e_v) & valid_v
+
+        # ---- sprite billboard math, all cameras at once ----
+        xb = f32(xx - miv(IFM_BSX))
+        ax = xb / mfv(IFM_DX)
+        denom = smul(one - ax, mfv(IFM_INV0)) + smul(ax, mfv(IFM_INV1))
+        u = (smul(one - ax, mfv(IFM_Z0)) + smul(ax, mfv(IFM_Z1))) / denom
+        light_v = miv(IFM_LIGHT)
+        soff_v = miv(IFM_SOFF)          # sprite soff / mid seg id
+        s_tx = wrap_tex(
+            as_i16(u) + soff_v, jnp.maximum(miv(IFM_WPIC), 1)
+        )
+        s_zd = as_i16(((one - ax) + ax) / denom)
+        s_by = as_i16(mfv(IFM_YBS) + smul(xb, mfv(IFM_YBD)))
+        s_ty = as_i16(mfv(IFM_YTS) + smul(xb, mfv(IFM_YTD)))
+
+        # ---- sprite seg clip: fold the clip pool (map_objects.rs:
+        # 127-166), all cameras at once ----
+        vpx_v = mfv(IFM_VPX)
+        vpy_v = mfv(IFM_VPY)
+        ccnt = ccnt_ref[0]
+        tsc = jnp.full((TB, LANES), -1, I32)
+        bsc = jnp.full((TB, LANES), H, I32)
+        for kc in range(KC):
+            cw = cspan_ref[:, kc, :]
+            ok_c = kc < ccnt
+            is_mid_c = ((cw >> 29) & 3) == KIND_MID
+            e2b = (cw & SPAN_E2B) != 0
+            e2t = (cw & SPAN_E2T) != 0
+            dc = ((cw & SPAN_DC) != 0) & is_mid_c
+            y0 = ((cw >> 8) & 255) - 1
+            y1 = (cw & 255) - 1
+            cd2 = cd2_ref[:, kc, :]
+            byf = cd2 >> 16
+            tyf = (cd2 << 16) >> 16
+            lsx = lax.bitcast_convert_type(clsx_ref[:, kc, :], F32)
+            lsy = lax.bitcast_convert_type(clsy_ref[:, kc, :], F32)
+            lex = lax.bitcast_convert_type(clex_ref[:, kc, :], F32)
+            ley = lax.bitcast_convert_type(cley_ref[:, kc, :], F32)
+            front = ok_c & ~is_behind_vertex(
+                lsx, lsy, lex, ley, vpx_v, vpy_v
+            )
+            tsc = jnp.maximum(tsc, jnp.maximum(
+                jnp.where(front & e2t, y1, -1),
+                jnp.where(front & dc, tyf, -1),
+            ))
+            bsc = jnp.minimum(bsc, jnp.minimum(
+                jnp.where(front & e2b, y0, H),
+                jnp.where(front & is_mid_c, byf, H),
+            ))
+        s_ct = jnp.maximum(jnp.maximum(0, s_ty), tsc)
+        s_cb = jnp.minimum(jnp.minimum(H - 1, s_by), bsc)
+
+        # ---- mid draw data from the mid pool ----
+        pid_v = miv(IFM_PIC)
+        mcnt = mcnt_ref[0]
+        found = jnp.zeros((TB, LANES), bool)
+        w_v = jnp.zeros((TB, LANES), I32)
+        dv = [jnp.zeros((TB, LANES), I32) for _ in range(5)]
+        for k in range(KM):
+            mw = mspan_ref[:, k, :]
+            hit = (
+                (((mw >> 29) & 3) == KIND_MID)
+                & (k < mcnt)
+                & (md6_ref[:, k, :] == soff_v)
+            )
+            w_v = jnp.where(hit, mw, w_v)
+            for i_, r in enumerate(
+                (md1_ref, md2_ref, md3_ref, md4_ref, md5_ref)
+            ):
+                dv[i_] = jnp.where(hit, r[:, k, :], dv[i_])
+            found = found | hit
+
+        # ---- merge sprite/mid per element ----
+        pres = in_r & (spr_v | found)
+        ct = jnp.where(spr_v, s_ct, ((w_v >> 8) & 255) - 1)
+        cb = jnp.where(spr_v, s_cb, (w_v & 255) - 1)
+        by = jnp.where(spr_v, s_by, dv[1] >> 16)
+        ty = jnp.where(spr_v, s_ty, (dv[1] << 16) >> 16)
+        tx = jnp.where(spr_v, s_tx, dv[0] - pid_v * TW_ATLAS)
+        offy = jnp.where(spr_v, 0, dv[2] >> 16)
+        th = jnp.where(spr_v, miv(IFM_TH), (dv[2] << 16) >> 16)
+        light = jnp.where(spr_v, light_v, dv[3] >> 16)
+        zd = jnp.where(spr_v, s_zd, (dv[3] << 16) >> 16)
+        uy1 = jnp.where(
+            spr_v, mfv(IFM_UY1), lax.bitcast_convert_type(dv[4], F32)
+        )
+
+        i_lo, i_hi = _ybounds(pres, ct, cb)
+
+        @pl.when(i_lo < i_hi)
+        def _paint(n=n, uid=uid, i_lo=i_lo, i_hi=i_hi):
+            paint_item_cams(
+                n, uid, pres, ct, cb, by, ty, offy, th, uy1,
+                light, zd, tx, i_lo, i_hi,
+            )
+
+        return carry
+
+    lax.fori_loop(0, icnt_ref[0, 0, 0, 0], item_body, 0)
+
+    # ---------------- shade written pixels + merge over background -------
+    zero8 = jnp.zeros((8, LANES), I32)
+    pal0 = _gather_sub(pal_ref[...], zero8)
+    pal1 = _gather_sub(pal_ref[...], zero8 + 1)
+
+    def fin_body(yb, carry):
+        ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+        for b in range(TB):
+            ldw = pld_s[b, ys, :]
+            touched = (ldw & LD_WRITTEN) != 0
+            texel = pidx_s[b, ys, :]
+            light = (ldw >> 16) & 0xFF
+            dist = ((ldw & 0xFFFF) << 16) >> 16
+            rgbw = jnp.where(
+                texel >= LANES,
+                _gather_lane(pal1, texel & (LANES - 1)),
+                _gather_lane(pal0, texel & (LANES - 1)),
+            )
+            factor = f32(light) / f32(255.0) - smul(
+                f32(dist), 1.0 / (16.0 * 256.0)
+            )
+            factor = jnp.maximum(factor, 0.0)
+            packed = jnp.zeros((8, LANES), I32)
+            for shift in (16, 8, 0):
+                chan = f32((rgbw >> shift) & 0xFF)
+                byte = jnp.clip(
+                    jnp.trunc(chan * factor), 0.0, 255.0
+                ).astype(I32)
+                packed = packed | (byte << shift)
+            idx_out[b, ys, :] = jnp.where(touched, texel, idx_in[b, ys, :])
+            ld_out[b, ys, :] = jnp.where(touched, ldw, ld_in[b, ys, :])
+            rgb_out[b, ys, :] = jnp.where(
+                touched, packed, rgb_in[b, ys, :])
+        return carry
+
+    lax.fori_loop(0, H // 8, fin_body, 0)
+
+
+def item_pass(level, cfg, items, raw, interpret: bool = False):
+    """Paint sprites + masked mids over the paint kernel's frame.
+
+    items: the pack from things.item_pack (farthest-first order);
+    raw: render_paint's `out["raw"]` dict (kernel-layout pools +
+    framebuffers, width padded to Wp).  Returns (idx, ld, rgb), each
+    [B, H, W].
+    """
+    from doomtpu.render import jmath
+
+    assert level.itempaint_ok, "level not eligible for the item pass"
+    assert interpret or not jmath.strict_fp_enabled(), (
+        "strict-FP mode is CPU/interpret-only for the item-pass kernel"
+    )
+    idx, ld, rgb = raw["idx"], raw["ld"], raw["rgb"]
+    B, H, Wp = idx.shape
+    W, KC, KM = cfg.width, cfg.clip_capacity, cfg.mid_capacity
+    NBW = Wp // LANES
+    TB = 8 if B % 8 == 0 else 4
+    NI = items["i"].shape[1]
+    TW_ATLAS = level.tex_pixels.shape[2]
+
+    ivi, ifm = build_item_packs(items, B, TB)
+    ilist, icnt, uit_c = build_item_lists(items, B, TB, NBW)
+
+    cpool = raw["clippool"]       # span, d1.., d6 order as paint outputs
+    mpool = raw["midpool"]
+    # clip plane order from render_paint outputs: span, d2, d6, lsx,
+    # lsy, lex, ley — the kernel needs span, d2, lsx, lsy, lex, ley
+    clip_in = [cpool[0], cpool[1], cpool[3], cpool[4], cpool[5], cpool[6]]
+    mid_in = list(mpool)
+
+    def smem_spec(x):
+        return pl.BlockSpec(
+            (1,) + x.shape[1:],
+            lambda i, w, nd=x.ndim: (i,) + (0,) * (nd - 1),
+            memory_space=pltpu.SMEM,
+        )
+
+    def list_spec(x):
+        return pl.BlockSpec(
+            (1, 1) + x.shape[2:], lambda i, w: (i, w, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+
+    def pool_spec(K):
+        return pl.BlockSpec(
+            (TB, K, LANES), lambda i, w: (i, 0, w),
+            memory_space=pltpu.VMEM,
+        )
+
+    fb_spec = pl.BlockSpec(
+        (TB, H, LANES), lambda i, w: (i, 0, w), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (1, TB, LANES), lambda i, w: (i, 0, w), memory_space=pltpu.VMEM
+    )
+
+    def table_spec(x):
+        return pl.BlockSpec(
+            x.shape, lambda i, w: tuple(0 for _ in x.shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    ifm_spec = pl.BlockSpec(
+        (1,) + ifm.shape[1:], lambda i, w: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    tables = [level.item_q, level.item_mq, level.palette_words]
+    in_specs = (
+        [smem_spec(ivi), list_spec(ilist), list_spec(icnt),
+         list_spec(uit_c), ifm_spec]
+        + [pool_spec(KC)] * 6 + [pool_spec(KM)] * 7
+        + [cnt_spec] * 2
+        + [fb_spec] * 3
+        + [table_spec(x) for x in tables]
+    )
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32)] * 3
+    out_specs = [fb_spec] * 3
+
+    kernel = functools.partial(
+        _kernel, W=W, H=H, KM=KM, KC=KC, TB=TB, NI=NI, TW_ATLAS=TW_ATLAS,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // TB, NBW),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        # the frame updates in place: inputs 20-22 (idx, ld, rgb) ARE
+        # the outputs — halves the framebuffer VMEM footprint (without
+        # this the kernel's scoped VMEM overflows the 16 MB limit)
+        input_output_aliases={20: 0, 21: 1, 22: 2},
+        scratch_shapes=[
+            pltpu.VMEM((TB, H, LANES), jnp.int32) for _ in range(2)
+        ] + [
+            pltpu.VMEM((TB * 32, LANES), jnp.int32),
+            pltpu.VMEM((TB * 8, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # three aliased [TB, H, 128] framebuffers + two scratch
+            # paint planes + the double-buffered pools/ifm sit at
+            # ~16.5 MB — just over Mosaic's default 16 MB scoped-VMEM
+            # budget; v5e has 128 MB VMEM, so raise the budget rather
+            # than shrink the tile
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ivi, ilist, icnt, uit_c, ifm, *clip_in, *mid_in,
+      raw["cnt_clip"], raw["cnt_mid"], idx, ld, rgb, *tables)
+    return tuple(o[:, :, :W] for o in outs)

@@ -1209,6 +1209,93 @@ def _kernel(
         lax.fori_loop(0, H // 8, fin_body, 0)
 
 
+def build_item_packs(items, B, TB):
+    """(ivi, ifm) kernel inputs from a things.item_pack result.
+
+    ivi: SMEM pack [B/TB, N4/4, 4*IPI_ROWS*TB] i32 — 4 items per row so
+    the 128-lane SMEM window pads nothing (pad items are fl=0/invalid);
+    only window-index scalars (the per-(item, camera) picture id) read
+    from it.  ifm: VMEM item field matrix [B/TB, NI, TB, 128] f32
+    (IFM_* layout) — everything else broadcasts from it with lane
+    slices.  Shared by the paint kernel's in-kernel item pass and the
+    standalone item-pass kernel (ops/pallas_itempass.py)."""
+    from doomtpu.render.things import IPI_LW, IPI_ROWS
+
+    NI = items["i"].shape[1]
+    N4 = ((NI + 3) // 4) * 4
+
+    def tile_items(x, rows):
+        if N4 != NI:
+            x = jnp.pad(x, ((0, 0), (0, N4 - NI), (0, 0)))
+        return (
+            x.reshape(B // TB, TB, N4, rows)
+            .transpose(0, 2, 3, 1)
+            .reshape(B // TB, N4 // 4, 4 * rows * TB)
+        )
+
+    ivi = tile_items(items["i"], IPI_ROWS)
+    ip_i = items["i"].astype(F32)                # ints < 2^24: exact
+    lw = items["i"][:, :, IPI_LW]
+    ifm = jnp.concatenate(
+        [
+            ip_i[:, :, :IPI_LW],                 # fl, x0, x1e
+            (lw & 0xFFFF).astype(F32)[..., None],
+            (lw >> 16).astype(F32)[..., None],
+            ip_i[:, :, IPI_LW + 1:],             # pic, th, soff, bsx
+            items["f"],                          # IPF rows = IFM 9..20
+        ],
+        axis=-1,
+    )                                            # [B, NI, IFM_FD]
+    ifm = (
+        jnp.pad(ifm, ((0, 0), (0, 0), (0, LANES - IFM_FD)))
+        .reshape(B // TB, TB, NI, LANES)
+        .transpose(0, 2, 1, 3)                   # [Bt, NI, TB, 128]
+    )
+    return ivi, ifm
+
+
+def build_item_lists(items, B, TB, NBW):
+    """Per-(camera tile, 128-column block) live-item lists.
+
+    Returns (ilist [Bt, NBW, 1, NI] compacted live item indices in
+    farthest-first order, icnt [Bt, NBW, 1, 1], uit_c [Bt, NBW, 1, NI]
+    tile-uniform picture id per compacted slot, -1 when the live
+    cameras disagree)."""
+    from doomtpu.render.things import IPI_FL, IPI_PIC, IPI_X0, IPI_X1E
+
+    Bt = B // TB
+    NI = items["i"].shape[1]
+    IMIN, IMAX = jnp.int32(-0x80000000), jnp.int32(0x7FFFFFFF)
+    wlo = jnp.arange(NBW, dtype=I32)[None, None] * LANES
+    ip = items["i"]
+    live_i = (
+        ((ip[:, :, IPI_FL] & 1) != 0)[..., None]
+        & (ip[:, :, IPI_X0][..., None] < wlo + LANES)
+        & (ip[:, :, IPI_X1E][..., None] > wlo)
+    )                                                       # [B,N,NBW]
+    live_it = jnp.swapaxes(
+        live_i.reshape(Bt, TB, NI, NBW).any(1), 1, 2
+    )                                                       # [Bt,NBW,N]
+    n_iota = jnp.arange(NI, dtype=I32)[None, None]
+    ilist = jnp.argsort(
+        jnp.where(live_it, n_iota, NI + n_iota), axis=-1
+    ).astype(I32).reshape(Bt, NBW, 1, NI)
+    icnt = live_it.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+    live_i4 = live_i.reshape(Bt, TB, NI, NBW)
+    pic_t = jnp.broadcast_to(
+        ip[:, :, IPI_PIC].reshape(Bt, TB, NI, 1), live_i4.shape
+    )
+    pmax = jnp.max(jnp.where(live_i4, pic_t, IMIN), axis=1)
+    pmin = jnp.min(jnp.where(live_i4, pic_t, IMAX), axis=1)
+    uit = jnp.where(
+        live_i4.any(1) & (pmax == pmin), pmax, -1
+    )                                                       # [Bt,NI,NBW]
+    uit_c = jnp.take_along_axis(
+        jnp.swapaxes(uit, 1, 2), ilist[:, :, 0, :], axis=-1
+    ).reshape(Bt, NBW, 1, NI)
+    return ilist, icnt, uit_c
+
+
 def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                  angle, px, py, floor_height, items=None,
                  interpret: bool = False, unroll: int | None = None,
@@ -1391,42 +1478,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # matrix [B/TB, NI, TB, 128] f32 (IFM_* layout) the kernel
     # broadcasts fields from with lane slices
     if items is not None:
-        from doomtpu.render.things import IPI_LW, IPI_ROWS
-
         assert level.itempaint_ok, "level not eligible for item paint"
         NI = items["i"].shape[1]
-        N4 = ((NI + 3) // 4) * 4
-
-        def tile_items(x, rows):
-            """[B, NI, rows] -> [B/TB, N4/4, 4*rows*TB]: 4 items per
-            SMEM row — 4*rows*TB is an exact multiple of 128 lanes, so
-            the SMEM window pads nothing (pad items are fl=0/invalid)."""
-            if N4 != NI:
-                x = jnp.pad(x, ((0, 0), (0, N4 - NI), (0, 0)))
-            return (
-                x.reshape(B // TB, TB, N4, rows)
-                .transpose(0, 2, 3, 1)
-                .reshape(B // TB, N4 // 4, 4 * rows * TB)
-            )
-
-        ivi = tile_items(items["i"], IPI_ROWS)
-        ip_i = items["i"].astype(F32)                # ints < 2^24: exact
-        lw = items["i"][:, :, IPI_LW]
-        ifm = jnp.concatenate(
-            [
-                ip_i[:, :, :IPI_LW],                 # fl, x0, x1e
-                (lw & 0xFFFF).astype(F32)[..., None],
-                (lw >> 16).astype(F32)[..., None],
-                ip_i[:, :, IPI_LW + 1:],             # pic, th, soff, bsx
-                items["f"],                          # IPF rows = IFM 9..20
-            ],
-            axis=-1,
-        )                                            # [B, NI, IFM_FD]
-        ifm = (
-            jnp.pad(ifm, ((0, 0), (0, 0), (0, LANES - IFM_FD)))
-            .reshape(B // TB, TB, NI, LANES)
-            .transpose(0, 2, 1, 3)                   # [Bt, NI, TB, 128]
-        )
+        ivi, ifm = build_item_packs(items, B, TB)
         item_tables = [level.item_q, level.item_mq]
     else:
         NI = 0
@@ -1599,39 +1653,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     # ---- per-(tile, block) live-item lists ------------------------------
     if NI > 0:
-        from doomtpu.render.things import (
-            IPI_FL, IPI_PIC, IPI_X0, IPI_X1E,
-        )
-
-        ip = items["i"]
-        live_i = (
-            ((ip[:, :, IPI_FL] & 1) != 0)[..., None]
-            & (ip[:, :, IPI_X0][..., None] < wlo + LANES)
-            & (ip[:, :, IPI_X1E][..., None] > wlo)
-        )                                                       # [B,N,NBW]
-        live_it = jnp.swapaxes(
-            live_i.reshape(Bt, TB, NI, NBW).any(1), 1, 2
-        )                                                       # [Bt,NBW,N]
-        n_iota = jnp.arange(NI, dtype=I32)[None, None]
-        ilist = jnp.argsort(
-            jnp.where(live_it, n_iota, NI + n_iota), axis=-1
-        ).astype(I32).reshape(Bt, NBW, 1, NI)
-        icnt = live_it.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
-        # per-(tile, block, compacted item) UNIFORM picture id for the
-        # kernel's shared item-window loads (-1 = cameras disagree);
-        # uniformity over the cameras the item is live for
-        live_i4 = live_i.reshape(Bt, TB, NI, NBW)
-        pic_t = jnp.broadcast_to(
-            ip[:, :, IPI_PIC].reshape(Bt, TB, NI, 1), live_i4.shape
-        )
-        pmax = jnp.max(jnp.where(live_i4, pic_t, IMIN), axis=1)
-        pmin = jnp.min(jnp.where(live_i4, pic_t, IMAX), axis=1)
-        uit = jnp.where(
-            live_i4.any(1) & (pmax == pmin), pmax, -1
-        )                                                       # [Bt,NI,NBW]
-        uit_c = jnp.take_along_axis(
-            jnp.swapaxes(uit, 1, 2), ilist[:, :, 0, :], axis=-1
-        ).reshape(Bt, NBW, 1, NI)
+        ilist, icnt, uit_c = build_item_lists(items, B, TB, NBW)
     else:
         ilist = jnp.zeros((Bt, 1, 1, 8), jnp.int32)
         icnt = jnp.zeros((Bt, 1, 1, 1), jnp.int32)
@@ -1787,4 +1809,12 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         "midpool": midpool, "cnt_mid": cnt_mid,
         "clippool": clippool, "cnt_clip": cnt_clip,
         "overflow": overflow,
+        # raw kernel-layout outputs for the standalone item-pass kernel
+        # (ops/pallas_itempass.py): no [B, W, K] transpose, no W slice —
+        # XLA DCEs whichever view goes unconsumed
+        "raw": {
+            "idx": outs[0], "ld": outs[1], "rgb": outs[2],
+            "midpool": outs[3:10], "clippool": outs[10:17],
+            "cnt_mid": outs[17], "cnt_clip": outs[18],
+        },
     }

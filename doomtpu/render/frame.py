@@ -35,15 +35,7 @@ def paint_available(level, cfg, B) -> bool:
     )
 
 
-def itempaint_available(level, cfg, B) -> bool:
-    """Static eligibility of the in-kernel item paint (sprites + mids
-    drawn inside the paint kernel; see ops/pallas_paint.py)."""
-    if not (
-        cfg.use_item_paint
-        and paint_available(level, cfg, B)
-        and level.itempaint_ok
-    ):
-        return False
+def _itempack_fits(level, cfg) -> bool:
     I = level.num_mobjs + int(level.dseg_ix.shape[0])
     if I == 0:
         return False
@@ -52,6 +44,28 @@ def itempaint_available(level, cfg, B) -> bool:
     # double-buffered (= 1280 B/item at TB=8), beside the ~100 KB the
     # flattened seg packs use (SMEM is 1 MB)
     return N * 1280 <= 600_000
+
+
+def itempaint_available(level, cfg, B) -> bool:
+    """Static eligibility of the in-kernel item paint (sprites + mids
+    drawn inside the paint kernel; see ops/pallas_paint.py)."""
+    return (
+        cfg.use_item_paint
+        and paint_available(level, cfg, B)
+        and level.itempaint_ok
+        and _itempack_fits(level, cfg)
+    )
+
+
+def itempass_available(level, cfg, B) -> bool:
+    """Static eligibility of the standalone item-pass kernel
+    (ops/pallas_itempass.py): the deferred item pass fully in-kernel."""
+    return (
+        cfg.use_item_pass_kernel
+        and paint_available(level, cfg, B)
+        and level.itempaint_ok
+        and _itempack_fits(level, cfg)
+    )
 
 
 def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
@@ -174,6 +188,39 @@ def render_frame(
             level, cfg, px, py, angle, floor_height, sector_light,
             timestamp, mobj_state=mobj_state,
         )
+        return idx, rgb, aux
+    if itempass_available(level, cfg, B):
+        # walls/planes/sky from the paint kernel, sprites + mids from
+        # the item-pass kernel — no [B, N, W] XLA stage anywhere
+        from doomtpu.ops.pallas_itempass import item_pass
+        from doomtpu.ops.pallas_paint import LD_SKY, render_paint
+
+        frame = cam.build_seg_frame(
+            level, cfg, px, py, angle, floor_height, sector_light,
+            timestamp,
+        )
+        frame = jax.lax.optimization_barrier(frame)
+        order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+        out = render_paint(
+            level, cfg, frame, order, angle, px, py, floor_height
+        )
+        ipack, item_aux = things.item_pack(
+            level, cfg, frame, order, px, py, angle, floor_height,
+            sector_light, mobj_state,
+        )
+        if ipack is None:
+            return out["idx"], out["rgb"], dict(
+                item_aux, overflow=out["overflow"]
+            )
+        idx, ld, rgb = item_pass(level, cfg, ipack, out["raw"])
+        aux = {
+            "frame": frame, "order": order,
+            "overflow": out["overflow"],
+            "light": (ld >> 16) & 0xFF,
+            "dist": ((ld & 0xFFFF) << 16) >> 16,
+            "is_sky": (ld & LD_SKY) != 0,
+        }
+        aux.update(item_aux)
         return idx, rgb, aux
     if paint_available(level, cfg, B):
         idx, light, dist, is_sky, rgb, aux = _stages_paint(

@@ -76,10 +76,25 @@ def main():
             item_kernel=True,
         )
 
+    def itempass(lv, x, y, an, f, s_l, t, mstate):
+        # paint + standalone item-pass kernel (frame.render_frame's
+        # route when use_item_pass_kernel applies)
+        from doomtpu.ops.pallas_itempass import item_pass
+
+        frame = cam.build_seg_frame(lv, cfg, x, y, an, f, s_l, t)
+        order = cam.seg_order(lv, cam.traversal_rank(lv, x, y))
+        out = render_paint(lv, cfg, frame, order, an, x, y, f)
+        ip, _ = things.item_pack(
+            lv, cfg, frame, order, x, y, an, f, s_l, mstate
+        )
+        return item_pass(lv, cfg, ip, out["raw"])
+
     checks = [
         ("render_paint", lambda: jax.jit(
             lambda *a: paint(*a, with_items=False)
         ).lower(level, px, py, ang, fh, sl, ts, ms)),
+        ("item_pass", lambda: jax.jit(itempass).lower(
+            level, px, py, ang, fh, sl, ts, ms)),
         ("render_paint+items", lambda: jax.jit(
             lambda *a: paint(*a, with_items=True)
         ).lower(level, px, py, ang, fh, sl, ts, ms)),

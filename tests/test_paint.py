@@ -269,6 +269,44 @@ def test_paint_items_in_kernel_bit_exact(setup, demo_level, config, nviews):
     assert int(np.asarray(out["overflow"]).max()) == 0
 
 
+@pytest.mark.parametrize("nviews", [4, 8])
+def test_item_pass_kernel_bit_exact(setup, demo_level, config, nviews):
+    """Standalone item-pass kernel (ops/pallas_itempass.py: billboard
+    math + sprite seg clip + mid-pool match + painter fold in VMEM over
+    the paint kernel's raw pools) == the XLA pipeline's full frame, bit
+    for bit; nviews exercises both camera tiles."""
+    from doomtpu.render.frame import render_frame
+    from doomtpu.ops.pallas_itempass import item_pass
+    from doomtpu.ops.pallas_paint import render_paint
+
+    level = setup
+    assert level.itempaint_ok
+    views = (VIEWS * 2)[:nviews]
+    px, py, pa, fh, sl, ts = _state(demo_level, views)
+    mp, ma, ms = demo_level.spawn_mobjs()
+    B = len(views)
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
+
+    idx_r, rgb_r, aux_r = render_frame(
+        level, config, px, py, pa, fh, sl, mstate, ts
+    )
+
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    out = render_paint(
+        level, config, frame, order, pa, px, py, fh,
+        interpret=True, unroll=1, gsub=2,
+    )
+    ipack, iaux = things.item_pack(
+        level, config, frame, order, px, py, pa, fh, sl, mstate
+    )
+    idx_k, ld_k, rgb_k = item_pass(
+        level, config, ipack, out["raw"], interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(rgb_k), np.asarray(rgb_r))
+
+
 def test_paint_full_frame_item_kernel(setup, demo_level, config):
     """Item-composite kernel (ops/pallas_items.py) vs the XLA fold."""
     from doomtpu.render.frame import render_frame
