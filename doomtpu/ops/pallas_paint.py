@@ -131,19 +131,6 @@ PAINT_SHAREDTEX = _os.environ.get("DOOMTPU_PAINT_SHAREDTEX", "1") != "0"
 # culling already drops 99.6% of post-closure visits — so the per-step
 # reduction would cost more than it saves.  Kept off for A/B.
 PAINT_EXIT = _os.environ.get("DOOMTPU_PAINT_EXIT", "0") != "0"
-# XLA-precomputed paint bounds + emit-possible bits: every per-visit
-# vector->scalar reduction in the seg loop (the _ybounds min/max pairs
-# and the emit-guard .any()s — each a VPU-drain sync the probes put at
-# ~2 us) is replaced by SMEM scalars computed on the XLA side per
-# (tile, block, slot): conservative y-block bounds from evaluating the
-# piece edge lines at the seg's x endpoints (linear in x, so interval
-# endpoints bound them; +-1 padding absorbs f32 rounding
-# non-monotonicity) reduced over the tile cameras, and "emit possible"
-# bits.  Bounds only WIDEN the painted y-block range (rows outside the
-# live mask write nothing) and guards only run MORE often (an emit
-# under an all-false mask is a no-op), so outputs are bit-identical.
-# 0 restores the in-kernel reductions for A/B.
-PAINT_PREBOUNDS = _os.environ.get("DOOMTPU_PAINT_PREBOUNDS", "1") != "0"
 
 LANES = 128
 
@@ -368,20 +355,10 @@ def _kernel(
     kc_iota = lax.broadcasted_iota(I32, (TB, KC, LANES), 1)
 
     def emit_mid(mask, rec, data, mask_any=None):
-        """mask_any: None computes mask.any() in-kernel; a traced bool
-        scalar (SMEM bit / batched reduction) guards on it; the python
-        literal True runs the body unconditionally (an emit under an
-        all-false mask writes nothing and bumps no counter)."""
         if PAINT_SKIP & 4:
             return
 
-        def _guard(body):
-            if mask_any is True:
-                body()
-            else:
-                pl.when(mask.any() if mask_any is None else mask_any)(body)
-
-        @_guard
+        @pl.when(mask.any() if mask_any is None else mask_any)
         def _():
             cnt = cntm_ref[0]
             fits = cnt < KM
@@ -399,13 +376,7 @@ def _kernel(
         if PAINT_SKIP & 4:
             return
 
-        def _guard(body):
-            if mask_any is True:
-                body()
-            else:
-                pl.when(mask.any() if mask_any is None else mask_any)(body)
-
-        @_guard
+        @pl.when(mask.any() if mask_any is None else mask_any)
         def _():
             cnt = cntc_ref[0]
             fits = cnt < KC
@@ -720,13 +691,14 @@ def _kernel(
 
     def _gsub(sub, carry):
         g0 = sub * U
-        # ONE dynamic window load covers the U unrolled segs (each
-        # dynamic-offset VMEM load pays a fixed stall, ~192 ns —
-        # scripts/probe_visit_cost.py; batching amortizes it U x)
-        wU = svf_ref[0, 0, pl.ds(0 if PAINT_STATLOAD else g0, U)]
+        # NOTE: batching the U per-seg loads into ONE (U, TB, 128)
+        # dynamic window load + static [uu] slices measured +32.7 ms on
+        # the v5e skeleton (2026-08-18 sweep #2) — Mosaic materializes
+        # the sliced 3D value far worse than U separate (TB, 128)
+        # loads.  Keep the per-seg loads.
         for uu in range(U):
             u_ = g0 + uu
-            w = wU[uu]                                      # (TB, 128) f32
+            w = svf_ref[0, 0, 0 if PAINT_STATLOAD else u_]  # (TB, 128) f32
             # per-(tile, block, seg) piece-live bits, precomputed on the
             # XLA side: bit p set iff piece p is active for SOME tile
             # camera whose seg row overlaps this column block.  An SMEM
@@ -742,7 +714,11 @@ def _kernel(
             x1i = as_i16(x1)
 
             act_any = (flags & 15) != 0
-            if PAINT_SEGWHEN or PAINT_SKIP & 8:
+            if PAINT_SEGWHEN:
+                # NOTE: this .any() -> SREG chain costs ~2.4 us/seg; it
+                # must never ride along in PAINT_SKIP skeleton
+                # measurements (the pre-fix skip-15 "32.5 ms skeleton"
+                # was contaminated by it)
                 seg_live = (
                     (xx >= x0i) & (xx <= x1i) & act_any & (hor_s[...] == 0)
                 ).any()
@@ -852,29 +828,22 @@ def _kernel(
                             y0c_, y1c_ = _clamp_span(
                                 co, jnp.where(ce_emit, ct, fo)
                             )
-                            if PAINT_PREBOUNDS:
-                                # SMEM scalars precomputed on the XLA
-                                # side — NO vector->scalar sync in the
-                                # whole seg body (PB_* layout in
-                                # render_paint); conservative bounds
-                                # only widen the masked y-block range
-                                wb_w = plive_ref[0, 0, u_, 1]
-                                fb_w = plive_ref[0, 0, u_, 5]
-                                w_lo, w_hi = wb_w >> 16, wb_w & 0xFFFF
-                                f_lo, f_hi = fb_w >> 16, H // 8
-                                c_lo, c_hi = 0, fb_w & 0xFFFF
-                                e_any = ((pl_bits >> 8) & 1) != 0
-                            else:
-                                # ALL of this piece's vector->scalar
-                                # reductions issue here, back to back,
-                                # before the first scalar consumer — the
-                                # sync latencies overlap instead of
-                                # serializing through guard->reduce->
-                                # loop chains
-                                e_any = m_e.any()
-                                w_lo, w_hi = _ybounds(m_w, ct, cb)
-                                f_lo, f_hi = _ybounds(m_f, y0f, y1f)
-                                c_lo, c_hi = _ybounds(m_c, y0c_, y1c_)
+                            # ALL of this piece's vector->scalar
+                            # reductions issue here, back to back, before
+                            # the first scalar consumer — the sync
+                            # latencies overlap instead of serializing
+                            # through guard->reduce->loop chains.
+                            # (Replacing them with XLA-precomputed
+                            # conservative SMEM bounds measured 4x SLOWER
+                            # — see PERF.md "PREBOUNDS experiments": the
+                            # reductions are load-bearing work-skippers;
+                            # occlusion-blind bounds overpaint and even
+                            # the extra SMEM row reads alone cost more
+                            # than the syncs.)
+                            e_any = m_e.any()
+                            w_lo, w_hi = _ybounds(m_w, ct, cb)
+                            f_lo, f_hi = _ybounds(m_f, y0f, y1f)
+                            c_lo, c_hi = _ybounds(m_c, y0c_, y1c_)
 
                             emit_clip(m_e, rec, cd2, g_bc, coords,
                                       mask_any=e_any)
@@ -898,15 +867,8 @@ def _kernel(
                                 draw_c, SPAN_DC, 0
                             )
                             m_m = in_ver & has_mid
-                            if PAINT_PREBOUNDS:
-                                # piece guard (bit 1) already implies
-                                # "some camera covered" — run the clip
-                                # emit unconditionally
-                                iv_any = True
-                                mm_any = ((pl_bits >> 11) & 1) != 0
-                            else:
-                                iv_any = in_ver.any()
-                                mm_any = m_m.any()
+                            iv_any = in_ver.any()
+                            mm_any = m_m.any()
                             emit_clip(in_ver, rec, cd2, g_bc, coords,
                                       mask_any=iv_any)
                             md1 = bci(pbase + SVF_P_TEXV) * TW_ATLAS + tx
@@ -923,13 +885,8 @@ def _kernel(
                             rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
                             rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
                             m_w = in_ver & draws_p
-                            if PAINT_PREBOUNDS:
-                                iv_any = True
-                                wb_w = plive_ref[0, 0, u_, 3]
-                                w_lo, w_hi = wb_w >> 16, wb_w & 0xFFFF
-                            else:
-                                iv_any = in_ver.any()
-                                w_lo, w_hi = _ybounds(m_w, ct, cb)
+                            iv_any = in_ver.any()
+                            w_lo, w_hi = _ybounds(m_w, ct, cb)
                             emit_clip(in_ver, rec, cd2, g_bc, coords,
                                       mask_any=iv_any)
                             paint_wall(
@@ -941,13 +898,8 @@ def _kernel(
                             rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
                             rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
                             m_w = in_ver & draws_p
-                            if PAINT_PREBOUNDS:
-                                iv_any = True
-                                wb_w = plive_ref[0, 0, u_, 4]
-                                w_lo, w_hi = wb_w >> 16, wb_w & 0xFFFF
-                            else:
-                                iv_any = in_ver.any()
-                                w_lo, w_hi = _ybounds(m_w, ct, cb)
+                            iv_any = in_ver.any()
+                            w_lo, w_hi = _ybounds(m_w, ct, cb)
                             emit_clip(in_ver, rec, cd2, g_bc, coords,
                                       mask_any=iv_any)
                             paint_wall(
@@ -1699,87 +1651,6 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     zrow = jnp.zeros_like(uni_rows[0])
     uni = jnp.stack(uni_rows + [zrow, zrow], axis=-1)  # [Bt,NBW,Gp,8]
 
-    # ---- XLA-precomputed paint bounds + emit bits (PAINT_PREBOUNDS) ----
-    # Kills every per-visit vector->scalar reduction in the kernel's seg
-    # loop.  Per (tile, block, slot, camera) from the compacted field
-    # matrix, reduced over the tile: the piece edge lines by/ty are
-    # linear in x, so evaluating them at the covered-column endpoints
-    # bounds them (+-1 pad absorbs f32 rounding non-monotonicity; the
-    # y-block granularity //8 absorbs most of it anyway).  Bounds pack
-    # as (lo_blk << 16 | hi_blk); empty masks give lo >= hi, which the
-    # kernel's `yb_lo < yb_hi` paint guards read as "skip".
-    # plive rows: [0] bits (0-3 piece live, 8 p0-solid-emit possible,
-    # 11 mid-emit possible), [1..4] wall paint bounds per piece,
-    # [5] floor lo << 16 | ceiling hi, [6..7] spare.
-    if PAINT_PREBOUNDS:
-        def f32c(f):
-            return lax.bitcast_convert_type(out_i[..., f], F32)
-
-        x0_c = f32c(SVF_X0).astype(I32)
-        x1_c = f32c(SVF_X1).astype(I32)
-        # covered columns are [max(x0i, 0), min(x1i, W-1)] (pad lanes
-        # are pre-occluded in the kernel)
-        e0 = f32(jnp.maximum(as_i16(x0_c), 0) - x0_c)
-        e1 = f32(jnp.minimum(as_i16(x1_c), W - 1) - x0_c)
-        HB = H // 8
-
-        def blk_lo(v, m):   # empty mask -> HB (guard lo < hi fails)
-            v = jnp.min(jnp.where(m, v, jnp.int32(0x7FFF)), axis=-1)
-            return jnp.clip(jnp.maximum(v, 0) // 8, 0, HB)
-
-        def blk_hi(v, m):   # empty mask -> <= 0
-            v = jnp.max(jnp.where(m, v, jnp.int32(-0x7FFF)), axis=-1)
-            return jnp.clip(jnp.minimum(v, H - 1) // 8 + 1, 0, HB)
-
-        solid_c = ((flags_c >> 4) & 1) == 0
-        drawc_c = ((flags_c >> 5) & 1) != 0
-        wrows, fcrow = [], None
-        for p in range(4):
-            pbase = SVF_PIECE0 + SVF_PROWS * p
-            ybs, ybd = f32c(pbase + SVF_P_YBS), f32c(pbase + SVF_P_YBD)
-            yts, ytd = f32c(pbase + SVF_P_YTS), f32c(pbase + SVF_P_YTD)
-            by0 = as_i16(ybs + smul(e0, ybd))
-            by1 = as_i16(ybs + smul(e1, ybd))
-            ty0 = as_i16(yts + smul(e0, ytd))
-            ty1 = as_i16(yts + smul(e1, ytd))
-            lo_p = jnp.minimum(ty0, ty1) - 1
-            hi_p = jnp.maximum(by0, by1) + 1
-            act_p = live_c & (((flags_c >> p) & 1) != 0)
-            m_w = act_p & (((flags_c >> (6 + p)) & 1) != 0)
-            if p == 0:
-                # walls: painted rows [ct, cb] are inside
-                # [max(0, ty), min(H-1, by)] per column
-                m_w = m_w & solid_c
-                # floor span y0f >= max(0, min(ty, by) - 1) (emit: cb >=
-                # ct >= max(0, ty); gap: co >= by); ceiling span y1c <=
-                # max(ty, by) + 1 (emit: ct <= cb <= by; gap: fo <= ty),
-                # both need draw_c for the ceiling
-                lo_a = jnp.minimum(lo_p, jnp.minimum(by0, by1) - 1)
-                hi_a = jnp.maximum(hi_p, jnp.maximum(ty0, ty1) + 1)
-                flo_v = blk_lo(lo_a, act_p)
-                chi_v = blk_hi(hi_a, act_p & drawc_c)
-                fcrow = (flo_v << 16) | chi_v
-            wrows.append(
-                (blk_lo(lo_p, m_w) << 16) | blk_hi(hi_p, m_w)
-            )
-        bit8 = (live_c & (((flags_c >> 0) & 1) != 0) & solid_c).any(-1)
-        bit11 = (
-            live_c
-            & (((flags_c >> 1) & 1) != 0)
-            & (((flags_c >> 12) & 1) != 0)
-        ).any(-1)
-        pbits = (
-            plive | (bit8.astype(I32) << 8) | (bit11.astype(I32) << 11)
-        )
-        zr = jnp.zeros_like(pbits)
-        plive = jnp.stack(
-            [pbits, wrows[0], wrows[1], wrows[2], wrows[3], fcrow,
-             zr, zr],
-            axis=-1,
-        )                                               # [Bt,NBW,Gp,8]
-    else:
-        plive = plive[..., None]                        # [Bt,NBW,Gp,1]
-
     svf_c = lax.bitcast_convert_type(out_i[..., :SVF_FD], F32)
     smi_f = out_i[..., SVF_FD:SVF_FD + smi.shape[-1]].reshape(
         Bt, NBW, Gp, TB * smi.shape[-1]
@@ -1839,13 +1710,12 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             memory_space=pltpu.VMEM,
         )
 
-    # trailing dim: Mosaic requires the block's last two dims to be
-    # (8, 128)-divisible or equal to the array dims — a 3D (1, 1, UG)
-    # block lowers in interpret mode but is rejected on real TPU, so
-    # plive always carries an explicit last dim (8 bound rows under
-    # PAINT_PREBOUNDS, 1 otherwise)
+    # trailing unit dim: Mosaic requires the block's last two dims to be
+    # (8, 128)-divisible or equal to the array dims — (1, 1, UG) lowers
+    # in interpret mode but is rejected on real TPU
+    plive = plive[..., None]
     plive_spec = pl.BlockSpec(
-        (1, 1, UG, plive.shape[-1]), lambda i, w, g: (i, w, g, 0),
+        (1, 1, UG, 1), lambda i, w, g: (i, w, g, 0),
         memory_space=pltpu.SMEM,
     )
     in_specs = (

@@ -53,7 +53,13 @@ def main():
     rng = np.random.default_rng(0)
     poses = []
     left, right, top, bottom = [float(v) for v in t.bbox]
-    while len(poses) < B:
+    # NP > B reproduces a bench chunk honestly: generate NP poses
+    # (bench.py uses 2048), Morton-sort them ALL, then take one
+    # interior B-sized chunk — the tile coherence the bench's chunks
+    # actually see (sorting only B spread poses leaves each 8-camera
+    # tile far more divergent than a 2048-sort does)
+    NP = int(os.environ.get("NP", B))
+    while len(poses) < NP:
         x = rng.uniform(left, right)
         y = rng.uniform(top, bottom)
         s = t.sector_at(x, y)
@@ -61,11 +67,14 @@ def main():
             poses.append((x, y, rng.uniform(0, 2 * math.pi)))
     poses = np.asarray(poses, np.float32)
     state = eng.new_game(
-        B, pos=poses[:, :2], angle=poses[:, 2], key=jax.random.PRNGKey(0)
+        NP, pos=poses[:, :2], angle=poses[:, 2], key=jax.random.PRNGKey(0)
     )
     # bench-like poses: sorted cameras (the bench's _render_jit sorts)
     perm = _camera_sort_perm(state)
     state = jax.tree_util.tree_map(lambda x: x[perm], state)
+    if NP > B:
+        c0 = (NP // B // 2) * B
+        state = jax.tree_util.tree_map(lambda x: x[c0:c0 + B], state)
     px, py = state.pos[:, 0], state.pos[:, 1]
     ang, fh = state.angle, state.floor_height
     sl, ts = state.sector_light, state.timestamp

@@ -307,39 +307,6 @@ def test_item_pass_kernel_bit_exact(setup, demo_level, config, nviews):
     np.testing.assert_array_equal(np.asarray(rgb_k), np.asarray(rgb_r))
 
 
-def test_paint_prebounds_ab(setup, demo_level, config, monkeypatch):
-    """PAINT_PREBOUNDS=0 (in-kernel _ybounds/.any() reductions) and the
-    default XLA-precomputed bounds produce identical outputs — the
-    conservative bounds only widen masked y ranges and the emit guards
-    only run more often (a no-op under an all-false mask)."""
-    from doomtpu.ops import pallas_paint as pp
-
-    level = setup
-    views = (VIEWS * 2)[:8]
-    px, py, pa, fh, sl, ts = _state(demo_level, views)
-    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
-    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
-
-    out_new = pp.render_paint(
-        level, config, frame, order, pa, px, py, fh, interpret=True,
-        unroll=1, gsub=2,
-    )
-    monkeypatch.setattr(pp, "PAINT_PREBOUNDS", False)
-    out_old = pp.render_paint(
-        level, config, frame, order, pa, px, py, fh, interpret=True,
-        unroll=1, gsub=2,
-    )
-    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip", "overflow"):
-        np.testing.assert_array_equal(
-            np.asarray(out_new[k]), np.asarray(out_old[k]), err_msg=k
-        )
-    for pool in ("midpool", "clippool"):
-        for i, (a, b) in enumerate(zip(out_new[pool], out_old[pool])):
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b), err_msg=f"{pool}[{i}]"
-            )
-
-
 def test_paint_full_frame_item_kernel(setup, demo_level, config):
     """Item-composite kernel (ops/pallas_items.py) vs the XLA fold."""
     from doomtpu.render.frame import render_frame
