@@ -77,6 +77,11 @@ def main() -> int:
         use_item_paint=use_itempaint,
         # standalone item-pass kernel (ops/pallas_itempass.py)
         use_item_pass_kernel=use_itempass,
+        # compacted live-seg list capacity (0 = exact/full).  416 rides
+        # ~8% above the e1m1-scale bench-pose census max of 385
+        # (scripts/probe_visits.py); tests/test_paint.py asserts the
+        # kernel's live_dropped counter catches any excess.
+        paint_live_capacity=int(os.environ.get("DOOMTPU_BENCH_PAINTCAP", 0)),
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
     if os.path.exists(wad_path):

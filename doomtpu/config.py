@@ -115,6 +115,15 @@ class RenderConfig:
     # segs.  Bigger maps fall back to the scan-pool pipeline, whose
     # working set is G-independent.
     paint_max_segs: int = 4096
+    # Static capacity of the per-(camera tile, column block) compacted
+    # live-seg lists.  0 = the full (padded) seg count — always exact.
+    # A smaller value shrinks the kernel's seg grid and every compacted
+    # input pack proportionally (the bench census: live counts peak at
+    # 385 of 736 — 81% of grid steps are dead); any (tile, block)
+    # whose live count exceeds it has its FARTHEST segs dropped —
+    # wrong pixels — counted per camera in aux["live_dropped"] so
+    # benchmarks/tests can assert 0.
+    paint_live_capacity: int = 0
 
     @property
     def camera_focus_x(self) -> float:

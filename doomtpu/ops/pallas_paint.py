@@ -101,8 +101,9 @@ SEG_GSUB = int(_os.environ.get("DOOMTPU_PAINT_GSUB", "8"))
 # per-camera loop exposes.  0 restores the serial per-b loops for A/B.
 PAINT_MERGEB = _os.environ.get("DOOMTPU_PAINT_MERGEB", "1") != "0"
 # measurement-only bitmask: 1 skips wall paints, 2 skips plane paints,
-# 4 skips pool emits (outputs are WRONG with any bit set — profiling
-# decomposition only)
+# 4 skips pool emits, 8 skips the whole seg body, 16 replaces the
+# per-seg plive SMEM read with a constant (outputs are WRONG with any
+# bit set — profiling decomposition only)
 PAINT_SKIP = int(_os.environ.get("DOOMTPU_PAINT_SKIP", "0"))
 # guard each compacted seg's body with pl.when(seg_live): saves the body
 # on segs dead for the whole tile (closed columns / piece-inactive), but
@@ -705,7 +706,10 @@ def _kernel(
             # scalar branch replaces the old per-piece
             # ((flags & (1<<p)) != 0).any() vector->scalar reductions
             # (4 sync stalls per seg visit).
-            pl_bits = plive_ref[0, 0, u_, 0]
+            pl_bits = (
+                jnp.int32(15) if PAINT_SKIP & 16
+                else plive_ref[0, 0, u_, 0]
+            )
             bcf, bci = _field_bc(w)
             flags = bci(SVF_FLAGS)
             x0 = bci(SVF_X0)
@@ -1535,11 +1539,24 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         jnp.where(live_st, u_iota, Gp + u_iota), axis=-1
     ).astype(I32)                                               # [Bt,NBW,Gp]
     scnt = live_st.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+    # ---- optional live-list capacity (cfg.paint_live_capacity) ---------
+    # Shrinks the kernel's seg grid and every compacted pack from Gp to
+    # Gc rows (the census: live counts peak well under Gp, so most grid
+    # steps are dead).  A (tile, block) whose live count exceeds Gc
+    # loses its FARTHEST segs (the list is front-to-back) — counted in
+    # live_dropped so callers can assert exactness.
+    Gc = Gp
+    if 0 < cfg.paint_live_capacity < Gp:
+        Gc = min(Gp, ((cfg.paint_live_capacity + UG - 1) // UG) * UG)
+        slist = slist[..., :Gc]
+    live_dropped = jnp.maximum(
+        scnt.reshape(Bt, NBW) - Gc, 0
+    ).sum().astype(I32)
     # per-(tile, block, compacted seg) piece-live bits (SMEM scalars in
     # the kernel): bit p = piece p active for some tile camera whose seg
     # row overlaps the block.  Replaces the in-kernel per-piece
     # ((flags & (1<<p)) != 0).any() reductions with scalar bit tests.
-    plive = jnp.zeros((Bt, NBW, Gp), I32)
+    plive = jnp.zeros((Bt, NBW, Gc), I32)
     for p in range(4):
         pb = (((pact_o >> p) & 1) != 0)[..., None] & overlap_s  # [B,G,NBW]
         pbt = jnp.swapaxes(
@@ -1557,13 +1574,13 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # batch dim ALREADY in output position (no post-gather transpose of
     # the big compacted arrays).
     order_t = padg(order).reshape(Bt, TB, Gp).transpose(0, 2, 1)
-    vlive = jnp.take_along_axis(live_st, slist, axis=-1)        # [Bt,NBW,Gp]
-    slist_f = slist.reshape(Bt, NBW * Gp)
+    vlive = jnp.take_along_axis(live_st, slist, axis=-1)        # [Bt,NBW,Gc]
+    slist_f = slist.reshape(Bt, NBW * Gc)
     comb2 = jnp.take_along_axis(
         order_t, slist_f[..., None], axis=1
-    )                                           # [Bt, NBW*Gp, TB]
+    )                                           # [Bt, NBW*Gc, TB]
     comb2 = jnp.where(
-        vlive.reshape(Bt, NBW * Gp)[..., None], comb2, Gp
+        vlive.reshape(Bt, NBW * Gc)[..., None], comb2, Gp
     )
 
     # Compact ALL per-seg packs at once (svf 48 f32 | smi 17 i32 | pf 4
@@ -1573,7 +1590,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # output is bit-identical to a gather; measured ~1.7x faster than
     # the XLA slice-gather at e1m1 sizes,
     # scripts/probe_compact_gather.py).  Large maps: the slice-gather —
-    # the one-hot operand is [.., NBW*Gp, Gp+1] f32, QUADRATIC in map
+    # the one-hot operand is [.., NBW*Gc, Gp+1] f32, QUADRATIC in map
     # size (~13 GB at 2048 segs), while the gather is linear.
     NR = SVF_FD + smi.shape[-1] + uy1_o.shape[-1]
     pack_i = jnp.concatenate(
@@ -1598,33 +1615,33 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         oh = (
             comb2.transpose(0, 2, 1)[..., None]
             == jnp.arange(Gp + 1, dtype=I32)
-        ).astype(F32)                           # [Bt, TB, NBW*Gp, Gp+1]
+        ).astype(F32)                           # [Bt, TB, NBW*Gc, Gp+1]
         folded = lax.dot_general(
             oh, halves,
             dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
             precision=lax.Precision.HIGHEST,
             preferred_element_type=F32,
-        )                                       # [Bt, TB, NBW*Gp, 2*NR]
+        )                                       # [Bt, TB, NBW*Gc, 2*NR]
         out_i = (
             folded[..., :NR].astype(I32)
             | (folded[..., NR:].astype(I32) << 16)
-        )                                       # [Bt, TB, NBW*Gp, NR]
+        )                                       # [Bt, TB, NBW*Gc, NR]
     else:
         out_i = jnp.take_along_axis(
             pack_t,
             jnp.broadcast_to(
                 comb2.transpose(0, 2, 1)[..., None],
-                (Bt, TB, NBW * Gp, NR),
+                (Bt, TB, NBW * Gc, NR),
             ),
             axis=2,
-        )                                       # [Bt, TB, NBW*Gp, NR]
-    out_i = out_i.transpose(0, 2, 1, 3).reshape(Bt, NBW, Gp, TB, NR)
+        )                                       # [Bt, TB, NBW*Gc, NR]
+    out_i = out_i.transpose(0, 2, 1, 3).reshape(Bt, NBW, Gc, TB, NR)
 
     # per-(tile, block, slot) UNIFORM texture/flat ids for the kernel's
     # shared window loads: the id when every relevant live camera
     # agrees, else -1 (kernel falls back to per-camera loads).  Sorted
     # tiles are ~100% coherent (scripts/probe_coherence.py).
-    live_c = (comb2 != Gp).reshape(Bt, NBW, Gp, TB)
+    live_c = (comb2 != Gp).reshape(Bt, NBW, Gc, TB)
     flags_c = lax.bitcast_convert_type(
         out_i[..., SVF_FLAGS], F32
     ).astype(I32)                                   # [Bt, NBW, Gp, TB]
@@ -1653,11 +1670,11 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     svf_c = lax.bitcast_convert_type(out_i[..., :SVF_FD], F32)
     smi_f = out_i[..., SVF_FD:SVF_FD + smi.shape[-1]].reshape(
-        Bt, NBW, Gp, TB * smi.shape[-1]
+        Bt, NBW, Gc, TB * smi.shape[-1]
     )
     pf_f = lax.bitcast_convert_type(
         out_i[..., SVF_FD + smi.shape[-1]:], F32
-    ).reshape(Bt, NBW, Gp, TB * uy1_o.shape[-1])
+    ).reshape(Bt, NBW, Gc, TB * uy1_o.shape[-1])
 
     # [B/T, 4, T] -> [B/T, 1, 4*T] (read as [0, 0, r*TB + b]; the unit
     # dim keeps the block's last-two dims equal to the array's)
@@ -1792,7 +1809,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(B // TB, NBW, Gp // UG),
+        grid=(B // TB, NBW, Gc // UG),
         in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
@@ -1824,7 +1841,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         "idx": idx, "ld": ld, "rgb": rgb,
         "midpool": midpool, "cnt_mid": cnt_mid,
         "clippool": clippool, "cnt_clip": cnt_clip,
-        "overflow": overflow,
+        "overflow": overflow, "live_dropped": live_dropped,
         # raw kernel-layout outputs for the standalone item-pass kernel
         # (ops/pallas_itempass.py): no [B, W, K] transpose, no W slice —
         # XLA DCEs whichever view goes unconsumed

@@ -24,18 +24,48 @@ def main():
     from doomtpu.ops.pallas_paint import render_paint
     from doomtpu.wad import synth
 
-    cfg = RenderConfig(span_capacity=48)
+    cap = int(os.environ.get("CAP", 0))
+    cfg = RenderConfig(span_capacity=48, paint_live_capacity=cap)
     wad = synth.demo_wad() if level_name == "demo" else synth.e1m1_scale_wad()
     eng = DoomEngine.from_wad_bytes(wad, "e1m1", config=cfg)
     level = eng.level
+    NP = int(os.environ.get("NP", 0))
     print(f"backend={jax.default_backend()} B={B} items={with_items} "
-          f"G={level.num_segs}", flush=True)
-    state = eng.new_game(B, key=jax.random.PRNGKey(0))
-    if os.environ.get("SORT", "0") != "0":
+          f"G={level.num_segs} NP={NP} CAP={cap}", flush=True)
+    if NP > B:
+        # bench-chunk poses: NP spread poses, Morton-sorted, middle
+        # B-chunk (new_game's default puts every camera at the spawn —
+        # a clustered best case; see probe_item_decomp)
+        import math
+
         from doomtpu.engine import _camera_sort_perm
 
+        t = eng.tables
+        rng = np.random.default_rng(0)
+        poses = []
+        left, right, top, bottom = [float(v) for v in t.bbox]
+        while len(poses) < NP:
+            x = rng.uniform(left, right)
+            y = rng.uniform(top, bottom)
+            s = t.sector_at(x, y)
+            if s >= 0 and t.sector_floor_h[s] < t.sector_ceil_h[s]:
+                poses.append((x, y, rng.uniform(0, 2 * math.pi)))
+        poses = np.asarray(poses, np.float32)
+        state = eng.new_game(
+            NP, pos=poses[:, :2], angle=poses[:, 2],
+            key=jax.random.PRNGKey(0),
+        )
         perm = _camera_sort_perm(state)
         state = jax.tree_util.tree_map(lambda x: x[perm], state)
+        c0 = (NP // B // 2) * B
+        state = jax.tree_util.tree_map(lambda x: x[c0:c0 + B], state)
+    else:
+        state = eng.new_game(B, key=jax.random.PRNGKey(0))
+        if os.environ.get("SORT", "0") != "0":
+            from doomtpu.engine import _camera_sort_perm
+
+            perm = _camera_sort_perm(state)
+            state = jax.tree_util.tree_map(lambda x: x[perm], state)
     px, py = state.pos[:, 0], state.pos[:, 1]
     ang, fh = state.angle, state.floor_height
     sl, ts = state.sector_light, state.timestamp
@@ -50,22 +80,22 @@ def main():
             ip, _ = things.item_pack(
                 lv, cfg, frame, order, x, y, an, f, s_l, ms
             )
-        return render_paint(lv, cfg, frame, order, an, x, y, f, items=ip)[
-            "rgb"
-        ]
+        out = render_paint(lv, cfg, frame, order, an, x, y, f, items=ip)
+        return out["rgb"], out["live_dropped"]
 
     f = jax.jit(fn)
     t0 = time.time()
-    out = f(level, px, py, ang, fh, sl, ts, state.mobj_state)
+    out, dropped = f(level, px, py, ang, fh, sl, ts, state.mobj_state)
     _ = int(np.asarray(out.sum()))
     comp = time.time() - t0
     t0 = time.time()
     n = 5
     for _ in range(n):
-        out = f(level, px, py, ang, fh, sl, ts, state.mobj_state)
+        out, dropped = f(level, px, py, ang, fh, sl, ts, state.mobj_state)
     _ = int(np.asarray(out.sum()))
     dt = (time.time() - t0) / n
-    print(f"paint(+camera stage): {dt * 1000:9.2f} ms  (compile {comp:.0f}s)",
+    print(f"paint(+camera stage): {dt * 1000:9.2f} ms  (compile {comp:.0f}s)"
+          f"  live_dropped={int(np.asarray(dropped))}",
           flush=True)
 
 

@@ -307,6 +307,63 @@ def test_item_pass_kernel_bit_exact(setup, demo_level, config, nviews):
     np.testing.assert_array_equal(np.asarray(rgb_k), np.asarray(rgb_r))
 
 
+def test_paint_live_capacity(setup, demo_level, config):
+    """paint_live_capacity: a cap >= every (tile, block) live count is
+    bit-exact vs the uncapped kernel with live_dropped == 0; a cap
+    below it reports the dropped count (the only permitted deviation)."""
+    import dataclasses
+
+    from doomtpu.ops.pallas_paint import render_paint
+
+    level = setup
+    views = (VIEWS * 2)[:8]
+    px, py, pa, fh, sl, ts = _state(demo_level, views)
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    out_ref = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    assert int(np.asarray(out_ref["live_dropped"])) == 0
+
+    # cap just above the actual max live count (recomputed here with
+    # the same census math as scripts/probe_visits.py): exact
+    G = level.num_segs
+    NBW = (config.width + 127) // 128
+    o = np.asarray(order)
+    pact = np.take_along_axis(
+        np.asarray(frame["active"]).any(-1), o, axis=1
+    )
+    x0 = np.take_along_axis(np.asarray(jmath.as_i16(frame["x0"])), o, 1)
+    x1 = np.take_along_axis(np.asarray(jmath.as_i16(frame["x1"])), o, 1)
+    wlo = np.arange(NBW)[None, None] * 128
+    live = pact[..., None] & (x0[..., None] < wlo + 128) & (
+        x1[..., None] >= wlo
+    )
+    scnt = live.reshape(len(views) // 8, 8, G, NBW).any(1).sum(1)
+    cfg_cap = dataclasses.replace(
+        config, paint_live_capacity=int(scnt.max()) + 1
+    )
+    out_cap = render_paint(
+        level, cfg_cap, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    assert int(np.asarray(out_cap["live_dropped"])) == 0
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip"):
+        np.testing.assert_array_equal(
+            np.asarray(out_cap[k]), np.asarray(out_ref[k]), err_msg=k
+        )
+
+    # cap of 2 certainly drops segs somewhere: the counter must say so
+    cfg_tiny = dataclasses.replace(config, paint_live_capacity=2)
+    out_tiny = render_paint(
+        level, cfg_tiny, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    assert int(np.asarray(out_tiny["live_dropped"])) > 0
+
+
 def test_paint_full_frame_item_kernel(setup, demo_level, config):
     """Item-composite kernel (ops/pallas_items.py) vs the XLA fold."""
     from doomtpu.render.frame import render_frame
