@@ -522,132 +522,10 @@ def deferred_pass(
     yy = jnp.arange(H, dtype=I32)[None, :, None]
     xcol = jnp.arange(W, dtype=I32)[None, :]
 
-    # ---------------- sprite column data [B, N, W] --------------------------
     ROWS = level.atlas_rows
     PW = level.spr_pixels.shape[2]
 
-    if MO > 0:
-        sp = sel_s["spr"]
-        lsx_s, lsy_s = sp["lsx"], sp["lsy"]
-        lex_s, ley_s = sp["lex"], sp["ley"]
-        soff_s = sp["soff"]
-        pic_sel = sp["pic"]
-        wpic_s = sp["wpic"]
-        light_s = sp["light"]
-        bsx_s, bex_s = sp["bsx"], sp["bex"]
-        ybs_s, ybd_s = sp["ybs"], sp["ybd"]
-        yts_s, ytd_s = sp["yts"], sp["ytd"]
-        uy1_s = sp["uy1"]
-        s_len = sp["slen"]
-
-        one = f32(1.0)
-        ax = f32(xcol[:, None] - bsx_s[..., None]) / f32(
-            (bex_s - bsx_s)[..., None]
-        )
-        inv0 = (one / f32(lsx_s))[..., None]
-        inv1 = (one / f32(lex_s))[..., None]
-        denom = smul(one - ax, inv0) + smul(ax, inv1)
-        s_len = jnp.sqrt(
-            smul(lsx_s - lex_s, lsx_s - lex_s)
-            + smul(lsy_s - ley_s, lsy_s - ley_s)
-        )
-        u = (
-            smul(one - ax, (f32(0.0) / f32(lsx_s))[..., None])
-            + smul(ax, (s_len / f32(lex_s))[..., None])
-        ) / denom
-        s_tx = as_i16(u) + as_i16(soff_s)[..., None]
-        s_tx = wrap_tex(s_tx, jnp.maximum(wpic_s, 1)[..., None])
-        s_zd = as_i16(((one - ax) + ax) / denom)
-
-        x0i = as_i16(bsx_s)
-        x1i = as_i16(bex_s)                                      # exclusive
-        in_range = (xcol[:, None] >= x0i[..., None]) & (
-            xcol[:, None] < x1i[..., None]
-        )
-        s_by = as_i16(
-            f32(ybs_s)[..., None]
-            + smul(f32(xcol[:, None] - bsx_s[..., None]), ybd_s[..., None])
-        )
-        s_ty = as_i16(
-            f32(yts_s)[..., None]
-            + smul(f32(xcol[:, None] - bsx_s[..., None]), ytd_s[..., None])
-        )
-
-        # ---------------- seg clip bounds for selected sprites ------------
-        vpx_s, vpy_s = sp["vpx"], sp["vpy"]
-        if clip_in_kernel:
-            # the item kernel applies seg clip per pool slot; only the
-            # screen clamp happens here (max/min associativity matches:
-            # max(max(0, s_ty), tsc) == max(0, s_ty, tsc)).  The upper
-            # clamp to H keeps ct+1 inside the pool word's 9-bit field
-            # (a sprite fully below the screen has s_ty >> 511, which
-            # would otherwise alias into the visible range); ct == H
-            # draws nothing, exactly like any ct > H would.
-            s_ct = jnp.minimum(jnp.maximum(0, s_ty), H)
-            s_cb = jnp.minimum(H - 1, s_by)
-        else:
-            # front[b, g, n]: is seg g in front of selected item n
-            behind_sel = is_behind_vertex(
-                frame["lsx"][:, :, None], frame["lsy"][:, :, None],
-                frame["lex"][:, :, None], frame["ley"][:, :, None],
-                vpx_s[:, None, :], vpy_s[:, None, :],
-            )                                                    # [B, G, N]
-            # per-slot fetch, amortized over the N lanes (slice-gather)
-            front4 = jnp.take_along_axis(
-                ~behind_sel, d6.reshape(B, W * K)[:, :, None], axis=1
-            ).reshape(B, W, K, N)
-            k_ok4 = (
-                jnp.arange(K, dtype=I32)[None, None, :] < cnt[..., None]
-            )[..., None]                                         # [B, W, K, 1]
-            front4 = front4 & k_ok4
-
-            e2b_k = (spans & SPAN_E2B) != 0                      # [B, W, K]
-            e2t_k = (spans & SPAN_E2T) != 0
-            is_mid_k = ((spans >> 29) & 3) == KIND_MID
-            dc_k = ((spans & SPAN_DC) != 0) & is_mid_k
-            y0_k = ((spans >> 8) & 255) - 1
-            y1_k = (spans & 255) - 1
-            by_full = unpack16_hi(d2)
-            ty_full = unpack16_lo(d2)
-
-            def red_max(cond, val):
-                v = jnp.where(front4 & cond[..., None], val[..., None], -1)
-                return v.max(axis=2)                             # [B, W, N]
-
-            def red_min(cond, val):
-                v = jnp.where(front4 & cond[..., None], val[..., None], H)
-                return v.min(axis=2)
-
-            tsc = jnp.maximum(red_max(e2t_k, y1_k), red_max(dc_k, ty_full))
-            bsc = jnp.minimum(
-                red_min(e2b_k, y0_k), red_min(is_mid_k, by_full)
-            )
-            tsc = jnp.moveaxis(tsc, 2, 1)                        # [B, N, W]
-            bsc = jnp.moveaxis(bsc, 2, 1)
-
-            # upper clamp to H: see the clip_in_kernel branch note
-            s_ct = jnp.minimum(jnp.maximum(0, jnp.maximum(s_ty, tsc)), H)
-            s_cb = jnp.minimum(H - 1, jnp.minimum(s_by, bsc))
-
-        spr_cols = dict(
-            present=in_range & is_spr_sel[..., None],
-            ct=s_ct, cb=s_cb, by=s_by, ty=s_ty,
-            colbase=level.col_spr_off + pic_sel[..., None] * PW + s_tx,
-            off_y=jnp.zeros((B, N, W), I32),
-            th=jnp.broadcast_to(
-                level.spr_h[pic_sel][..., None], (B, N, W)
-            ),
-            light=jnp.broadcast_to(light_s[..., None], (B, N, W)),
-            zd=s_zd,
-            uy1=jnp.broadcast_to(uy1_s[..., None], (B, N, W)),
-        )
-        if clip_in_kernel:
-            spr_cols["vpx"] = jnp.broadcast_to(vpx_s[..., None], (B, N, W))
-            spr_cols["vpy"] = jnp.broadcast_to(vpy_s[..., None], (B, N, W))
-    else:
-        spr_cols = None
-
-    # ---------------- selected masked mids -----------------------------------
+    # ---------------- mid-pool slot map (presence + fill) -------------------
     # A mid item's draw data IS its KIND_MID mid-pool slot; copying it
     # per selected item would cost K x [B, N, W].  Instead: precompute
     # presence per (mid, column) once (cheap, [B, D, W] bool), emit mids
@@ -659,6 +537,16 @@ def deferred_pass(
         jnp.arange(KMID, dtype=I32)[None, None] < midp["cnt"][..., None]
     )
     mid_slot = (((m_span >> 29) & 3) == KIND_MID) & m_ok         # [B,W,KMID]
+
+    # ---------------- per-item presence [B, N, W] (booleans only) -----------
+    if MO > 0:
+        sp = sel_s["spr"]
+        x0i = as_i16(sp["bsx"])
+        x1i = as_i16(sp["bex"])                                  # exclusive
+        in_range = (xcol[:, None] >= x0i[..., None]) & (
+            xcol[:, None] < x1i[..., None]
+        )
+        pres_spr = in_range & is_spr_sel[..., None]
     if D > 0:
         segsel = sel_s["segsel"]                                 # [B, N]
         want_mid = ~is_spr_sel if MO > 0 else jnp.ones((B, N), bool)
@@ -672,102 +560,204 @@ def deferred_pass(
         present_m = jnp.take_along_axis(
             presence_d, jnp.clip(sel - MO, 0, D - 1)[..., None], axis=1
         ) & want_mid[..., None]                                  # [B, N, W]
-        zero_nw = jnp.zeros((B, N, W), I32)
-        mid_cols = dict(
-            present=present_m,
-            # placeholders; the post-pass fills the real values.  The
-            # seg id rides in colbase so the fill can match span slots.
-            ct=zero_nw, cb=zero_nw, by=zero_nw, ty=zero_nw,
-            colbase=jnp.broadcast_to(segsel[..., None], (B, N, W)),
-            off_y=zero_nw, th=zero_nw, light=zero_nw, zd=zero_nw,
-            uy1=jnp.zeros((B, N, W), F32),
-        )
-        if clip_in_kernel:
-            mid_cols["vpx"] = jnp.zeros((B, N, W), F32)
-            mid_cols["vpy"] = jnp.zeros((B, N, W), F32)
-    else:
-        mid_cols = None
-
-    def merged(name):
-        if spr_cols is None:
-            return mid_cols[name]
-        if mid_cols is None:
-            return spr_cols[name]
-        pick = is_spr_sel[..., None]
-        return jnp.where(pick, spr_cols[name], mid_cols[name])
-
-    item_keys = ["present", "ct", "cb", "by", "ty", "colbase", "off_y",
-                 "th", "light", "zd", "uy1"]
-    if clip_in_kernel:
-        item_keys += ["vpx", "vpy"]
-    items = {k: merged(k) for k in item_keys}
-    items["present"] = items["present"] & sel_valid[..., None]
     if MO > 0 and D > 0:
-        items["is_mid"] = jnp.broadcast_to(
-            ~is_spr_sel[..., None], (B, N, W)
-        )
+        pres = jnp.where(is_spr_sel[..., None], pres_spr, present_m)
+    elif MO > 0:
+        pres = pres_spr
     else:
-        items["is_mid"] = jnp.broadcast_to(
-            jnp.asarray(MO == 0), (B, N, W)
-        )
-    # the barrier materializes the item planes once; without it XLA
-    # re-fuses (recomputes) pieces of the per-item math into multiple
-    # consumers (measured: 119 -> 123 ms without)
-    items = lax.optimization_barrier(items)
+        pres = present_m
+    pres = pres & sel_valid[..., None]
 
     # ---------------- emit into the per-column item pool --------------------
     # Nearest item first (slot 0 = nearest), so a full column drops the
     # FARTHEST items; the composite then folds farthest -> nearest.
     # Vectorized (an N-step sequential fori cost ~50 ms at 408 items):
     # an item's slot is the count of present nearer items (reverse
-    # cumsum along n), and each pool plane is gathered with an EXACT
-    # one-hot contraction over n — plane words split into u16 halves
-    # (exactly representable in f32; the one-hot rows are exact), so the
-    # pool is bit-identical to the sequential emission.
+    # cumsum along n), and the pool content is gathered with an EXACT
+    # one-hot contraction over n.
+    #
+    # What rides through the contraction is per-ITEM SCALARS [B, N, 2F]
+    # (u16 halves — exactly representable in f32, and a one-hot row has
+    # a single 1.0, so the fold is bit-identical to a gather); ALL
+    # per-column math (billboard u/zd/by/ty interpolation, the sprite
+    # seg clip) then runs POST-emission on [B, W, KI] — KI(8) vs N(320)
+    # is ~40x less arithmetic + HBM traffic than the old [B, N, W]
+    # column stages, with bit-identical results: the same f32 ops in
+    # the same order run on the same folded per-item values, indexed by
+    # pool slot instead of item row.
     ki_iota = jnp.arange(KI, dtype=I32)[None, None, :]
-    pres = items["present"]                                  # [B, N, W]
     rc = jnp.cumsum(pres[:, ::-1, :].astype(I32), axis=1)[:, ::-1, :]
     slot = rc - 1
     fits = slot < KI
     do = pres & fits
     icnt = jnp.minimum(rc[:, 0, :], KI)                      # [B, W]
     item_overflow = (pres & ~fits).sum(axis=(1, 2)).astype(I32)
-
-    word_n = pack16(items["ct"] + 1, items["cb"] + 1) | jnp.where(
-        items["is_mid"], MID_MARK, SPR_MARK
-    )
-    plane_srcs = [
-        word_n, items["colbase"], pack16(items["by"], items["ty"]),
-        pack16(items["off_y"], items["th"]),
-        pack16(items["light"], items["zd"]),
-        lax.bitcast_convert_type(f32(items["uy1"]), I32),
-    ]
-    if clip_in_kernel:
-        plane_srcs += [
-            lax.bitcast_convert_type(f32(items["vpx"]), I32),
-            lax.bitcast_convert_type(f32(items["vpy"]), I32),
-        ]
-    n_planes = len(plane_srcs)
-    src = jnp.stack(plane_srcs, axis=-1)                     # [B, N, W, F]
-    halves = jnp.concatenate(
-        [f32(src & 0xFFFF), f32((src >> 16) & 0xFFFF)], axis=-1
-    )                                                        # [B, N, W, 2F]
     oh = jnp.where(do, slot, -1)                             # [B, N, W]
     onehot = (
         oh.transpose(0, 2, 1)[..., None] == ki_iota[:, :, None, :]
     ).astype(jnp.float32)                                    # [B, W, N, KI]
-    # halves [B, N, W, 2F] -> [B, W, 2F, N]
-    lhs = jnp.transpose(halves, (0, 2, 3, 1))
-    folded = lax.dot_general(
-        lhs, onehot,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+
+    # ---- per-item scalar fold: [B, N, 2F] x [B, W, N, KI] -------------------
+    fbits = lambda v: lax.bitcast_convert_type(f32(v), I32)
+    fields = {"fl": sel_valid.astype(I32) | (is_spr_sel.astype(I32) << 1)}
+    if MO > 0:
+        one = f32(1.0)
+        # identical expressions to the old [B, N, W] stage setup (the
+        # [..., None] broadcasts are gone; values are per-item)
+        s_len = jnp.sqrt(
+            smul(sp["lsx"] - sp["lex"], sp["lsx"] - sp["lex"])
+            + smul(sp["lsy"] - sp["ley"], sp["lsy"] - sp["ley"])
+        )
+        fields.update(
+            bsx=sp["bsx"],
+            dxi=sp["bex"] - sp["bsx"],
+            inv0=fbits(one / f32(sp["lsx"])),
+            inv1=fbits(one / f32(sp["lex"])),
+            z0=fbits(f32(0.0) / f32(sp["lsx"])),
+            z1=fbits(s_len / f32(sp["lex"])),
+            soffi=as_i16(sp["soff"]),
+            wpic=sp["wpic"],
+            pic=sp["pic"],
+            th=level.spr_h[sp["pic"]],
+            light=sp["light"],
+            ybs=fbits(sp["ybs"]), ybd=fbits(sp["ybd"]),
+            yts=fbits(sp["yts"]), ytd=fbits(sp["ytd"]),
+            uy1=fbits(sp["uy1"]),
+            vpx=fbits(sp["vpx"]), vpy=fbits(sp["vpy"]),
+        )
+    if D > 0:
+        fields["segsel"] = segsel
+    names = list(fields)
+    Fn = len(names)
+    src_n = jnp.stack([fields[k] for k in names], axis=-1)   # [B, N, F]
+    halves_n = jnp.concatenate(
+        [f32(src_n & 0xFFFF), f32((src_n >> 16) & 0xFFFF)], axis=-1
+    )                                                        # [B, N, 2F]
+    foldv = lax.dot_general(
+        halves_n, onehot,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )                                                        # [B, W, 2F, KI]
-    lo = folded[:, :, :n_planes, :].astype(I32)              # [B, W, F, KI]
-    hi = folded[:, :, n_planes:, :].astype(I32)
+    )                                                        # [B, 2F, W, KI]
+    vals = foldv[:, :Fn].astype(I32) | (
+        foldv[:, Fn:].astype(I32) << 16
+    )                                                        # [B, F, W, KI]
+    # the barrier materializes the folded scalars once; without it XLA
+    # re-fuses (recomputes) the fold into multiple consumers
+    vals = lax.optimization_barrier(vals)
+    sc = {k: vals[:, i] for i, k in enumerate(names)}        # [B, W, KI]
+    scf = lambda k: lax.bitcast_convert_type(sc[k], F32)
+
+    fl_s = sc["fl"]
+    valid_slot = (fl_s & 1) != 0          # == (ki < icnt), by construction
+    is_spr_slot = (fl_s & 2) != 0
+    zero_s = jnp.zeros((B, W, KI), I32)
+
+    # ---- sprite per-slot column math (old [B, N, W] stages at [B, W, KI]) --
+    if MO > 0:
+        xw = xcol[..., None]                                 # [1, W, 1]
+        ax = f32(xw - sc["bsx"]) / f32(sc["dxi"])
+        denom = smul(one - ax, scf("inv0")) + smul(ax, scf("inv1"))
+        u = (smul(one - ax, scf("z0")) + smul(ax, scf("z1"))) / denom
+        s_tx = as_i16(u) + sc["soffi"]
+        s_tx = wrap_tex(s_tx, jnp.maximum(sc["wpic"], 1))
+        s_zd = as_i16(((one - ax) + ax) / denom)
+        xbf = f32(xw - sc["bsx"])
+        s_by = as_i16(scf("ybs") + smul(xbf, scf("ybd")))
+        s_ty = as_i16(scf("yts") + smul(xbf, scf("ytd")))
+
+        # ---- seg clip bounds per pool slot --------------------------------
+        if clip_in_kernel:
+            # the item kernel applies seg clip per pool slot; only the
+            # screen clamp happens here (max/min associativity matches:
+            # max(max(0, s_ty), tsc) == max(0, s_ty, tsc)).  The upper
+            # clamp to H keeps ct+1 inside the pool word's 9-bit field
+            # (a sprite fully below the screen has s_ty >> 511, which
+            # would otherwise alias into the visible range); ct == H
+            # draws nothing, exactly like any ct > H would.
+            s_ct = jnp.minimum(jnp.maximum(0, s_ty), H)
+            s_cb = jnp.minimum(H - 1, s_by)
+        else:
+            # front[b, w, k, ki]: is clip slot k's seg in front of the
+            # item in pool slot ki (bitmap_render.rs:137-165).  KI-wide
+            # instead of the old N-wide [B, W, K, N] reductions.
+            if "lsx" in clip:
+                lsx_k = lax.bitcast_convert_type(clip["lsx"], F32)
+                lsy_k = lax.bitcast_convert_type(clip["lsy"], F32)
+                lex_k = lax.bitcast_convert_type(clip["lex"], F32)
+                ley_k = lax.bitcast_convert_type(clip["ley"], F32)
+            else:
+                def segf(name):
+                    return jnp.take_along_axis(
+                        frame[name], d6.reshape(B, W * K), axis=1
+                    ).reshape(B, W, K)
+                lsx_k, lsy_k = segf("lsx"), segf("lsy")
+                lex_k, ley_k = segf("lex"), segf("ley")
+            k_ok = (
+                jnp.arange(K, dtype=I32)[None, None, :] < cnt[..., None]
+            )                                                # [B, W, K]
+            front = k_ok[..., None] & ~is_behind_vertex(
+                lsx_k[..., None], lsy_k[..., None],
+                lex_k[..., None], ley_k[..., None],
+                scf("vpx")[:, :, None, :], scf("vpy")[:, :, None, :],
+            )                                                # [B, W, K, KI]
+            e2b_k = ((spans & SPAN_E2B) != 0)[..., None]
+            e2t_k = ((spans & SPAN_E2T) != 0)[..., None]
+            is_mid_k = (((spans >> 29) & 3) == KIND_MID)[..., None]
+            dc_k = ((spans & SPAN_DC) != 0)[..., None] & is_mid_k
+            y0_k = (((spans >> 8) & 255) - 1)[..., None]
+            y1_k = ((spans & 255) - 1)[..., None]
+            by_full = unpack16_hi(d2)[..., None]
+            ty_full = unpack16_lo(d2)[..., None]
+            tsc = jnp.maximum(
+                jnp.where(front & e2t_k, y1_k, -1).max(axis=2),
+                jnp.where(front & dc_k, ty_full, -1).max(axis=2),
+            )                                                # [B, W, KI]
+            bsc = jnp.minimum(
+                jnp.where(front & e2b_k, y0_k, H).min(axis=2),
+                jnp.where(front & is_mid_k, by_full, H).min(axis=2),
+            )
+            # upper clamp to H: see the clip_in_kernel branch note
+            s_ct = jnp.minimum(jnp.maximum(0, jnp.maximum(s_ty, tsc)), H)
+            s_cb = jnp.minimum(H - 1, jnp.minimum(s_by, bsc))
+
+        planes_spr = [
+            pack16(s_ct + 1, s_cb + 1) | SPR_MARK,
+            level.col_spr_off + sc["pic"] * PW + s_tx,
+            pack16(s_by, s_ty),
+            pack16(zero_s, sc["th"]),
+            pack16(sc["light"], s_zd),
+            sc["uy1"],
+        ]
+        if clip_in_kernel:
+            planes_spr += [sc["vpx"], sc["vpy"]]
+
+    # mid slots: placeholder planes; the post-pass below fills the real
+    # values from the mid pool.  The seg id rides in colbase so the
+    # fill can match span slots.
+    MID_WORD = ((1 & 0xFFFF) << 16) | 1 | MID_MARK       # pack16(0+1, 0+1)
+    planes_mid = [
+        jnp.full((B, W, KI), MID_WORD, I32),
+        sc["segsel"] if D > 0 else zero_s,
+        zero_s, zero_s, zero_s, zero_s,
+    ]
+    if clip_in_kernel:
+        planes_mid += [zero_s, zero_s]
+
+    def _slotsel(a, b):
+        if MO == 0:
+            v = b
+        elif D == 0:
+            v = a
+        else:
+            v = jnp.where(is_spr_slot, a, b)
+        # empty slots are all-zero, exactly like a no-match one-hot fold
+        return jnp.where(valid_slot, v, 0)
+
+    n_planes = 8 if clip_in_kernel else 6
     ipool = tuple(
-        (hi[:, :, i, :] << 16) | lo[:, :, i, :] for i in range(n_planes)
+        _slotsel(planes_spr[i] if MO > 0 else None, planes_mid[i])
+        for i in range(n_planes)
     )
     # ---------------- fill mid slots from the mid pool -----------------------
     # (KI x KMID matching on [B, W] — the mid slot with the same seg id)
