@@ -79,9 +79,14 @@ def main() -> int:
         use_item_pass_kernel=use_itempass,
         # compacted live-seg list capacity (0 = exact/full).  416 rides
         # ~8% above the e1m1-scale bench-pose census max of 385
-        # (scripts/probe_visits.py); tests/test_paint.py asserts the
-        # kernel's live_dropped counter catches any excess.
-        paint_live_capacity=int(os.environ.get("DOOMTPU_BENCH_PAINTCAP", 0)),
+        # (scripts/probe_visits.py) and measured 1902 -> 2175 f/s on the
+        # v5e (tpu_measure4, 2026-08-19); the warmup below asserts
+        # live_dropped == 0 so an undersized cap can never ship wrong
+        # bench pixels silently (tests/test_paint.py proves the counter
+        # catches any excess).
+        paint_live_capacity=int(
+            os.environ.get("DOOMTPU_BENCH_PAINTCAP", 416)
+        ),
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
     if os.path.exists(wad_path):
@@ -122,6 +127,15 @@ def main() -> int:
     idx, rgb = render(state)
     warm_cs = checksum(idx)
     compile_s = time.time() - t0
+
+    # exactness guard: every capacity counter must be 0 on the bench
+    # workload, or the configured caps (paint_live_capacity above all)
+    # would be trading wrong pixels for speed.  Runs once, outside the
+    # timed loop.
+    if with_things:
+        counters = engine.render_counters(state)
+        bad = {k: v for k, v in counters.items() if v != 0}
+        assert not bad, f"bench config drops work: {bad}"
 
     # timed loop (state advances so frames differ)
     controls = jnp.zeros(B, jnp.int32)

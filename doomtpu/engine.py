@@ -113,6 +113,19 @@ class DoomEngine:
         """Walls/planes/sky only (no things) -> (idx, rgb)."""
         return _render_walls_jit(self.level, state, self.config)
 
+    def render_counters(self, state: GameState):
+        """Summed capacity counters for a full render of `state`:
+        {overflow, live_dropped, items_dropped, item_overflow}.
+
+        Every counter at 0 proves the configured capacities (span/clip/
+        mid pools, max_visible_mobjs, paint_live_capacity) dropped
+        nothing, i.e. the frame is exact — bench.py asserts this at
+        warmup so a fast-but-lossy config can never ship silently."""
+        return jax.tree_util.tree_map(
+            lambda x: int(np.asarray(x)),
+            _render_counters_jit(self.level, state, self.config),
+        )
+
     def tick(self, state: GameState, controls, key) -> GameState:
         return _tick_jit(
             self.level, self.thinkers, state, controls, key, self.turbo
@@ -278,6 +291,38 @@ def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
         inv = jnp.argsort(perm).astype(jnp.int32)
         out = jax.tree_util.tree_map(lambda x: x[inv], out)
     return out
+
+
+@partial(jax.jit, static_argnums=2)
+def _render_counters_jit(
+    level: DeviceLevel, state: GameState, cfg: RenderConfig
+):
+    # same sorted/chunked pipeline as _render_jit, but the fetched
+    # outputs are the summed capacity counters (sums are order- and
+    # permutation-invariant, so no unsort is needed)
+    B = state.pos.shape[0]
+    if cfg.camera_sort and B > 8:
+        perm = _camera_sort_perm(state)
+        state = jax.tree_util.tree_map(lambda x: x[perm], state)
+
+    def one(st):
+        _, _, aux = render_frame(
+            level, cfg,
+            st.pos[:, 0], st.pos[:, 1], st.angle,
+            st.floor_height, st.sector_light, st.mobj_state,
+            st.timestamp,
+        )
+        zero = jnp.zeros((), jnp.int32)
+        return {
+            k: jnp.asarray(aux.get(k, zero)).sum().astype(jnp.int32)
+            for k in (
+                "overflow", "live_dropped", "items_dropped",
+                "item_overflow",
+            )
+        }
+
+    out = _chunked(level, state, cfg, one)
+    return jax.tree_util.tree_map(lambda x: x.sum(), out)
 
 
 @partial(jax.jit, static_argnums=2)

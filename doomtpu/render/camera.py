@@ -37,12 +37,17 @@ def node_side_is_left(level: DeviceLevel, px, py):
 
 
 def traversal_rank(level: DeviceLevel, px, py):
-    """[B, SS] front-to-back rank of each subsector.
+    """Front-to-back rank of each subsector.
 
     Bit d (MSB-first along the path) is 0 when the path takes the node's
     front child (the child visited first), 1 for the back child.  Two
     subsectors first differ at their divergence node, so ranks order
     subsectors exactly as the recursive walk visits them.
+
+    Returns a single [B, SS] i32 for BSP depth <= 31 (every stock map);
+    deeper trees (the reference has no depth limit, map/nodes.rs:45-83)
+    return a lexicographic two-word key (hi, lo) covering depth <= 62 —
+    the branch is static (depth is a trace-time shape).
     """
     is_left = node_side_is_left(level, px, py)            # [B, N]
     path_nodes = level.sub_path_nodes                     # [SS, D]
@@ -55,18 +60,39 @@ def traversal_rank(level: DeviceLevel, px, py):
     bits = (path_left[None] != side_at.astype(I32)).astype(I32)
     d_ix = jnp.arange(D, dtype=I32)
     bits = jnp.where(d_ix[None, None] < depth[None, :, None], bits, 0)
-    weights = (1 << (D - 1 - d_ix)).astype(I32)
-    return (bits * weights[None, None]).sum(-1)           # [B, SS]
+    if D <= 31:
+        weights = (1 << (D - 1 - d_ix)).astype(I32)
+        return (bits * weights[None, None]).sum(-1)       # [B, SS]
+    if D > 62:
+        raise NotImplementedError(
+            f"BSP depth {D} > 62: widen traversal_rank to a third word"
+        )
+    # two-word key: word 0 = levels 0..30 (MSB-first), word 1 = 31..61.
+    # Each word packs <= 31 bits so it stays a non-negative i32.
+    w_hi = jnp.where(d_ix < 31, (1 << (30 - jnp.minimum(d_ix, 30))), 0)
+    w_lo = jnp.where(d_ix >= 31, (1 << (61 - jnp.maximum(d_ix, 31))), 0)
+    hi = (bits * w_hi.astype(I32)[None, None]).sum(-1)
+    lo = (bits * w_lo.astype(I32)[None, None]).sum(-1)
+    return hi, lo
 
 
 def seg_order(level: DeviceLevel, rank):
     """[B, G] seg indices in front-to-back draw order.
 
     Stable argsort on the subsector rank alone: ties (segs of the same
-    subsector) keep ascending seg order, exactly like the recursion —
-    no composite key, so no overflow at any map size (rank < 2^depth,
-    depth <= 31 is checked at level build).
+    subsector) keep ascending seg order, exactly like the recursion.
+    A two-word rank (depth > 31) sorts lexicographically via two stable
+    passes: by the low word first, then by the high word — stability
+    carries the low-word (and seg-index) order through ties.
     """
+    if isinstance(rank, tuple):
+        hi, lo = rank
+        seg_hi = hi[:, level.seg_sub]                     # [B, G]
+        seg_lo = lo[:, level.seg_sub]
+        perm = jnp.argsort(seg_lo, axis=1, stable=True)
+        hi_p = jnp.take_along_axis(seg_hi, perm, axis=1)
+        perm2 = jnp.argsort(hi_p, axis=1, stable=True)
+        return jnp.take_along_axis(perm, perm2, axis=1).astype(I32)
     seg_rank = rank[:, level.seg_sub]                     # [B, G]
     return jnp.argsort(seg_rank, axis=1, stable=True).astype(I32)
 
@@ -80,9 +106,14 @@ def traversal_positions(level: DeviceLevel, rank):
     places before it: lower subsector rank, or equal rank (same
     subsector) and lower seg index — i.e. jmath.stable_positions
     (compare-reduce for small maps, double stable argsort above its
-    quadratic-memory cutoff)."""
+    quadratic-memory cutoff).  Two-word ranks (depth > 31) invert the
+    seg_order permutation directly: argsort of a permutation IS its
+    inverse."""
     from doomtpu.render.jmath import stable_positions
 
+    if isinstance(rank, tuple):
+        order = seg_order(level, rank)
+        return jnp.argsort(order, axis=1, stable=True).astype(I32)
     return stable_positions(rank[:, level.seg_sub])
 
 

@@ -190,11 +190,13 @@ class DeviceLevel:
         cls, tables: MapTables, assets: LevelAssets, info: InfoTables
     ) -> "DeviceLevel":
         t, a = tables, assets
-        if t.sub_path_nodes.shape[1] > 31:
-            # traversal_rank packs one bit per BSP level into an i32
+        if t.sub_path_nodes.shape[1] > 62:
+            # traversal_rank packs one path bit per BSP level into two
+            # i32 words (31 bits each); the reference has no depth limit
+            # (map/nodes.rs:45-83) but 62 levels covers any real map.
             raise NotImplementedError(
-                f"BSP depth {t.sub_path_nodes.shape[1]} > 31; widen the "
-                "rank accumulator in camera.traversal_rank"
+                f"BSP depth {t.sub_path_nodes.shape[1]} > 62; widen the "
+                "two-word rank in camera.traversal_rank"
             )
         lines = t.seg_line
         front_side = t.line_sides[lines, t.seg_dir]

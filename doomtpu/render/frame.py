@@ -104,7 +104,7 @@ def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
         "frame": frame, "order": order,
         "midpool": out["midpool"], "cnt_mid": out["cnt_mid"],
         "clippool": out["clippool"], "cnt_clip": out["cnt_clip"],
-        "overflow": out["overflow"],
+        "overflow": out["overflow"], "live_dropped": out["live_dropped"],
         "light": light, "dist": dist, "is_sky": is_sky,
     }
     if item_aux is not None:
@@ -216,6 +216,7 @@ def render_frame(
         aux = {
             "frame": frame, "order": order,
             "overflow": out["overflow"],
+            "live_dropped": out["live_dropped"],
             "light": (ld >> 16) & 0xFF,
             "dist": ((ld & 0xFFFF) << 16) >> 16,
             "is_sky": (ld & LD_SKY) != 0,

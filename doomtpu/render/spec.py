@@ -110,10 +110,12 @@ def rotate(x: F32, y: F32, angle: F32) -> tuple[F32, F32]:
     propagates inf/NaN identically (IEEE 754) and the downstream `as i16`
     saturating cast (jmath.as_i16 / Rust semantics: NaN -> 0, ±inf ->
     i16::MIN/MAX) makes the final pixels match the reference bit-for-bit
-    (covered by test_scale.py's horizon-row view).
+    (covered by test_scale.py's horizon-row view).  np.errstate silences
+    the expected "invalid value" warning without changing IEEE results.
     """
     c, s = f32(np.cos(f32(angle))), f32(np.sin(f32(angle)))
-    return f32(x * c - y * s), f32(y * c + x * s)
+    with np.errstate(invalid="ignore"):
+        return f32(x * c - y * s), f32(y * c + x * s)
 
 
 def cross(ax, ay, bx, by) -> F32:
@@ -495,17 +497,18 @@ class SpecRenderer:
     def _project(self, lsx, lsy, lex, ley, height):
         """make_sidedef_non_vertical_line: two screen points (x, y) i32.
 
-        vx == 0.0 raises NumPy RuntimeWarnings (divide by zero / invalid
-        value) here; this matches the reference exactly: Rust f32 division
-        by zero is IEEE-defined (±inf, or NaN for 0/0, misc.rs:130-135) and
-        the following `as i32` saturates (inf -> i32::MAX, NaN -> 0), which
-        as_i32 reproduces.  The warnings are expected, not a defect.
+        vx == 0.0 divides by zero here; this matches the reference exactly:
+        Rust f32 division by zero is IEEE-defined (±inf, or NaN for 0/0,
+        misc.rs:130-135) and the following `as i32` saturates (inf ->
+        i32::MAX, NaN -> 0), which as_i32 reproduces.  np.errstate silences
+        the expected RuntimeWarnings without changing the IEEE results.
         """
         pts = []
         for (vx, vy) in ((lsx, lsy), (lex, ley)):
             # weak perspective: x = v.y, z = v.x
-            tx = f32(self.GAME_FOCUS * f32(vy) / f32(vx))
-            ty = f32(self.GAME_FOCUS * f32(height) / f32(vx))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tx = f32(self.GAME_FOCUS * f32(vy) / f32(vx))
+                ty = f32(self.GAME_FOCUS * f32(height) / f32(vx))
             tx = f32(tx * f32(ASPECT_RATIO_CORRECTION))
             px = as_i32(f32(self.FOCUS_X - tx))
             py = as_i32(f32(self.FOCUS_Y - ty))
@@ -724,13 +727,16 @@ class SpecRenderer:
                     / denom
                 )
             )
-            tx += as_i16(br.start_offset) + br.offset_x
-            tx = wrap_tex(tx, tw)
             z = as_i16(f32(f32((one - ax) + ax) / denom))
+        tx += as_i16(br.start_offset) + br.offset_x
+        tx = wrap_tex(tx, tw)
 
+        # bottom_y == top_y divides by zero; IEEE inf/NaN then saturate in
+        # as_i16 exactly like Rust's `as i16` (bitmap_render.rs:253-263).
         for y in range(clipped_top, clipped_bottom + 1):
-            ay = f32(f32(y - top_y) / f32(bottom_y - top_y))
-            ty = as_i16(f32(f32(th) + f32(one - ay) * f32(0.0) + f32(ay * uy1)))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ay = f32(f32(y - top_y) / f32(bottom_y - top_y))
+                ty = as_i16(f32(f32(th) + f32(one - ay) * f32(0.0) + f32(ay * uy1)))
             ty += br.offset_y
             ty = wrap_tex(ty, th)
             pal_idx = self._tex_lookup(br, ty, tx)

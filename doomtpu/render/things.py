@@ -51,6 +51,16 @@ from doomtpu.render.walls import (
 )
 
 _PI = np.float32(math.pi)
+
+# measurement-only early-return cuts inside deferred_pass (outputs are
+# WRONG with any value set — TPU stage attribution, see
+# scripts/probe_item_decomp.py): 4 = presence + slot cumsum only,
+# 1 = + one-hot emission fold, 2 = + per-slot sprite math (clip
+# excluded on the clip_in_kernel path), 3 = + mid-pool slot fill.
+# The remainder vs the full pass is the composite kernel.
+import os as _os
+
+_DEFER_ONLY = int(_os.environ.get("DOOMTPU_DEFER_ONLY", "0"))
 MID_MARK = 1 << 30  # item-pool word flag: slot is a masked mid (fill pending)
 SPR_MARK = 1 << 29  # item-pool word flag: slot is a sprite (seg-clippable)
 
@@ -593,6 +603,16 @@ def deferred_pass(
     icnt = jnp.minimum(rc[:, 0, :], KI)                      # [B, W]
     item_overflow = (pres & ~fits).sum(axis=(1, 2)).astype(I32)
     oh = jnp.where(do, slot, -1)                             # [B, N, W]
+
+    def _cut(extra):
+        daux = {"items_dropped": items_dropped,
+                "item_overflow": item_overflow}
+        if rgb is not None:
+            daux["rgb"] = rgb
+        return idx + extra.astype(I32), light, dist, is_sky, daux
+
+    if _DEFER_ONLY == 4:
+        return _cut(oh.sum() + icnt.sum())
     onehot = (
         oh.transpose(0, 2, 1)[..., None] == ki_iota[:, :, None, :]
     ).astype(jnp.float32)                                    # [B, W, N, KI]
@@ -645,6 +665,8 @@ def deferred_pass(
     # the barrier materializes the folded scalars once; without it XLA
     # re-fuses (recomputes) the fold into multiple consumers
     vals = lax.optimization_barrier(vals)
+    if _DEFER_ONLY == 1:
+        return _cut(vals.sum())
     sc = {k: vals[:, i] for i, k in enumerate(names)}        # [B, W, KI]
     scf = lambda k: lax.bitcast_convert_type(sc[k], F32)
 
@@ -681,6 +703,12 @@ def deferred_pass(
             # front[b, w, k, ki]: is clip slot k's seg in front of the
             # item in pool slot ki (bitmap_render.rs:137-165).  KI-wide
             # instead of the old N-wide [B, W, K, N] reductions.
+            # Pool-stored seg coords are fin()-sanitized copies of the
+            # frame coords (pallas_paint.py emit_clip zeroes non-finite
+            # coords of INVALID segs only), so for k < cnt they equal
+            # frame["lsx"][d6] bit-for-bit and k >= cnt is masked by k_ok
+            # below.  If emit_clip ever records partially-invalid segs,
+            # this branch diverges from the frame-gather fallback.
             if "lsx" in clip:
                 lsx_k = lax.bitcast_convert_type(clip["lsx"], F32)
                 lsy_k = lax.bitcast_convert_type(clip["lsy"], F32)
@@ -731,6 +759,8 @@ def deferred_pass(
         ]
         if clip_in_kernel:
             planes_spr += [sc["vpx"], sc["vpy"]]
+        if _DEFER_ONLY == 2:
+            return _cut(sum(p.sum() for p in planes_spr))
 
     # mid slots: placeholder planes; the post-pass below fills the real
     # values from the mid pool.  The seg id rides in colbase so the
@@ -790,6 +820,11 @@ def deferred_pass(
             (iword, icolbase, ibyty, ioffth, ilightzd, iuy1)
         )
     )
+    if _DEFER_ONLY == 3:
+        return _cut(
+            iword.sum() + icolbase.sum() + ibyty.sum()
+            + ioffth.sum() + ilightzd.sum() + iuy1.sum()
+        )
 
     # ---------------- composite: item kernel fast path ----------------------
     if use_items:

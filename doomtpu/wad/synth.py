@@ -234,8 +234,14 @@ class LevelBuilder:
         self.segs.append(seg)
 
     # -- BSP ------------------------------------------------------------------
-    def build_bsp(self) -> None:
-        """Guillotine splits over rooms; each room is one convex subsector."""
+    def build_bsp(self, unbalanced: bool = False) -> None:
+        """Guillotine splits over rooms; each room is one convex subsector.
+
+        ``unbalanced=True`` picks the MOST lopsided valid split instead of
+        the most balanced one, producing a path-shaped tree of depth
+        len(rooms)-1 for a corridor of rooms — the deep-BSP fixture for
+        camera.traversal_rank's two-word (depth > 31) path.
+        """
         # re-pack segs so each subsector's segs are contiguous
         new_segs: list[_Seg] = []
         for i in range(len(self.rooms)):
@@ -268,6 +274,8 @@ class LevelBuilder:
                 east = [i for i in ixs if self.rooms[i].x0 >= c]
                 if west and east:
                     score = abs(len(west) - len(east))
+                    if unbalanced:
+                        score = -score
                     if best is None or score < best[0]:
                         best = (score, "x", c, west, east)
             for c in sorted({v for i in ixs for v in (self.rooms[i].y0, self.rooms[i].y1)}):
@@ -279,6 +287,8 @@ class LevelBuilder:
                 north = [i for i in ixs if self.rooms[i].y0 >= c]
                 if south and north:
                     score = abs(len(south) - len(north))
+                    if unbalanced:
+                        score = -score
                     if best is None or score < best[0]:
                         best = (score, "y", c, north, south)
             if best is None:
@@ -710,12 +720,26 @@ def big_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
     return grid_level(22, 26, seed=202, things_per_room=0.05)
 
 
-def build_wad(rooms, things, map_name: str = "E1M1") -> bytes:
+def deep_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """A 1x45 corridor; built with unbalanced_bsp=True its BSP is a
+    depth-44 path, exercising camera.traversal_rank's two-word
+    (depth > 31) key.  The reference has no depth limit
+    (src/map/nodes.rs:45-83)."""
+    return grid_level(1, 45, seed=7, brick=False, things_per_room=0.2)
+
+
+def deep_wad() -> bytes:
+    return build_wad(*deep_level(), unbalanced_bsp=True)
+
+
+def build_wad(
+    rooms, things, map_name: str = "E1M1", unbalanced_bsp: bool = False
+) -> bytes:
     b = WadBuilder("IWAD")
     standard_assets(b)
     lb = LevelBuilder(rooms, things)
     lb.build_walls()
-    lb.build_bsp()
+    lb.build_bsp(unbalanced=unbalanced_bsp)
     lumps = lb.lumps()
     b.add(map_name)
     for lump_name in ("THINGS", "LINEDEFS", "SIDEDEFS", "VERTEXES", "SEGS",

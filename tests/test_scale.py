@@ -109,6 +109,34 @@ def test_big_map_over_2047_segs(info):
     _assert_views_bit_exact(mt, assets, level, info, cfg, views)
 
 
+def test_deep_bsp_over_31_levels_bit_exact(info):
+    """BSP depth > 31 renders bit-exact through the two-word traversal
+    rank (camera.traversal_rank).  The reference's recursion has no
+    depth limit (src/map/nodes.rs:45-83); ours now reaches depth 62."""
+    wad = WadFile(synth.build_wad(*synth.deep_level(), unbalanced_bsp=True))
+    mt = MapTables.load(wad, "E1M1")
+    assets = LevelAssets.load(wad, mt, info.sprite_names)
+    level = DeviceLevel.build(mt, assets, info)
+    assert mt.sub_path_nodes.shape[1] >= 40
+    cfg = RenderConfig(width=160, height=100, span_capacity=96)
+    # down-the-corridor sightline (deep rank path) + a sideways view
+    views = [(96.0, 96.0, 0.0), (4300.0, 96.0, 2.6)]
+    _assert_views_bit_exact(mt, assets, level, info, cfg, views)
+    # two-word traversal_positions is seg_order's exact inverse
+    from doomtpu.render import camera as cam
+
+    px = jnp.asarray([v[0] for v in views], jnp.float32)
+    py = jnp.asarray([v[1] for v in views], jnp.float32)
+    rank = cam.traversal_rank(level, px, py)
+    assert isinstance(rank, tuple)
+    order = np.asarray(cam.seg_order(level, rank))
+    pos = np.asarray(cam.traversal_positions(level, rank))
+    for b in range(len(views)):
+        np.testing.assert_array_equal(
+            order[b][pos[b]], np.arange(order.shape[1])
+        )
+
+
 def test_max_visible_cap_bit_exact(info):
     """A max_visible_mobjs cap ABOVE every camera's valid-item count
     changes nothing: the nearest-N selection keeps all items, so frames
