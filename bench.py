@@ -48,10 +48,6 @@ def main() -> int:
     with_things = os.environ.get("DOOMTPU_BENCH_THINGS", "1") != "0"
     use_pallas = os.environ.get("DOOMTPU_BENCH_PALLAS", "1") != "0"
     use_paint = os.environ.get("DOOMTPU_BENCH_PAINT", "1") != "0"
-    # in-kernel item paint: off by default — measured 991 vs 1194 f/s
-    # at B=2048 (the per-(tile,block) item visits are still fixed-cost
-    # bound; see PERF.md roadmap)
-    use_itempaint = os.environ.get("DOOMTPU_BENCH_ITEMPAINT", "0") != "0"
     use_itempass = os.environ.get("DOOMTPU_BENCH_ITEMPASS", "0") != "0"
 
     chunk = int(os.environ.get("DOOMTPU_BENCH_CHUNK", 256))
@@ -72,9 +68,6 @@ def main() -> int:
         # paint-at-emit kernel (ops/pallas_paint.py): the fast path when
         # the level is eligible; frame.paint_available falls back cleanly
         use_pallas_paint=use_paint and jax.default_backend() != "cpu",
-        # item pass inside the paint kernel (frame.itempaint_available
-        # still gates on level eligibility + SMEM budget)
-        use_item_paint=use_itempaint,
         # standalone item-pass kernel (ops/pallas_itempass.py)
         use_item_pass_kernel=use_itempass,
         # compacted live-seg list capacity (0 = exact/full).  416 rides
@@ -86,6 +79,11 @@ def main() -> int:
         # catches any excess).
         paint_live_capacity=int(
             os.environ.get("DOOMTPU_BENCH_PAINTCAP", 416)
+        ),
+        # per-camera live lists (see config.py) — A/B knob until the
+        # v5e sweep picks the default
+        paint_percam_compact=(
+            os.environ.get("DOOMTPU_BENCH_PERCAM", "0") != "0"
         ),
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")

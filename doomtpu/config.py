@@ -67,29 +67,21 @@ class RenderConfig:
     # see doomtpu/ops/pallas_paint.py) instead of pool + resolve.  The
     # fastest path; requires level.paint_ok and batch % 4 == 0.
     use_pallas_paint: bool = False
-    # Paint sprites + masked mids INSIDE the paint kernel (the item pass
-    # of ops/pallas_paint.py) when the level is eligible
-    # (level.itempaint_ok + the item pack fits SMEM).  Draws EVERY
-    # selected item — no per-column item_capacity cap — exactly like
-    # the reference painter; the deferred pass is skipped entirely.
-    # Default off until the per-block item culling lands: without it the
-    # kernel visits every item per (camera-tile, column-block) and is
-    # slower than the deferred+item-kernel path (899 vs 1013 f/s/chip
-    # at B=2048 e1m1-scale).
-    use_item_paint: bool = False
     # Run the deferred item pass as its own Pallas kernel
     # (ops/pallas_itempass.py): per-column billboard math, sprite seg
     # clip, mid-pool match and the painter fold all in VMEM over the
     # paint kernel's pools — every [B, N, W] XLA array disappears.
-    # Like use_item_paint it draws EVERY selected item (no per-column
-    # item_capacity cap — exact reference painter semantics); requires
-    # level.itempaint_ok and the paint path.  Falls back to the
-    # deferred pass otherwise.  OFF by default: wins 1.39x at B=256
-    # clustered poses (129.0 -> 92.6 ms/chunk) but LOSES at the bench's
-    # B=2048 spread poses (1457.5 vs 1610.0 f/s/chip) — divergent
-    # per-camera sprite rotations defeat the tile-uniform picture
-    # window fast path, and the per-(tile, block) item visits are
-    # fixed-cost bound (same wall as use_item_paint; PERF.md cont. 5).
+    # Draws EVERY selected item (no per-column item_capacity cap —
+    # exact reference painter semantics); requires level.itempaint_ok
+    # and the paint path.  Falls back to the deferred pass otherwise.
+    # OFF by default: wins 1.39x at B=256 clustered poses (129.0 ->
+    # 92.6 ms/chunk) but LOSES at the bench's B=2048 spread poses
+    # (1457.5 vs 1610.0 f/s/chip) — divergent per-camera sprite
+    # rotations defeat the tile-uniform picture window fast path, and
+    # the per-(tile, block) item visits are fixed-cost bound (PERF.md
+    # cont. 5).  (A third variant — items painted inside the paint
+    # kernel itself, `use_item_paint` — lost the same benchmarks and
+    # was removed in round 3.)
     use_item_pass_kernel: bool = False
     # Per-column capacity of the masked-mid pool the paint kernel emits
     # (overlapping drawable two-sided mids per screen column).
@@ -124,6 +116,17 @@ class RenderConfig:
     # wrong pixels — counted per camera in aux["live_dropped"] so
     # benchmarks/tests can assert 0.
     paint_live_capacity: int = 0
+    # Compact the paint kernel's live-seg lists PER CAMERA instead of
+    # per camera TILE (the union over the tile's 8 cameras).  Each
+    # camera's slot g holds its OWN g-th live seg — bit-identical
+    # outputs by construction (the kernel's per-seg fields are already
+    # per-camera rows) — but the grid length per (tile, block) becomes
+    # max_b cnt_b instead of |union|, and paint_live_capacity rides the
+    # per-camera peak (~2.6/8 of the union at the bench's spread
+    # poses).  Costs an 8x-wider compaction argsort on the XLA side;
+    # the pack gathers are per-camera either way.  Env override for
+    # A/Bs: DOOMTPU_PAINT_PERCAM.
+    paint_percam_compact: bool = False
 
     @property
     def camera_focus_x(self) -> float:

@@ -20,7 +20,7 @@ live items and paints them straight into the frame:
   and merged over the already-shaded background frame
 
 vs. the in-kernel item paint inside the paint kernel itself
-(use_item_paint): same math, but running in a separate kernel keeps the
+(removed in round 3): same math, but running in a separate kernel keeps the
 paint kernel's occlusion-scan grid free of the item pass's VMEM working
 set and lets XLA overlap the two dispatches; vs. the pool+composite
 path it eliminates every [B, N, W] HBM array.

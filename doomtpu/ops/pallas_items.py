@@ -34,6 +34,7 @@ Eligibility: `DeviceLevel.items_ok` (atlas rows <= 128).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,12 @@ LANES = 128
 LD_WRITTEN = 1 << 24
 LD_SKY = 1 << 25
 SPR_MARK = 1 << 29   # keep in sync with render/things.py
+
+# measurement only (scripts/probe_deferred_cuts "cut 5"): return after
+# the XLA pre-gather + relayouts that feed the kernel, skipping the
+# kernel itself — attributes the composite's cost between its input
+# build and the in-VMEM fold.  Monkeypatched by the probe.
+_ITEMS_INPUTONLY = _os.environ.get("DOOMTPU_ITEMS_INPUTONLY", "0") != "0"
 
 
 def _gather_sub(tab, idx):
@@ -333,6 +340,12 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
         in_specs += [pool_spec(1)] * 2 + [clip_spec] * 6 + [cnt_spec]
     out_shapes = [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32)] * 3
     out_specs = [fb_spec] * 3
+
+    if _ITEMS_INPUTONLY:
+        s = inputs[0].sum()
+        for x in inputs[1:9] + (inputs[13:] if KC > 0 else []):
+            s = s + x.sum()
+        return idx | (s & 1), ld, rgb
 
     kernel = functools.partial(_kernel, H=H, KI=KI, TB=TB, KC=KC)
     outs = pl.pallas_call(

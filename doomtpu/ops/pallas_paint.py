@@ -176,7 +176,8 @@ SVF_PROWS = 9
 SVF_FD = SVF_PIECE0 + 4 * SVF_PROWS          # 48
 
 # item field-matrix layout (all f32, exact-int encoding as svf; built
-# in render_paint from the item_pack rows — IPI_LW split into light +
+# by build_item_packs from the item_pack rows for the standalone
+# item-pass kernel (ops/pallas_itempass.py) — IPI_LW split into light +
 # wpic so every int stays < 2^24)
 IFM_FL = 0
 IFM_X0 = 1
@@ -287,12 +288,11 @@ def _kernel(
     # SMEM: per-seg scalar pack [1, 1, U*GSUB, 17*TB] i32 + uy1 f32
     # (seg rows are COMPACTED per (camera tile, column block): only segs
     # live in this block, in traversal order — see the culling in
-    # render_paint), the live-seg count, the per-ITEM scalar packs
-    # [1, NIg, 4*rows*TB] (i32 + f32; see things.py IPI_*/IPF_* layout)
-    # with their per-block live-item list + count, and per-camera
-    # scalars (constant over the seg grid dim)
-    smi_ref, pf_ref, scnt_ref, plive_ref, uni_ref, ivi_ref, ifm_ref,
-    ilist_ref, icnt_ref, uit_ref,
+    # render_paint), the live-seg count, and per-camera scalars
+    # (constant over the seg grid dim).  Items are NOT painted here:
+    # the mid/clip pools feed things.deferred_pass or the standalone
+    # item-pass kernel (ops/pallas_itempass.py)
+    smi_ref, pf_ref, scnt_ref, plive_ref, uni_ref,
     camf_ref,       # [1, 1, 4*TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 1, 4*TB] i32: pxi, pyi, sky tx_off, 0
     # VMEM: per-seg field matrix [1, 1, U*GSUB, TB, 128] f32 (SVF_*
@@ -301,8 +301,7 @@ def _kernel(
     # per-field relayout loads — scripts/probe_visit_cost.py)
     svf_ref,
     # VMEM tables (constant blocks)
-    texq_ref, flatq_ref, skyq_ref, pal_ref, itemq_ref,
-    itemmq_ref,
+    texq_ref, flatq_ref, skyq_ref, pal_ref,
     # outputs
     idx_out, ld_out, rgb_out,
     m_span, m_d1, m_d2, m_d3, m_d4, m_d5, m_d6,
@@ -310,7 +309,7 @@ def _kernel(
     cntm_ref, cntc_ref, ovf_ref,
     # scratch
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s, texscr_s, flatscr_s,
-    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, NI, TEXQ_WIDE,
+    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, TEXQ_WIDE,
 ):
     # shared window loads need the hoisted-setups structure of merged
     # mode (serial per-camera foris keep the classic per-camera loads)
@@ -931,253 +930,6 @@ def _kernel(
     else:
         lax.fori_loop(0, nsub, _gsub, 0)
 
-    # ---------------- deferred items painted in-kernel -----------------------
-    # Sprites + masked mids (things.py deferred_pass semantics) drawn
-    # directly into the PLANE framebuffer after the seg loop finishes:
-    # items are pre-sorted farthest-first on the XLA side (item_pack),
-    # so in-order painting with overwrite IS the reference's
-    # back-to-front painter (map_objects.rs:216-240).  Per-(item,
-    # camera) quantities are SMEM rank-0 scalars; all per-column math
-    # runs as (1, 128) row ops against this block's columns.
-    if NI > 0:
-        from doomtpu.render.things import (
-            IPI_PIC, IPI_ROWS, is_behind_vertex,
-        )
-
-        # the SMEM pack groups 4 items per row so the 128-lane window
-        # pad is zero (4 * IPI_ROWS * TB = 256 lanes exactly); only the
-        # per-(item, camera) picture id — a window-index scalar — still
-        # reads from it.  Everything else comes from the VMEM item
-        # field matrix via lane-slice broadcasts (IFM_* layout).
-        def ii(n, r, b):
-            return ivi_ref[
-                0, n >> 2, (n & 3) * (IPI_ROWS * TB) + r * TB + b
-            ]
-
-        def paint_item_cams(n, uid, pres, ct, cb, by, ty, offy, th, uy1,
-                            light, zd, tx, yb_lo, yb_hi):
-            """Draw one item's columns for all TB cameras
-            (bitmap_render.rs:253-263 v interpolation; masked texels
-            skipped).  Shared y bounds + merged camera chains exactly
-            like paint_wall; with a tile-uniform picture id (uid >= 0 —
-            the common case, sprite rotations agree across a sorted
-            tile) the texture + mask window loads happen ONCE, not TB
-            times (the scratch windows are free here: the seg loop has
-            finished)."""
-            if SHTEX:
-                sh_i = uid >= 0
-                ub = jnp.maximum(uid, 0)
-                tvs_i = itemq_ref[
-                    pl.ds(pl.multiple_of(ub * 32, 8), 32), :
-                ]
-                mvs_i = itemmq_ref[
-                    pl.ds(pl.multiple_of(ub * 8, 8), 8), :
-                ]
-
-                @pl.when(~sh_i)
-                def _copy_item_windows():
-                    for b in range(TB):
-                        pid_b = ii(n, IPI_PIC, b)
-                        texscr_s[pl.ds(b * 32, 32), :LANES] = itemq_ref[
-                            pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
-                        ]
-                        flatscr_s[pl.ds(b * 8, 8), :] = itemmq_ref[
-                            pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
-                        ]
-
-            def item_setup(b):
-                if SHTEX:
-                    tv32 = jnp.where(
-                        sh_i, tvs_i, texscr_s[pl.ds(b * 32, 32), :LANES]
-                    )
-                    mtab = jnp.where(
-                        sh_i, mvs_i, flatscr_s[pl.ds(b * 8, 8), :]
-                    )
-                else:
-                    # every per-(item, camera) picture id is in-table
-                    # even for non-present cameras (pad items carry id
-                    # 0), so the unguarded window loads are safe
-                    pid_b = ii(n, IPI_PIC, b)
-                    tv32 = itemq_ref[
-                        pl.ds(pl.multiple_of(pid_b * 32, 8), 32), :
-                    ]
-                    mtab = itemmq_ref[
-                        pl.ds(pl.multiple_of(pid_b * 8, 8), 8), :
-                    ]
-                tv = [tv32[j * 8:(j + 1) * 8] for j in range(4)]
-                cpat = jnp.broadcast_to(
-                    jnp.clip(tx[b:b + 1, :], 0, LANES - 1), (8, LANES)
-                )
-                gv = [_gather_lane(t, cpat) for t in tv]
-                mgv = _gather_lane(mtab, cpat)
-                pres_r = pres[b:b + 1, :]
-                ct_r = ct[b:b + 1, :]
-                cb_r = cb[b:b + 1, :]
-                ty_r = ty[b:b + 1, :]
-                denom_v = f32(by[b:b + 1, :] - ty_r)
-                th_r = th[b:b + 1, :]
-                uy1_r = uy1[b:b + 1, :]
-                offy_r = offy[b:b + 1, :]
-                ld_r = (
-                    (light[b:b + 1, :] << 16)
-                    | (zd[b:b + 1, :] & 0xFFFF) | LD_WRITTEN
-                )
-                return (pres_r, ct_r, cb_r, ty_r, denom_v, gv, mgv,
-                        th_r, uy1_r, offy_r, ld_r)
-
-            def item_row(b, st, ys, yy8):
-                (pres_r, ct_r, cb_r, ty_r, denom_v, gv, mgv,
-                 th_r, uy1_r, offy_r, ld_r) = st
-                cover = pres_r & (yy8 >= ct_r) & (yy8 <= cb_r)
-                ay = f32(yy8 - ty_r) / denom_v
-                tyv = as_i16(f32(th_r) + smul(ay, uy1_r)) + offy_r
-                tyv = wrap_tex(tyv, jnp.maximum(th_r, 1))
-                word = _select_q(gv, tyv >> 2)
-                texel = _byte(word, tyv)
-                mword = _gather_sub(mgv, (tyv >> 5) & 7)
-                opaque = ((mword >> (tyv & 31)) & 1) != 0
-                wr = cover & opaque
-                pidx_s[b, ys, :] = jnp.where(wr, texel, pidx_s[b, ys, :])
-                pld_s[b, ys, :] = jnp.where(wr, ld_r, pld_s[b, ys, :])
-
-            _paint_cams(yb_lo, yb_hi, item_setup, item_row)
-
-        @pl.when(gi == n_g - 1)
-        def _items():
-            one = f32(1.0)
-
-            def item_body(j, carry):
-                n = ilist_ref[0, 0, 0, j]
-                uid = uit_ref[0, 0, 0, j]
-                wi = ifm_ref[0, n]                   # (TB, 128) f32
-                mfv = lambda r: jnp.broadcast_to(
-                    wi[:, r:r + 1], (TB, LANES)
-                )
-                miv = lambda r: mfv(r).astype(I32)
-                fl_v = miv(IFM_FL)
-                valid_v = (fl_v & 1) != 0
-                x0_v = miv(IFM_X0)
-                x1e_v = miv(IFM_X1E)
-
-                # no liveness re-check: ilist was compacted on the XLA
-                # side with EXACTLY this predicate (valid & block
-                # x-overlap, any camera), so every j < icnt entry is
-                # live by construction
-                def _live(n=n, mfv=mfv, miv=miv, fl_v=fl_v,
-                          valid_v=valid_v, x0_v=x0_v, x1e_v=x1e_v):
-                    spr_v = (fl_v & 2) != 0
-                    in_r = (xx >= x0_v) & (xx < x1e_v) & valid_v
-
-                    # ---- sprite billboard math (things.py [B, N, W]
-                    # stages), all cameras at once ----
-                    xb = f32(xx - miv(IFM_BSX))
-                    ax = xb / mfv(IFM_DX)
-                    denom = smul(one - ax, mfv(IFM_INV0)) \
-                        + smul(ax, mfv(IFM_INV1))
-                    u = (
-                        smul(one - ax, mfv(IFM_Z0))
-                        + smul(ax, mfv(IFM_Z1))
-                    ) / denom
-                    light_v = miv(IFM_LIGHT)
-                    soff_v = miv(IFM_SOFF)      # sprite soff / mid seg id
-                    s_tx = wrap_tex(
-                        as_i16(u) + soff_v, jnp.maximum(miv(IFM_WPIC), 1)
-                    )
-                    s_zd = as_i16(((one - ax) + ax) / denom)
-                    s_by = as_i16(mfv(IFM_YBS) + smul(xb, mfv(IFM_YBD)))
-                    s_ty = as_i16(mfv(IFM_YTS) + smul(xb, mfv(IFM_YTD)))
-
-                    # ---- sprite seg clip: fold the clip pool
-                    # (map_objects.rs:127-166), all cameras at once ----
-                    vpx_v = mfv(IFM_VPX)
-                    vpy_v = mfv(IFM_VPY)
-                    ccnt = cntc_ref[0]
-                    tsc = jnp.full((TB, LANES), -1, I32)
-                    bsc = jnp.full((TB, LANES), H, I32)
-                    for kc in range(KC):
-                        cw = c_span[:, kc, :]
-                        ok_c = kc < ccnt
-                        is_mid_c = ((cw >> 29) & 3) == KIND_MID
-                        e2b = (cw & SPAN_E2B) != 0
-                        e2t = (cw & SPAN_E2T) != 0
-                        dc = ((cw & SPAN_DC) != 0) & is_mid_c
-                        y0 = ((cw >> 8) & 255) - 1
-                        y1 = (cw & 255) - 1
-                        cd2 = c_d2[:, kc, :]
-                        byf = cd2 >> 16
-                        tyf = (cd2 << 16) >> 16
-                        lsx = lax.bitcast_convert_type(c_lsx[:, kc, :], F32)
-                        lsy = lax.bitcast_convert_type(c_lsy[:, kc, :], F32)
-                        lex = lax.bitcast_convert_type(c_lex[:, kc, :], F32)
-                        ley = lax.bitcast_convert_type(c_ley[:, kc, :], F32)
-                        front = ok_c & ~is_behind_vertex(
-                            lsx, lsy, lex, ley, vpx_v, vpy_v
-                        )
-                        tsc = jnp.maximum(tsc, jnp.maximum(
-                            jnp.where(front & e2t, y1, -1),
-                            jnp.where(front & dc, tyf, -1),
-                        ))
-                        bsc = jnp.minimum(bsc, jnp.minimum(
-                            jnp.where(front & e2b, y0, H),
-                            jnp.where(front & is_mid_c, byf, H),
-                        ))
-                    s_ct = jnp.maximum(jnp.maximum(0, s_ty), tsc)
-                    s_cb = jnp.minimum(jnp.minimum(H - 1, s_by), bsc)
-
-                    # ---- mid draw data from the in-VMEM mid pool ----
-                    pid_v = miv(IFM_PIC)
-                    mcnt = cntm_ref[0]
-                    found = jnp.zeros((TB, LANES), bool)
-                    w_v = jnp.zeros((TB, LANES), I32)
-                    dv = [jnp.zeros((TB, LANES), I32) for _ in range(5)]
-                    for k in range(KM):
-                        mw = m_span[:, k, :]
-                        hit = (
-                            (((mw >> 29) & 3) == KIND_MID)
-                            & (k < mcnt)
-                            & (m_d6[:, k, :] == soff_v)
-                        )
-                        w_v = jnp.where(hit, mw, w_v)
-                        for i_, r in enumerate(
-                            (m_d1, m_d2, m_d3, m_d4, m_d5)
-                        ):
-                            dv[i_] = jnp.where(hit, r[:, k, :], dv[i_])
-                        found = found | hit
-
-                    # ---- merge sprite/mid per element ----
-                    pres = in_r & (spr_v | found)
-                    ct = jnp.where(spr_v, s_ct, ((w_v >> 8) & 255) - 1)
-                    cb = jnp.where(spr_v, s_cb, (w_v & 255) - 1)
-                    by = jnp.where(spr_v, s_by, dv[1] >> 16)
-                    ty = jnp.where(spr_v, s_ty, (dv[1] << 16) >> 16)
-                    tx = jnp.where(spr_v, s_tx, dv[0] - pid_v * TW_ATLAS)
-                    offy = jnp.where(spr_v, 0, dv[2] >> 16)
-                    th = jnp.where(
-                        spr_v, miv(IFM_TH), (dv[2] << 16) >> 16
-                    )
-                    light = jnp.where(spr_v, light_v, dv[3] >> 16)
-                    zd = jnp.where(spr_v, s_zd, (dv[3] << 16) >> 16)
-                    uy1 = jnp.where(
-                        spr_v, mfv(IFM_UY1),
-                        lax.bitcast_convert_type(dv[4], F32),
-                    )
-
-                    i_lo, i_hi = _ybounds(pres, ct, cb)
-
-                    @pl.when(i_lo < i_hi)
-                    def _paint(n=n, uid=uid, i_lo=i_lo, i_hi=i_hi):
-                        paint_item_cams(
-                            n, uid, pres, ct, cb, by, ty, offy, th, uy1,
-                            light, zd, tx, i_lo, i_hi,
-                        )
-
-                _live()
-                return carry
-
-            # only items live in this (tile, block): the XLA side
-            # compacts indices (order-preserving) and counts them
-            lax.fori_loop(0, icnt_ref[0, 0, 0, 0], item_body, 0)
-
     # ---------------- composite + shade at the last grid step ---------------
     @pl.when(gi == n_g - 1)
     def _finish():
@@ -1237,8 +989,8 @@ def build_item_packs(items, B, TB):
     only window-index scalars (the per-(item, camera) picture id) read
     from it.  ifm: VMEM item field matrix [B/TB, NI, TB, 128] f32
     (IFM_* layout) — everything else broadcasts from it with lane
-    slices.  Shared by the paint kernel's in-kernel item pass and the
-    standalone item-pass kernel (ops/pallas_itempass.py)."""
+    slices.  Consumed by the standalone item-pass kernel
+    (ops/pallas_itempass.py)."""
     from doomtpu.render.things import IPI_LW, IPI_ROWS
 
     NI = items["i"].shape[1]
@@ -1317,7 +1069,7 @@ def build_item_lists(items, B, TB, NBW):
 
 
 def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
-                 angle, px, py, floor_height, items=None,
+                 angle, px, py, floor_height,
                  interpret: bool = False, unroll: int | None = None,
                  gsub: int | None = None):
     """Run the paint kernel over B cameras.
@@ -1326,10 +1078,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     cnt_mid, clip pool (3 x [B, W, KC]), cnt_clip, overflow [B, 2].
     ld packs light(8)<<16 | dist(u16) | written<<24 | sky<<25.
 
-    With `items` (the pack from things.item_pack; requires
-    level.itempaint_ok), sprites + masked mids are painted INSIDE the
-    kernel too — idx/ld/rgb then hold the complete frame and the
-    deferred pass is not needed.
+    Sprites + masked mids are NOT painted here: the emitted mid/clip
+    pools feed things.deferred_pass (the measured-winning item path) or
+    the standalone item-pass kernel (ops/pallas_itempass.py).
 
     unroll/gsub override SEG_UNROLL/SEG_GSUB per call (outputs are
     identical for any values; interpret-mode tests pass small ones —
@@ -1493,23 +1244,6 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         axis=-1,
     )
 
-    # per-ITEM inputs: a small SMEM pack (the per-(item, camera)
-    # picture id must be a window-index scalar) + the VMEM item field
-    # matrix [B/TB, NI, TB, 128] f32 (IFM_* layout) the kernel
-    # broadcasts fields from with lane slices
-    if items is not None:
-        assert level.itempaint_ok, "level not eligible for item paint"
-        NI = items["i"].shape[1]
-        ivi, ifm = build_item_packs(items, B, TB)
-        item_tables = [level.item_q, level.item_mq]
-    else:
-        NI = 0
-        ivi = jnp.zeros((B // TB, 1, 8), jnp.int32)
-        ifm = jnp.zeros((B // TB, 1, 8, LANES), jnp.float32)
-        item_tables = [
-            jnp.zeros((8, 128), jnp.int32), jnp.zeros((8, 128), jnp.int32)
-        ]
-
     Bt = B // TB
 
     # ---- per-(tile, block) live-seg compaction --------------------------
@@ -1531,57 +1265,100 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         (x0i_o[..., None] < wlo + LANES) & (x1i_o[..., None] >= wlo)
     )                                                           # [B,G,NBW]
     live_s = act_o[..., None] & overlap_s
-    live_st = jnp.swapaxes(
-        padg(live_s).reshape(Bt, TB, Gp, NBW).any(1), 1, 2
-    )                                                           # [Bt,NBW,Gp]
-    u_iota = jnp.arange(Gp, dtype=I32)[None, None]
-    slist = jnp.argsort(
-        jnp.where(live_st, u_iota, Gp + u_iota), axis=-1
-    ).astype(I32)                                               # [Bt,NBW,Gp]
-    scnt = live_st.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+
     # ---- optional live-list capacity (cfg.paint_live_capacity) ---------
     # Shrinks the kernel's seg grid and every compacted pack from Gp to
     # Gc rows (the census: live counts peak well under Gp, so most grid
     # steps are dead).  A (tile, block) whose live count exceeds Gc
     # loses its FARTHEST segs (the list is front-to-back) — counted in
     # live_dropped so callers can assert exactness.
-    Gc = Gp
-    if 0 < cfg.paint_live_capacity < Gp:
-        Gc = min(Gp, ((cfg.paint_live_capacity + UG - 1) // UG) * UG)
-        slist = slist[..., :Gc]
-    live_dropped = jnp.maximum(
-        scnt.reshape(Bt, NBW) - Gc, 0
-    ).sum().astype(I32)
-    # per-(tile, block, compacted seg) piece-live bits (SMEM scalars in
-    # the kernel): bit p = piece p active for some tile camera whose seg
-    # row overlaps the block.  Replaces the in-kernel per-piece
-    # ((flags & (1<<p)) != 0).any() reductions with scalar bit tests.
-    plive = jnp.zeros((Bt, NBW, Gc), I32)
-    for p in range(4):
-        pb = (((pact_o >> p) & 1) != 0)[..., None] & overlap_s  # [B,G,NBW]
-        pbt = jnp.swapaxes(
-            padg(pb).reshape(Bt, TB, Gp, NBW).any(1), 1, 2
-        )                                                       # [Bt,NBW,Gp]
-        plive = plive | (
-            jnp.take_along_axis(pbt, slist, axis=-1).astype(I32) << p
-        )
+    def capped(gp):
+        if 0 < cfg.paint_live_capacity < gp:
+            return min(gp, ((cfg.paint_live_capacity + UG - 1) // UG) * UG)
+        return gp
 
-    # comb2[bt, w*Gp+g, b] = seg index of tile bt camera b's g-th live
+    percam = cfg.paint_percam_compact
+    _pc_env = _os.environ.get("DOOMTPU_PAINT_PERCAM")
+    if _pc_env is not None:
+        percam = _pc_env != "0"
+
+    # comb2[bt, w*Gc+g, b] = seg index of tile bt camera b's g-th live
     # seg of block w — dead/padded rows point at an appended zero row
     # (index Gp) so no real seg's fields can ghost into the tail the
-    # kernel's ceil(scnt/U)*U loop bound may still touch.  Built with
-    # TB-wide slices, and every pack below is gathered with its camera
-    # batch dim ALREADY in output position (no post-gather transpose of
-    # the big compacted arrays).
-    order_t = padg(order).reshape(Bt, TB, Gp).transpose(0, 2, 1)
-    vlive = jnp.take_along_axis(live_st, slist, axis=-1)        # [Bt,NBW,Gc]
-    slist_f = slist.reshape(Bt, NBW * Gc)
-    comb2 = jnp.take_along_axis(
-        order_t, slist_f[..., None], axis=1
-    )                                           # [Bt, NBW*Gc, TB]
-    comb2 = jnp.where(
-        vlive.reshape(Bt, NBW * Gc)[..., None], comb2, Gp
-    )
+    # kernel's ceil(scnt/U)*U loop bound may still touch.  Every pack
+    # below is gathered with its camera batch dim ALREADY in output
+    # position (no post-gather transpose of the big compacted arrays).
+    if percam:
+        # PER-CAMERA live lists: each camera's own live traversal
+        # positions, compacted independently.  The kernel's per-seg
+        # fields are per-camera rows of the (TB, 128) svf block, so
+        # camera b's slot g simply holds ITS g-th live seg — each
+        # camera still processes exactly its own live segs in traversal
+        # order, so every output stays bit-identical to the union list.
+        # Wins when the tile union is much larger than any one camera's
+        # list (spread poses: census says ~2.6/8 cameras live per union
+        # visit), because the grid length is now max_b cnt_b, not
+        # |union|, and a static capacity can ride the per-camera peak.
+        live_sb = jnp.swapaxes(
+            padg(live_s).reshape(Bt, TB, Gp, NBW), 2, 3
+        )                                                   # [Bt,TB,NBW,Gp]
+        u_iota = jnp.arange(Gp, dtype=I32)
+        slist_b = jnp.argsort(
+            jnp.where(live_sb, u_iota, Gp + u_iota), axis=-1
+        ).astype(I32)                                       # [Bt,TB,NBW,Gp]
+        cnt_b = live_sb.sum(-1).astype(I32)                 # [Bt,TB,NBW]
+        scnt = cnt_b.max(1).reshape(Bt, NBW, 1, 1)
+        Gc = capped(Gp)
+        slist_b = slist_b[..., :Gc]
+        live_dropped = jnp.maximum(cnt_b - Gc, 0).sum().astype(I32)
+        vlive_b = jnp.take_along_axis(live_sb, slist_b, axis=-1)
+        order_b = padg(order).reshape(Bt, TB, Gp)
+        comb_b = jnp.take_along_axis(
+            order_b[:, :, None, :], slist_b, axis=-1
+        )                                                   # [Bt,TB,NBW,Gc]
+        comb_b = jnp.where(vlive_b, comb_b, Gp)
+        comb2 = comb_b.transpose(0, 2, 3, 1).reshape(Bt, NBW * Gc, TB)
+        plive = None        # computed post-gather from the packed flags
+    else:
+        # UNION lists: one list per (tile, block) = positions live for
+        # ANY tile camera; all cameras visit the same traversal
+        # position per slot (best when the sorted tile is coherent).
+        live_st = jnp.swapaxes(
+            padg(live_s).reshape(Bt, TB, Gp, NBW).any(1), 1, 2
+        )                                                   # [Bt,NBW,Gp]
+        u_iota = jnp.arange(Gp, dtype=I32)[None, None]
+        slist = jnp.argsort(
+            jnp.where(live_st, u_iota, Gp + u_iota), axis=-1
+        ).astype(I32)                                       # [Bt,NBW,Gp]
+        scnt = live_st.sum(-1).astype(I32).reshape(Bt, NBW, 1, 1)
+        Gc = capped(Gp)
+        slist = slist[..., :Gc]
+        live_dropped = jnp.maximum(
+            scnt.reshape(Bt, NBW) - Gc, 0
+        ).sum().astype(I32)
+        # per-(tile, block, compacted seg) piece-live bits (SMEM scalars
+        # in the kernel): bit p = piece p active for some tile camera
+        # whose seg row overlaps the block.  Replaces the in-kernel
+        # per-piece ((flags & (1<<p)) != 0).any() reductions with scalar
+        # bit tests.
+        plive = jnp.zeros((Bt, NBW, Gc), I32)
+        for p in range(4):
+            pb = (((pact_o >> p) & 1) != 0)[..., None] & overlap_s
+            pbt = jnp.swapaxes(
+                padg(pb).reshape(Bt, TB, Gp, NBW).any(1), 1, 2
+            )                                               # [Bt,NBW,Gp]
+            plive = plive | (
+                jnp.take_along_axis(pbt, slist, axis=-1).astype(I32) << p
+            )
+        order_t = padg(order).reshape(Bt, TB, Gp).transpose(0, 2, 1)
+        vlive = jnp.take_along_axis(live_st, slist, axis=-1)  # [Bt,NBW,Gc]
+        slist_f = slist.reshape(Bt, NBW * Gc)
+        comb2 = jnp.take_along_axis(
+            order_t, slist_f[..., None], axis=1
+        )                                           # [Bt, NBW*Gc, TB]
+        comb2 = jnp.where(
+            vlive.reshape(Bt, NBW * Gc)[..., None], comb2, Gp
+        )
 
     # Compact ALL per-seg packs at once (svf 48 f32 | smi 17 i32 | pf 4
     # f32 = 69 i32 words per row).  Small maps: ONE exact one-hot MXU
@@ -1645,6 +1422,18 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     flags_c = lax.bitcast_convert_type(
         out_i[..., SVF_FLAGS], F32
     ).astype(I32)                                   # [Bt, NBW, Gp, TB]
+
+    if plive is None:
+        # per-camera mode: slot g's rows are each camera's OWN g-th
+        # live seg (pad rows carry flags 0), so the piece-live bits are
+        # just the OR of the packed flags over the tile cameras —
+        # exactly the "piece p active for some camera live in this
+        # block" predicate the union path precomputes.
+        plive = jnp.zeros((Bt, NBW, Gc), I32)
+        for p in range(4):
+            plive = plive | (
+                (((flags_c >> p) & 1) != 0) & live_c
+            ).any(-1).astype(I32) << p
     IMIN, IMAX = jnp.int32(-0x80000000), jnp.int32(0x7FFFFFFF)
 
     def uniform_id(vals, m):
@@ -1684,14 +1473,6 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     ]
     tables = [level.tex_q, level.flat_q, level.sky_q, level.palette_words]
 
-    # ---- per-(tile, block) live-item lists ------------------------------
-    if NI > 0:
-        ilist, icnt, uit_c = build_item_lists(items, B, TB, NBW)
-    else:
-        ilist = jnp.zeros((Bt, 1, 1, 8), jnp.int32)
-        icnt = jnp.zeros((Bt, 1, 1, 1), jnp.int32)
-        uit_c = jnp.zeros((Bt, 1, 1, 8), jnp.int32)
-
     def seg_spec(x, space):
         if x.ndim == 4:                    # flattened SMEM pack
             return pl.BlockSpec(
@@ -1714,13 +1495,6 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             (1, 1, 4 * TB), lambda i, w, g: (i, 0, 0), memory_space=space
         )
 
-    def item_spec(x):
-        return pl.BlockSpec(
-            (1,) + x.shape[1:],
-            lambda i, w, g, nd=x.ndim: (i,) + (0,) * (nd - 1),
-            memory_space=pltpu.SMEM,
-        )
-
     def table_spec(x):
         return pl.BlockSpec(
             x.shape, lambda i, w, g: tuple(0 for _ in x.shape),
@@ -1738,18 +1512,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     in_specs = (
         [seg_spec(smi_f, pltpu.SMEM), seg_spec(pf_f, pltpu.SMEM),
          cnt_spec4(scnt), plive_spec, seg_spec(uni, pltpu.SMEM)]
-        + [item_spec(ivi),
-           pl.BlockSpec(
-               (1,) + ifm.shape[1:],
-               lambda i, w, g: (i, 0, 0, 0),
-               memory_space=pltpu.VMEM,
-           )]
-        + [cnt_spec4(ilist) if NI > 0 else item_spec(ilist),
-           cnt_spec4(icnt) if NI > 0 else item_spec(icnt),
-           cnt_spec4(uit_c) if NI > 0 else item_spec(uit_c)]
         + [cam_spec(pltpu.SMEM) for _ in cam_inputs]
         + [seg_spec(svf_c, pltpu.VMEM)]
-        + [table_spec(x) for x in tables + item_tables]
+        + [table_spec(x) for x in tables]
     )
 
     fb_spec = pl.BlockSpec(
@@ -1799,12 +1564,12 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             return {"rgb": scnt.sum() + comb2.sum()}
         return {"rgb": (
             svf_c.sum() + smi_f.sum() + pf_f.sum()
-            + scnt.sum() + ifm.sum() + uni.sum() + uit_c.sum()
+            + scnt.sum() + uni.sum()
         )}
 
     kernel = functools.partial(
         _kernel, W=W, H=H, TEX_POW2=level.tex_sizes_pow2, U=U,
-        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB, GSUB=GSUB, NI=NI,
+        KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB, GSUB=GSUB,
         TEXQ_WIDE=level.texq_wide,
     )
     outs = pl.pallas_call(
@@ -1827,8 +1592,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(smi_f, pf_f, scnt, plive, uni, ivi, ifm, ilist, icnt, uit_c,
-      *cam_inputs, svf_c, *tables, *item_tables)
+    )(smi_f, pf_f, scnt, plive, uni, *cam_inputs, svf_c, *tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
     tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]

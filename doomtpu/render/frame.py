@@ -25,10 +25,18 @@ def paint_available(level, cfg, B) -> bool:
     return (
         cfg.use_pallas_paint
         and level.paint_ok
-        # the per-(tile, block) compacted input packs are sized Gp rows
-        # per block (static worst case) — bounded at ~2 GB per 256-
-        # camera chunk by this cap; bigger maps take the scan-pool path
-        and level.num_segs <= cfg.paint_max_segs
+        # UNCAPPED, the per-(tile, block) compacted input packs are
+        # sized Gp rows per block (static worst case) — bounded at
+        # ~2 GB per 256-camera chunk by paint_max_segs.  With a
+        # paint_live_capacity the packs are Gc = cap rows per block —
+        # independent of map size (every remaining per-seg array is
+        # linear in G) — so ANY map rides the paint path; callers
+        # assert aux["live_dropped"] == 0 for exactness (bench.py does,
+        # engine.render_counters exposes it).
+        and (
+            level.num_segs <= cfg.paint_max_segs
+            or cfg.paint_live_capacity > 0
+        )
         and B % 4 == 0
         and cfg.height % 8 == 0
         and _jax.default_backend() != "cpu"
@@ -46,17 +54,6 @@ def _itempack_fits(level, cfg) -> bool:
     return N * 1280 <= 600_000
 
 
-def itempaint_available(level, cfg, B) -> bool:
-    """Static eligibility of the in-kernel item paint (sprites + mids
-    drawn inside the paint kernel; see ops/pallas_paint.py)."""
-    return (
-        cfg.use_item_paint
-        and paint_available(level, cfg, B)
-        and level.itempaint_ok
-        and _itempack_fits(level, cfg)
-    )
-
-
 def itempass_available(level, cfg, B) -> bool:
     """Static eligibility of the standalone item-pass kernel
     (ops/pallas_itempass.py): the deferred item pass fully in-kernel."""
@@ -69,12 +66,8 @@ def itempass_available(level, cfg, B) -> bool:
 
 
 def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
-                  timestamp, interpret=False, mobj_state=None):
-    """Fast path: walls/planes/sky painted in-kernel (pallas_paint).
-
-    With `mobj_state`, sprites + masked mids are painted in-kernel too
-    (requires itempaint_available) and the returned frame is complete.
-    """
+                  timestamp, interpret=False):
+    """Fast path: walls/planes/sky painted in-kernel (pallas_paint)."""
     from doomtpu.ops.pallas_paint import LD_SKY, render_paint
 
     frame = cam.build_seg_frame(
@@ -83,18 +76,9 @@ def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
     frame = jax.lax.optimization_barrier(frame)
     rank = cam.traversal_rank(level, px, py)
     order = cam.seg_order(level, rank)
-    ipack = None
-    item_aux = None
-    if mobj_state is not None:
-        from doomtpu.render import things
-
-        ipack, item_aux = things.item_pack(
-            level, cfg, frame, order, px, py, angle, floor_height,
-            sector_light, mobj_state,
-        )
     out = render_paint(
         level, cfg, frame, order, angle, px, py, floor_height,
-        items=ipack, interpret=interpret,
+        interpret=interpret,
     )
     ld = out["ld"]
     light = (ld >> 16) & 0xFF
@@ -107,8 +91,6 @@ def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
         "overflow": out["overflow"], "live_dropped": out["live_dropped"],
         "light": light, "dist": dist, "is_sky": is_sky,
     }
-    if item_aux is not None:
-        aux.update(item_aux)
     return out["idx"], light, dist, is_sky, out["rgb"], aux
 
 
@@ -181,14 +163,6 @@ def render_frame(
     from doomtpu.render import things
 
     B = px.shape[0]
-    if itempaint_available(level, cfg, B):
-        # everything — walls, planes, sky, sprites, mids, shade — is
-        # painted inside the ONE paint kernel
-        idx, light, dist, is_sky, rgb, aux = _stages_paint(
-            level, cfg, px, py, angle, floor_height, sector_light,
-            timestamp, mobj_state=mobj_state,
-        )
-        return idx, rgb, aux
     if itempass_available(level, cfg, B):
         # walls/planes/sky from the paint kernel, sprites + mids from
         # the item-pass kernel — no [B, N, W] XLA stage anywhere

@@ -134,9 +134,9 @@ def _select_items(
 
     Everything here is [B, MO] / [B, I] / [B, N] — no W-scaled arrays.
     Shared by the XLA deferred pass (which expands per-column data from
-    it) and the in-kernel item paint's `item_pack` (which ships it to
-    the paint kernel as SMEM scalars).  Returns None when the level has
-    no items at all.
+    it) and the standalone item-pass kernel (ops/pallas_itempass.py,
+    which ships it to VMEM/SMEM packs).  Returns None when the level
+    has no items at all.
     """
     B = px.shape[0]
     G = level.num_segs
@@ -610,6 +610,13 @@ def deferred_pass(
         if rgb is not None:
             daux["rgb"] = rgb
         return idx + extra.astype(I32), light, dist, is_sky, daux
+
+    if _DEFER_ONLY == 6:
+        # capacity probe (scripts/probe_bench_capacities.py): the
+        # UNCAPPED per-column item-presence peak — the item_capacity a
+        # workload truly needs — rides the idx channel (probe subtracts
+        # the background idx to recover it)
+        return _cut(rc[:, 0, :].max())
 
     if _DEFER_ONLY == 4:
         return _cut(oh.sum() + icnt.sum())

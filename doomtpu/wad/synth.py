@@ -720,6 +720,16 @@ def big_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
     return grid_level(22, 26, seed=202, things_per_room=0.05)
 
 
+def huge_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """An ~8k-seg map (2.4x big_level): proves the paint kernel serves
+    maps far beyond paint_max_segs when a live capacity bounds the
+    per-(tile, block) packs (frame.paint_available), with live counts
+    still small — the per-column wall is scene depth, not map size.
+    The reference renders any size through one path
+    (src/renderer/segs.rs:353-590)."""
+    return grid_level(36, 40, seed=303, things_per_room=0.02)
+
+
 def deep_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
     """A 1x45 corridor; built with unbalanced_bsp=True its BSP is a
     depth-44 path, exercising camera.traversal_rank's two-word

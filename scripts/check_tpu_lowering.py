@@ -44,15 +44,10 @@ def main():
     ang, fh = state.angle, state.floor_height
     sl, ts, ms = state.sector_light, state.timestamp, state.mobj_state
 
-    def paint(lv, x, y, an, f, s_l, t, mstate, with_items):
+    def paint(lv, x, y, an, f, s_l, t, mstate):
         frame = cam.build_seg_frame(lv, cfg, x, y, an, f, s_l, t)
         order = cam.seg_order(lv, cam.traversal_rank(lv, x, y))
-        ip = None
-        if with_items:
-            ip, _ = things.item_pack(
-                lv, cfg, frame, order, x, y, an, f, s_l, mstate
-            )
-        return render_paint(lv, cfg, frame, order, an, x, y, f, items=ip)
+        return render_paint(lv, cfg, frame, order, an, x, y, f)
 
     def scan(lv, x, y, an, f, s_l, t):
         frame = cam.build_seg_frame(lv, cfg, x, y, an, f, s_l, t)
@@ -90,14 +85,10 @@ def main():
         return item_pass(lv, cfg, ip, out["raw"])
 
     checks = [
-        ("render_paint", lambda: jax.jit(
-            lambda *a: paint(*a, with_items=False)
-        ).lower(level, px, py, ang, fh, sl, ts, ms)),
+        ("render_paint", lambda: jax.jit(paint).lower(
+            level, px, py, ang, fh, sl, ts, ms)),
         ("item_pass", lambda: jax.jit(itempass).lower(
             level, px, py, ang, fh, sl, ts, ms)),
-        ("render_paint+items", lambda: jax.jit(
-            lambda *a: paint(*a, with_items=True)
-        ).lower(level, px, py, ang, fh, sl, ts, ms)),
         ("wall_scan_pallas", lambda: jax.jit(scan).lower(
             level, px, py, ang, fh, sl, ts)),
         ("deferred+item_kernel", lambda: jax.jit(deferred).lower(

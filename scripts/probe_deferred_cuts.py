@@ -94,8 +94,11 @@ def main():
             midp["span"], midp["d1"], midp["d2"], midp["d3"],
             midp["d4"], midp["d5"], midp["d6"], midp["cnt"])
 
-    def run(name, cut, n=4):
+    def run(name, cut, n=4, items_inputonly=False):
+        from doomtpu.ops import pallas_items
+
         things._DEFER_ONLY = cut
+        pallas_items._ITEMS_INPUTONLY = items_inputonly
 
         def fn(lv, fr, o, x, y, an, f_h, s_l, m_s, i, l, d, s, rgb, *pf):
             pools = (
@@ -123,11 +126,13 @@ def main():
         print(f"{name:40s} {dt * 1000:8.2f} ms  (compile {comp:.0f}s)",
               flush=True)
         things._DEFER_ONLY = 0
+        pallas_items._ITEMS_INPUTONLY = False
 
     run("cut 4: presence + slot cumsum", 4)
     run("cut 1: + one-hot emission fold", 1)
     run("cut 2: + per-slot sprite math", 2)
     run("cut 3: + mid slot fill", 3)
+    run("cut 5: + item-kernel input pregather", 0, items_inputonly=True)
     run("full deferred (+ composite kernel)", 0)
 
 

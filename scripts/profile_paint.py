@@ -17,7 +17,6 @@ import numpy as np
 def main():
     B = int(os.environ.get("B", 256))
     level_name = os.environ.get("LEVEL", "e1m1")
-    with_items = os.environ.get("ITEMS", "0") != "0"
     from doomtpu.config import RenderConfig
     from doomtpu.engine import DoomEngine
     from doomtpu.render import camera as cam, things
@@ -30,7 +29,7 @@ def main():
     eng = DoomEngine.from_wad_bytes(wad, "e1m1", config=cfg)
     level = eng.level
     NP = int(os.environ.get("NP", 0))
-    print(f"backend={jax.default_backend()} B={B} items={with_items} "
+    print(f"backend={jax.default_backend()} B={B} "
           f"G={level.num_segs} NP={NP} CAP={cap}", flush=True)
     if NP > B:
         # bench-chunk poses: NP spread poses, Morton-sorted, middle
@@ -75,13 +74,9 @@ def main():
         frame = jax.lax.optimization_barrier(frame)
         rank = cam.traversal_rank(lv, x, y)
         order = cam.seg_order(lv, rank)
-        ip = None
-        if with_items:
-            ip, _ = things.item_pack(
-                lv, cfg, frame, order, x, y, an, f, s_l, ms
-            )
-        out = render_paint(lv, cfg, frame, order, an, x, y, f, items=ip)
-        return out["rgb"], out["live_dropped"]
+        out = render_paint(lv, cfg, frame, order, an, x, y, f)
+        # INPUTONLY cuts return early without the counter
+        return out["rgb"], out.get("live_dropped", 0)
 
     f = jax.jit(fn)
     t0 = time.time()

@@ -131,22 +131,6 @@ def main():
             level, frame, order, ang, px, py, fh, sl, state.mobj_state,
         )
 
-        # in-kernel item paint (everything inside ONE kernel)
-        if level.itempaint_ok:
-            def _itempaint(lv, fr, o, an, x, y, f, s_l, ms):
-                ip, _ = things.item_pack(
-                    lv, cfg, fr, o, x, y, an, f, s_l, ms
-                )
-                return render_paint(
-                    lv, cfg, fr, o, an, x, y, f, items=ip
-                )["rgb"]
-
-            timeit(
-                "paint + in-kernel items",
-                _itempaint,
-                level, frame, order, ang, px, py, fh, sl, state.mobj_state,
-            )
-
     # end to end for reference
     from doomtpu.render.frame import render_frame
 

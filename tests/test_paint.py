@@ -236,40 +236,6 @@ def test_paint_full_frame_bit_exact(setup, demo_level, config):
     )
 
 @pytest.mark.parametrize("nviews", [4, 8])
-def test_paint_items_in_kernel_bit_exact(setup, demo_level, config, nviews):
-    """Integrated item paint (sprites + masked mids drawn inside the
-    paint kernel, ops/pallas_paint.py item pass) == the XLA pipeline's
-    full frame, bit for bit; nviews exercises both camera tiles."""
-    from doomtpu.render.frame import render_frame
-    from doomtpu.ops.pallas_paint import render_paint
-
-    level = setup
-    assert level.itempaint_ok
-    views = (VIEWS * 2)[:nviews]
-    px, py, pa, fh, sl, ts = _state(demo_level, views)
-    mp, ma, ms = demo_level.spawn_mobjs()
-    B = len(views)
-    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
-
-    idx_r, rgb_r, aux_r = render_frame(
-        level, config, px, py, pa, fh, sl, mstate, ts
-    )
-
-    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
-    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
-    ipack, iaux = things.item_pack(
-        level, config, frame, order, px, py, pa, fh, sl, mstate
-    )
-    out = render_paint(
-        level, config, frame, order, pa, px, py, fh, items=ipack,
-        interpret=True, unroll=1, gsub=2,
-    )
-    np.testing.assert_array_equal(np.asarray(out["idx"]), np.asarray(idx_r))
-    np.testing.assert_array_equal(np.asarray(out["rgb"]), np.asarray(rgb_r))
-    assert int(np.asarray(out["overflow"]).max()) == 0
-
-
-@pytest.mark.parametrize("nviews", [4, 8])
 def test_item_pass_kernel_bit_exact(setup, demo_level, config, nviews):
     """Standalone item-pass kernel (ops/pallas_itempass.py: billboard
     math + sprite seg clip + mid-pool match + painter fold in VMEM over
@@ -357,6 +323,81 @@ def test_paint_live_capacity(setup, demo_level, config):
 
     # cap of 2 certainly drops segs somewhere: the counter must say so
     cfg_tiny = dataclasses.replace(config, paint_live_capacity=2)
+    out_tiny = render_paint(
+        level, cfg_tiny, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    assert int(np.asarray(out_tiny["live_dropped"])) > 0
+
+
+def test_paint_percam_compact_bit_exact(setup, demo_level, config):
+    """Per-camera live-list compaction (paint_percam_compact): every
+    output bit-identical to the union-list kernel — each camera still
+    processes exactly its own live segs in traversal order — with a
+    capacity at the PER-CAMERA peak (below the union peak) still exact
+    and live_dropped == 0; a cap of 2 must report drops."""
+    import dataclasses
+
+    from doomtpu.ops.pallas_paint import render_paint
+
+    level = setup
+    views = (VIEWS * 2)[:8]
+    px, py, pa, fh, sl, ts = _state(demo_level, views)
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    out_ref = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+
+    cfg_pc = dataclasses.replace(config, paint_percam_compact=True)
+    out_pc = render_paint(
+        level, cfg_pc, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    assert int(np.asarray(out_pc["live_dropped"])) == 0
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(out_pc[k]), np.asarray(out_ref[k]), err_msg=k
+        )
+    for a, b in zip(out_pc["midpool"], out_ref["midpool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(out_pc["clippool"], out_ref["clippool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # per-CAMERA peak live count (census math, but per camera instead
+    # of any() over the tile): a cap there is exact in percam mode
+    G = level.num_segs
+    NBW = (config.width + 127) // 128
+    o = np.asarray(order)
+    pact = np.take_along_axis(
+        np.asarray(frame["active"]).any(-1), o, axis=1
+    )
+    x0 = np.take_along_axis(np.asarray(jmath.as_i16(frame["x0"])), o, 1)
+    x1 = np.take_along_axis(np.asarray(jmath.as_i16(frame["x1"])), o, 1)
+    wlo = np.arange(NBW)[None, None] * 128
+    live = pact[..., None] & (x0[..., None] < wlo + 128) & (
+        x1[..., None] >= wlo
+    )
+    cnt_b = live.sum(1)                                   # [B, NBW]
+    cfg_cap = dataclasses.replace(
+        config, paint_percam_compact=True,
+        paint_live_capacity=int(cnt_b.max()) + 1,
+    )
+    out_cap = render_paint(
+        level, cfg_cap, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    assert int(np.asarray(out_cap["live_dropped"])) == 0
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip"):
+        np.testing.assert_array_equal(
+            np.asarray(out_cap[k]), np.asarray(out_ref[k]), err_msg=k
+        )
+
+    cfg_tiny = dataclasses.replace(
+        config, paint_percam_compact=True, paint_live_capacity=2
+    )
     out_tiny = render_paint(
         level, cfg_tiny, frame, order, pa, px, py, fh, interpret=True,
         unroll=1, gsub=2,

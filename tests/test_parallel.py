@@ -50,6 +50,71 @@ def test_sharded_tick_and_render(engine):
     assert (np.asarray(idx) >= 0).mean() > 0.99
 
 
+def test_sharded_render_matches_at_e1m1_scale():
+    """Sharded == unsharded, bit for bit, at REAL scale: the e1m1-scale
+    fixture (736 segs / 216 things) at the full 320x200 — the strongest
+    multi-chip correctness evidence a single-host CPU mesh can give."""
+    from doomtpu.config import RenderConfig
+
+    cfg = RenderConfig(width=320, height=200, span_capacity=48)
+    eng = DoomEngine.from_wad_bytes(
+        synth.e1m1_scale_wad(), "e1m1", config=cfg
+    )
+    t = eng.tables
+    rng = np.random.default_rng(3)
+    poses = []
+    left, right, top, bottom = [float(v) for v in t.bbox]
+    while len(poses) < 8:
+        x = rng.uniform(left, right)
+        y = rng.uniform(top, bottom)
+        s = t.sector_at(x, y)
+        if s >= 0 and t.sector_floor_h[s] < t.sector_ceil_h[s]:
+            poses.append((x, y, rng.uniform(0, 2 * np.pi)))
+    poses = np.asarray(poses, np.float32)
+    state = eng.new_game(
+        8, pos=poses[:, :2], angle=poses[:, 2], key=jax.random.PRNGKey(2)
+    )
+    idx_ref, rgb_ref = eng.render(state)
+
+    sstate = shard_batch(state, make_mesh())
+    idx_sh, rgb_sh = eng.render(sstate)
+    assert len(idx_sh.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(idx_sh), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(rgb_sh), np.asarray(rgb_ref))
+
+
+def test_sharded_rollout_matches_single_device(engine):
+    """A 32-tick engine.rollout (step + render under lax.scan, chained
+    as 2 x 16-tick jits) is bit-identical sharded vs unsharded — the
+    RL-workload equivalence the bench rollout relies on."""
+    B, T = 16, 32
+    state = engine.new_game(batch=B, key=jax.random.PRNGKey(4))
+    controls = jnp.tile(
+        jnp.asarray([KEY_UP, 0, KEY_UP, KEY_UP], jnp.int32)[:, None],
+        (T // 4, B),
+    ).reshape(T, B)
+    key = jax.random.PRNGKey(5)
+    fin_ref, frames_ref = engine.rollout(
+        state, controls, key, max_ticks_per_jit=16
+    )
+
+    # controls ride as a replicated [T, B] constant; sharding the STATE
+    # is what drives GSPMD to partition the whole scan along env
+    sstate = shard_batch(state, make_mesh())
+    fin_sh, frames_sh = engine.rollout(
+        sstate, controls, key, max_ticks_per_jit=16
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frames_sh), np.asarray(frames_ref)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fin_sh.pos), np.asarray(fin_ref.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fin_sh.mobj_state), np.asarray(fin_ref.mobj_state)
+    )
+
+
 def test_graft_dryrun():
     import __graft_entry__ as ge
 

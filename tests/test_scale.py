@@ -167,3 +167,66 @@ def test_max_visible_cap_bit_exact(info):
         outs[maxn] = (np.asarray(idx), np.asarray(rgb))
     np.testing.assert_array_equal(outs[0][0], outs[320][0])
     np.testing.assert_array_equal(outs[0][1], outs[320][1])
+
+
+def test_huge_map_paint_capped_bit_exact(info):
+    """An ~8k-seg map (synth.huge_level, above paint_max_segs) through
+    the CAPPED paint kernel == the scan+resolve pipeline, bit for bit,
+    with live_dropped == 0: a paint_live_capacity makes the per-(tile,
+    block) packs cap-rows — independent of map size — so the paint path
+    serves ANY map (frame.paint_available).  The reference renders all
+    sizes through one path (src/renderer/segs.rs:353-590)."""
+    import jax.numpy as jnp
+
+    from doomtpu.ops.pallas_paint import render_paint
+    from doomtpu.render import camera as cam, resolve as res, walls
+
+    mt, assets, level = _load(synth.huge_level, info)
+    assert level.num_segs > 8000
+    assert level.paint_ok
+    # per-camera live peak over these views: 1268 of 8490 segs (long
+    # sky-ceiling sightlines keep segs live pre-occlusion) — the packs
+    # are still 6.5x smaller than the uncapped Gp, and G-independent
+    cfg = RenderConfig(
+        width=128, height=48, span_capacity=224, clip_capacity=160,
+        mid_capacity=24, paint_live_capacity=1312,
+        paint_percam_compact=True,
+    )
+    assert level.num_segs > cfg.paint_max_segs
+
+    rng = np.random.default_rng(11)
+    views = []
+    while len(views) < 4:
+        x = float(rng.uniform(64, 40 * 192 - 64))
+        y = float(rng.uniform(64, 36 * 192 - 64))
+        s = mt.sector_at(x, y)
+        if s >= 0 and mt.sector_floor_h[s] < mt.sector_ceil_h[s]:
+            views.append((x, y, float(rng.uniform(0, 2 * np.pi))))
+    B = len(views)
+    px = jnp.asarray([v[0] for v in views], jnp.float32)
+    py = jnp.asarray([v[1] for v in views], jnp.float32)
+    pa = jnp.asarray([v[2] for v in views], jnp.float32)
+    fh = jnp.asarray(
+        [float(mt.sector_floor_h[mt.sector_at(v[0], v[1])]) for v in views],
+        jnp.float32,
+    )
+    sl = jnp.asarray(mt.sector_light, jnp.int32)[None].repeat(B, 0)
+    ts = jnp.zeros(B, jnp.float32)
+
+    frame = cam.build_seg_frame(level, cfg, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    pool, cnt, povf = walls.wall_scan(level, cfg, frame, order)
+    assert int(np.asarray(povf).max()) == 0
+    idx_r, light_r, dist_r, sky_r = res.resolve_frame(
+        level, cfg, frame, pool, cnt, px, py, pa, fh
+    )
+    rgb_r = res.shade(level, idx_r, light_r, dist_r, sky_r, onehot=False)
+
+    out = render_paint(
+        level, cfg, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    assert int(np.asarray(out["live_dropped"])) == 0
+    assert int(np.asarray(out["overflow"]).max()) == 0
+    np.testing.assert_array_equal(np.asarray(out["idx"]), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(out["rgb"]), np.asarray(rgb_r))
