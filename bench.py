@@ -64,26 +64,49 @@ def main() -> int:
         # 64 random views on the e1m1-scale fixture peak at 46
         # spans/column (tests/test_scale.py measures this)
         span_capacity=48,
+        # TRUE per-column peaks over all 2048 bench poses, measured on
+        # the v5e with oversized pools (scripts/probe_bench_capacities,
+        # 2026-08-19): cnt_mid 16, cnt_clip 51, item presence 20.  The
+        # round-2 defaults (8/24/8) silently dropped work at these
+        # poses — the warmup assert below now enforces honesty.  Items
+        # get +4 margin because the timed loop ticks the sim (sprite
+        # frames change size); mid/clip counts are geometry-only.
+        mid_capacity=int(os.environ.get("DOOMTPU_BENCH_KM", 16)),
+        clip_capacity=int(os.environ.get("DOOMTPU_BENCH_KC", 56)),
+        item_capacity=int(os.environ.get("DOOMTPU_BENCH_KI", 24)),
         use_pallas_scan=use_pallas and jax.default_backend() != "cpu",
         # paint-at-emit kernel (ops/pallas_paint.py): the fast path when
         # the level is eligible; frame.paint_available falls back cleanly
         use_pallas_paint=use_paint and jax.default_backend() != "cpu",
         # standalone item-pass kernel (ops/pallas_itempass.py)
         use_item_pass_kernel=use_itempass,
-        # compacted live-seg list capacity (0 = exact/full).  416 rides
-        # ~8% above the e1m1-scale bench-pose census max of 385
-        # (scripts/probe_visits.py) and measured 1902 -> 2175 f/s on the
-        # v5e (tpu_measure4, 2026-08-19); the warmup below asserts
-        # live_dropped == 0 so an undersized cap can never ship wrong
-        # bench pixels silently (tests/test_paint.py proves the counter
-        # catches any excess).
-        paint_live_capacity=int(
-            os.environ.get("DOOMTPU_BENCH_PAINTCAP", 416)
-        ),
-        # per-camera live lists (see config.py) — A/B knob until the
-        # v5e sweep picks the default
+        # per-camera live lists (config.py): A/B knob, default OFF.
+        # Sweep #6 measured percam CAP=256 winning the paint stage
+        # (72.3 vs 88.6 ms/chunk union CAP=416) but sweep #7's
+        # END-TO-END bench flipped it hard: 798.7 f/s percam vs 1439.0
+        # union at the same honest pools — the 8x-wider compaction
+        # metadata costs far more in the full pipeline than the
+        # paint-stage probes showed (PERF.md sweep #7).
         paint_percam_compact=(
             os.environ.get("DOOMTPU_BENCH_PERCAM", "0") != "0"
+        ),
+        # compacted live-seg list capacity (0 = exact/full).  Defaults
+        # ride ~8-14% above the measured bench-pose census peaks
+        # (scripts/probe_visits.py: union 385 -> 416, percam 225 -> 256);
+        # the warmup below asserts live_dropped == 0 so an undersized
+        # cap can never ship wrong bench pixels silently
+        # (tests/test_paint.py proves the counter catches any excess).
+        # NOTE: the census is at the default B=2048, where camera_sort
+        # makes each 8-camera tile spatially coherent; at small B the
+        # tiles are less coherent and the union peak is HIGHER (B=32
+        # trips the assert at 416).  For small-B runs set
+        # DOOMTPU_BENCH_PAINTCAP=0 (exact, uncapped).
+        paint_live_capacity=int(
+            os.environ.get(
+                "DOOMTPU_BENCH_PAINTCAP",
+                256 if os.environ.get("DOOMTPU_BENCH_PERCAM", "0") != "0"
+                else 416,
+            )
         ),
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")

@@ -356,6 +356,10 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # honest bench pools (KC=56, KI=24) put the scoped stack at
+            # ~18 MB — past Mosaic's 16 MB default but nowhere near the
+            # v5e's 128 MB physical VMEM (sweep #6 OOM, 2026-08-19)
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)

@@ -34,8 +34,12 @@ def main():
     from doomtpu.render import camera as cam, things
     from doomtpu.wad import synth
 
+    # honest bench capacities (probe_bench_capacities 2026-08-19)
     cfg = RenderConfig(
         span_capacity=48, max_visible_mobjs=320,
+        mid_capacity=int(os.environ.get("KM", 16)),
+        clip_capacity=int(os.environ.get("KC", 56)),
+        item_capacity=int(os.environ.get("KI", 24)),
         use_pallas_paint=True, use_pallas_scan=True,
     )
     eng = DoomEngine.from_wad_bytes(synth.e1m1_scale_wad(), "e1m1",

@@ -24,7 +24,14 @@ def main():
     from doomtpu.wad import synth
 
     cap = int(os.environ.get("CAP", 0))
-    cfg = RenderConfig(span_capacity=48, paint_live_capacity=cap)
+    # honest bench capacities (probe_bench_capacities 2026-08-19):
+    # the clip/mid pool sizes shape the kernel's emit + DMA costs, so
+    # paint timings must ride the same pools the bench ships
+    cfg = RenderConfig(
+        span_capacity=48, paint_live_capacity=cap,
+        mid_capacity=int(os.environ.get("KM", 16)),
+        clip_capacity=int(os.environ.get("KC", 56)),
+    )
     wad = synth.demo_wad() if level_name == "demo" else synth.e1m1_scale_wad()
     eng = DoomEngine.from_wad_bytes(wad, "e1m1", config=cfg)
     level = eng.level
