@@ -27,6 +27,12 @@ from doomtpu.config import RenderConfig
 from doomtpu.info import load_default_tables
 from doomtpu.info.tables import InfoTables
 from doomtpu.level.tables import MapTables
+from doomtpu.render.camsort import (
+    camera_sort_key as _camera_sort_key,
+    sort_shards as _sort_shards,
+    sort_state as _sort_state,
+    unsort_out as _unsort_out,
+)
 from doomtpu.render.device import DeviceLevel
 from doomtpu.render.frame import render_frame, render_walls_planes
 from doomtpu.sim import step as step_mod
@@ -36,7 +42,10 @@ from doomtpu.wad.reader import WadFile
 
 
 class Clock:
-    """16-sample rolling FPS average (game.rs:47-92)."""
+    """35 Hz tick derivation + 16-sample rolling FPS average
+    (game.rs:47-92): `ticks` is the total CLOCK_HZ ticks elapsed since
+    start, so the shell's evolve loop can run exactly the missed ticks
+    (game.rs:469-483) instead of one tick per rendered frame."""
 
     def __init__(self, samples: int = 16):
         self.samples = samples
@@ -44,9 +53,13 @@ class Clock:
         self.index = 0
         self.rolling_sum = 0.0
         self.timestamp = 0.0
+        self.ticks = 0
 
     def add_elapsed_interval(self, interval: float) -> None:
+        from doomtpu.config import CLOCK_HZ
+
         self.timestamp += interval
+        self.ticks = int(self.timestamp * CLOCK_HZ)   # game.rs:73
         self.rolling_sum -= self.list[self.index]
         self.rolling_sum += interval
         self.list[self.index] = interval
@@ -106,12 +119,18 @@ class DoomEngine:
         )
 
     def render(self, state: GameState):
-        """Full frame -> (idx [B,H,W], rgb packed 0xRRGGBB [B,H,W])."""
-        return _render_jit(self.level, state, self.config)
+        """Full frame -> (idx [B,H,W], rgb packed 0xRRGGBB [B,H,W]).
+
+        When `state` is sharded over a device mesh, the camera sort
+        runs WITHIN shards (communication-free) — the permutation only
+        affects kernel tile coherence, never pixel values."""
+        return _render_jit(self.level, state, self.config,
+                           _sort_shards(state))
 
     def render_walls(self, state: GameState):
         """Walls/planes/sky only (no things) -> (idx, rgb)."""
-        return _render_walls_jit(self.level, state, self.config)
+        return _render_walls_jit(self.level, state, self.config,
+                                 _sort_shards(state))
 
     def render_counters(self, state: GameState):
         """Summed capacity counters for a full render of `state`:
@@ -123,8 +142,31 @@ class DoomEngine:
         warmup so a fast-but-lossy config can never ship silently."""
         return jax.tree_util.tree_map(
             lambda x: int(np.asarray(x)),
-            _render_counters_jit(self.level, state, self.config),
+            _render_counters_jit(self.level, state, self.config,
+                                 _sort_shards(state)),
         )
+
+    def render_walls_counters(self, state: GameState):
+        """Capacity counters for a walls/planes-only render (the subset
+        render_walls exercises): {overflow, live_dropped}.  Lets callers
+        that skip the item pass (e.g. DOOMTPU_BENCH_THINGS=0) still
+        assert paint_live_capacity / span pools dropped nothing."""
+        return jax.tree_util.tree_map(
+            lambda x: int(np.asarray(x)),
+            _render_walls_counters_jit(self.level, state, self.config,
+                                       _sort_shards(state)),
+        )
+
+    def calibrate(self, states) -> "DoomEngine":
+        """Return a copy of this engine whose pool capacities are
+        measured from an uncapped census of `states` (a GameState or
+        list) — see doomtpu/calibrate.py.  Renders of exactly those
+        states are then guaranteed drop-free (counters == 0)."""
+        from dataclasses import replace
+
+        from doomtpu.calibrate import calibrated_config
+
+        return replace(self, config=calibrated_config(self, states))
 
     def tick(self, state: GameState, controls, key) -> GameState:
         return _tick_jit(
@@ -144,17 +186,19 @@ class DoomEngine:
         max_ticks_per_jit=0 to run one unchained scan."""
         T = controls_seq.shape[0]
         keys = jax.random.split(key, T)
+        shards = _sort_shards(state)
         S = max_ticks_per_jit
         if not S or T <= S:
             return _rollout_jit(
                 self.level, self.thinkers, self.config, state,
-                controls_seq, keys, return_frames,
+                controls_seq, keys, return_frames, shards,
             )
         outs = []
         for s0 in range(0, T, S):
             state, out = _rollout_jit(
                 self.level, self.thinkers, self.config, state,
                 controls_seq[s0:s0 + S], keys[s0:s0 + S], return_frames,
+                shards,
             )
             outs.append(out)
         return state, jnp.concatenate(outs, axis=0)
@@ -232,48 +276,22 @@ def _unchunk(out, B):
 
 
 def _camera_sort_perm(state: GameState):
-    """Morton-order cameras by position (+ angle bucket).
-
-    The paint kernel processes cameras in tiles of 8; random viewpoints
-    make each tile's live-seg/live-item set the UNION of 8 unrelated
-    views.  Clustering nearby cameras into the same tile shrinks that
-    union (pure reorder — outputs are unsorted back, bit-identical)."""
-    x = jnp.asarray(state.pos[:, 0], jnp.float32)
-    y = jnp.asarray(state.pos[:, 1], jnp.float32)
-
-    def spread(v):  # interleave 8 bits with zeros
-        v = (v | (v << 8)) & 0x00FF00FF
-        v = (v | (v << 4)) & 0x0F0F0F0F
-        v = (v | (v << 2)) & 0x33333333
-        v = (v | (v << 1)) & 0x55555555
-        return v
-
-    def morton(xq, yq):
-        return spread(xq) | (spread(yq) << 1)
-
-    # coarse region, then view angle, then fine position: FOV-culled
-    # seg sets depend on angle as much as position, so angle must rank
-    # above fine position (measured on the e1m1 fixture: 22984 ->
-    # 15727 live-seg visits vs 21280 for an angle-last key)
-    xr = (x * (1.0 / 1024.0)).astype(jnp.int32) & 0x3F
-    yr = (y * (1.0 / 1024.0)).astype(jnp.int32) & 0x3F
-    aq = (
-        jnp.asarray(state.angle, jnp.float32) * (4.0 / np.pi)
-    ).astype(jnp.int32) & 7
-    xf = (x * 0.015625).astype(jnp.int32) & 0xF
-    yf = (y * 0.015625).astype(jnp.int32) & 0xF
-    key = (morton(xr, yr) << 16) | (aq << 13) | morton(xf, yf)
-    return jnp.argsort(key).astype(jnp.int32)
+    """Global Morton camera permutation (single-shard path; probes and
+    the calibration census use this directly)."""
+    return jnp.argsort(_camera_sort_key(state.pos, state.angle)).astype(
+        jnp.int32
+    )
 
 
-@partial(jax.jit, static_argnums=2)
-def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
+@partial(jax.jit, static_argnums=(2, 3))
+def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig,
+                sort_shards: int = 1):
     B = state.pos.shape[0]
+    S = max(1, sort_shards)
 
-    perm = None
-    if cfg.camera_sort and B > 8:
-        perm = _camera_sort_perm(state)
-        state = jax.tree_util.tree_map(lambda x: x[perm], state)
+    loc = None
+    if cfg.camera_sort and B // S > 8:
+        state, loc = _sort_state(state, B, S)
 
     def one(st):
         idx, rgb, _ = render_frame(
@@ -287,23 +305,24 @@ def _render_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
     out = _chunked(level, state, cfg, one)
     if out[0].shape[0] != B:
         out = _unchunk(out, B)
-    if perm is not None:
-        inv = jnp.argsort(perm).astype(jnp.int32)
-        out = jax.tree_util.tree_map(lambda x: x[inv], out)
+    if loc is not None:
+        out = _unsort_out(out, loc, B, S)
     return out
 
 
-@partial(jax.jit, static_argnums=2)
+@partial(jax.jit, static_argnums=(2, 3))
 def _render_counters_jit(
-    level: DeviceLevel, state: GameState, cfg: RenderConfig
+    level: DeviceLevel, state: GameState, cfg: RenderConfig,
+    sort_shards: int = 1,
 ):
-    # same sorted/chunked pipeline as _render_jit, but the fetched
+    # same sorted/chunked pipeline as _render_jit (counters depend on
+    # tile composition, so the permutation must match), but the fetched
     # outputs are the summed capacity counters (sums are order- and
     # permutation-invariant, so no unsort is needed)
     B = state.pos.shape[0]
-    if cfg.camera_sort and B > 8:
-        perm = _camera_sort_perm(state)
-        state = jax.tree_util.tree_map(lambda x: x[perm], state)
+    S = max(1, sort_shards)
+    if cfg.camera_sort and B // S > 8:
+        state, _ = _sort_state(state, B, S)
 
     def one(st):
         _, _, aux = render_frame(
@@ -325,14 +344,41 @@ def _render_counters_jit(
     return jax.tree_util.tree_map(lambda x: x.sum(), out)
 
 
-@partial(jax.jit, static_argnums=2)
-def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
+@partial(jax.jit, static_argnums=(2, 3))
+def _render_walls_counters_jit(
+    level: DeviceLevel, state: GameState, cfg: RenderConfig,
+    sort_shards: int = 1,
+):
     B = state.pos.shape[0]
+    S = max(1, sort_shards)
+    if cfg.camera_sort and B // S > 8:
+        state, _ = _sort_state(state, B, S)
 
-    perm = None
-    if cfg.camera_sort and B > 8:
-        perm = _camera_sort_perm(state)
-        state = jax.tree_util.tree_map(lambda x: x[perm], state)
+    def one(st):
+        _, _, aux = render_walls_planes(
+            level, cfg,
+            st.pos[:, 0], st.pos[:, 1], st.angle,
+            st.floor_height, st.sector_light, st.timestamp,
+        )
+        zero = jnp.zeros((), jnp.int32)
+        return {
+            k: jnp.asarray(aux.get(k, zero)).sum().astype(jnp.int32)
+            for k in ("overflow", "live_dropped")
+        }
+
+    out = _chunked(level, state, cfg, one)
+    return jax.tree_util.tree_map(lambda x: x.sum(), out)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig,
+                      sort_shards: int = 1):
+    B = state.pos.shape[0]
+    S = max(1, sort_shards)
+
+    loc = None
+    if cfg.camera_sort and B // S > 8:
+        state, loc = _sort_state(state, B, S)
 
     def one(st):
         idx, rgb, _ = render_walls_planes(
@@ -345,21 +391,20 @@ def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig):
     out = _chunked(level, state, cfg, one)
     if out[0].shape[0] != B:
         out = _unchunk(out, B)
-    if perm is not None:
-        inv = jnp.argsort(perm).astype(jnp.int32)
-        out = jax.tree_util.tree_map(lambda x: x[inv], out)
+    if loc is not None:
+        out = _unsort_out(out, loc, B, S)
     return out
 
 
-@partial(jax.jit, static_argnums=(2, 6))
+@partial(jax.jit, static_argnums=(2, 6, 7))
 def _rollout_jit(level, thinkers, cfg, state, controls_seq, keys,
-                 return_frames):
+                 return_frames, sort_shards=1):
     # one jit around the whole scan: without it every surrounding op
     # dispatches individually through the relay (~ms each) and a T-step
     # rollout takes minutes instead of milliseconds
     return step_mod.rollout(
         level, thinkers, cfg, state, controls_seq, None,
-        return_frames=return_frames, keys=keys,
+        return_frames=return_frames, keys=keys, sort_shards=sort_shards,
     )
 
 

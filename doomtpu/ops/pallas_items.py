@@ -34,7 +34,6 @@ Eligibility: `DeviceLevel.items_ok` (atlas rows <= 128).
 from __future__ import annotations
 
 import functools
-import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -54,8 +53,9 @@ SPR_MARK = 1 << 29   # keep in sync with render/things.py
 # measurement only (scripts/probe_deferred_cuts "cut 5"): return after
 # the XLA pre-gather + relayouts that feed the kernel, skipping the
 # kernel itself — attributes the composite's cost between its input
-# build and the in-VMEM fold.  Monkeypatched by the probe.
-_ITEMS_INPUTONLY = _os.environ.get("DOOMTPU_ITEMS_INPUTONLY", "0") != "0"
+# build and the in-VMEM fold.  Monkeypatched by the probe; deliberately
+# no env-var path (see render/things._DEFER_ONLY).
+_ITEMS_INPUTONLY = False
 
 
 def _gather_sub(tab, idx):

@@ -183,8 +183,13 @@ def render_frame(
             sector_light, mobj_state,
         )
         if ipack is None:
+            # carry live_dropped too: render_paint ran with a possible
+            # paint_live_capacity even on an item-less level, and
+            # engine.render_counters defaults missing keys to 0 — an
+            # undersized cap must not pass the exactness check silently
             return out["idx"], out["rgb"], dict(
-                item_aux, overflow=out["overflow"]
+                item_aux, overflow=out["overflow"],
+                live_dropped=out["live_dropped"],
             )
         idx, ld, rgb = item_pass(level, cfg, ipack, out["raw"])
         aux = {

@@ -58,9 +58,10 @@ _PI = np.float32(math.pi)
 # 1 = + one-hot emission fold, 2 = + per-slot sprite math (clip
 # excluded on the clip_in_kernel path), 3 = + mid-pool slot fill.
 # The remainder vs the full pass is the composite kernel.
-import os as _os
-
-_DEFER_ONLY = int(_os.environ.get("DOOMTPU_DEFER_ONLY", "0"))
+# Probe scripts monkeypatch this module attribute between traces; there
+# is deliberately NO env-var path (an env var read at import time would
+# silently corrupt every render in the process).
+_DEFER_ONLY = 0
 MID_MARK = 1 << 30  # item-pool word flag: slot is a masked mid (fill pending)
 SPR_MARK = 1 << 29  # item-pool word flag: slot is a sprite (seg-clippable)
 
@@ -121,6 +122,79 @@ def pools_from_paint(out_or_aux):
     return clip, mid
 
 
+def _sprite_scalars(
+    level: DeviceLevel,
+    cfg: RenderConfig,
+    px, py, angle, floor_height,        # [B]
+    sector_light,                        # [B, SEC]
+    mobj_state,                          # [B, MO]
+):
+    """Per-mobj billboard scalars [B, MO] (renderer/map_objects.rs:37-121)
+    — the sprite half of _select_items, shared with the capacity census
+    (calibrate.py).  Returns None when the level has no mobjs."""
+    MO = level.num_mobjs
+    if MO == 0:
+        return None
+    state = mobj_state                                      # [B, MO]
+    alive = state != 0                                      # S_NULL
+    sprite_ix = level.state_sprite[state]
+    frame_n = level.state_frame[state]
+    bright = level.state_full_bright[state]
+    rot = sprite_rotation(angle[:, None], level.mobj_angle[None])
+    max_frame = level.spr_table.shape[1]
+    frame_ok = frame_n < max_frame
+    pic = level.spr_table[
+        sprite_ix, jnp.minimum(frame_n, max_frame - 1), rot
+    ]
+    valid = alive & frame_ok & (pic >= 0) & (level.mobj_sector[None] >= 0)
+    pic_s = jnp.maximum(pic, 0)
+
+    mx = level.mobj_pos[None, :, 0] - px[:, None]
+    my = level.mobj_pos[None, :, 1] - py[:, None]
+    vpx, vpy = rotate(mx, my, -angle[:, None])
+    w_pic = level.spr_w[pic_s]
+    half = f32(w_pic) / f32(2.0)
+    ok, lsx, lsy, lex, ley, start_off = cam.clip_to_viewport(
+        vpx, vpy + half, vpx, vpy - half
+    )
+    valid = valid & ok
+
+    sec = jnp.maximum(level.mobj_sector, 0)
+    light_m = jnp.where(bright, 255, sector_light[:, sec])
+    ph = f32(floor_height)[:, None] + f32(PLAYER_EYE_HEIGHT)
+    z_f = f32(level.sector_floor_h[sec])[None]
+    pic_h = f32(level.spr_h[pic_s])
+    top_off = f32(level.spr_top[pic_s])
+    bottom_h = z_f - ph
+    top_h = ((z_f + pic_h) - f32(1.0)) - ph
+    off_adj = top_off - pic_h
+    bottom_h = bottom_h + off_adj
+    top_h = top_h + off_adj
+
+    bsx = cam.project_x(cfg, lsx, lsy)
+    bex = cam.project_x(cfg, lex, ley)
+    yb_s = cam.project_y(cfg, lsx, bottom_h)
+    yb_e = cam.project_y(cfg, lex, bottom_h)
+    yt_s = cam.project_y(cfg, lsx, top_h)
+    yt_e = cam.project_y(cfg, lex, top_h)
+    denom_x = f32(bsx - bex)
+    yb_d = f32(yb_s - yb_e) / denom_x
+    yt_d = f32(yt_s - yt_e) / denom_x
+
+    # back-to-front painter position j_of_m WITHOUT a scatter: the
+    # old path argsorted (as_i16(lsx), m) ascending, reversed it,
+    # and scattered positions back; j_of_m[m] is simply MO-1 minus
+    # m's ascending stable position — bit-identical
+    j_of_m = (MO - 1) - stable_positions(as_i16(lsx))        # [B, MO]
+    return dict(
+        valid=valid, pic_s=pic_s, w_pic=w_pic, light_m=light_m,
+        lsx=lsx, lsy=lsy, lex=lex, ley=ley, start_off=start_off,
+        vpx=vpx, vpy=vpy, bsx=bsx, bex=bex,
+        yb_s=yb_s, yb_d=yb_d, yt_s=yt_s, yt_d=yt_d,
+        bottom_h=bottom_h, top_h=top_h, j_of_m=j_of_m,
+    )
+
+
 def _select_items(
     level: DeviceLevel,
     cfg: RenderConfig,
@@ -150,57 +224,19 @@ def _select_items(
 
     # ---------------- sprite scalars [B, MO] -------------------------------
     if MO > 0:
-        state = mobj_state                                      # [B, MO]
-        alive = state != 0                                      # S_NULL
-        sprite_ix = level.state_sprite[state]
-        frame_n = level.state_frame[state]
-        bright = level.state_full_bright[state]
-        rot = sprite_rotation(angle[:, None], level.mobj_angle[None])
-        max_frame = level.spr_table.shape[1]
-        frame_ok = frame_n < max_frame
-        pic = level.spr_table[
-            sprite_ix, jnp.minimum(frame_n, max_frame - 1), rot
-        ]
-        valid = alive & frame_ok & (pic >= 0) & (level.mobj_sector[None] >= 0)
-        pic_s = jnp.maximum(pic, 0)
-
-        mx = level.mobj_pos[None, :, 0] - px[:, None]
-        my = level.mobj_pos[None, :, 1] - py[:, None]
-        vpx, vpy = rotate(mx, my, -angle[:, None])
-        w_pic = level.spr_w[pic_s]
-        half = f32(w_pic) / f32(2.0)
-        ok, lsx, lsy, lex, ley, start_off = cam.clip_to_viewport(
-            vpx, vpy + half, vpx, vpy - half
+        sps = _sprite_scalars(
+            level, cfg, px, py, angle, floor_height, sector_light,
+            mobj_state,
         )
-        valid = valid & ok
-
-        sec = jnp.maximum(level.mobj_sector, 0)
-        light_m = jnp.where(bright, 255, sector_light[:, sec])
-        ph = f32(floor_height)[:, None] + f32(PLAYER_EYE_HEIGHT)
-        z_f = f32(level.sector_floor_h[sec])[None]
-        pic_h = f32(level.spr_h[pic_s])
-        top_off = f32(level.spr_top[pic_s])
-        bottom_h = z_f - ph
-        top_h = ((z_f + pic_h) - f32(1.0)) - ph
-        off_adj = top_off - pic_h
-        bottom_h = bottom_h + off_adj
-        top_h = top_h + off_adj
-
-        bsx = cam.project_x(cfg, lsx, lsy)
-        bex = cam.project_x(cfg, lex, ley)
-        yb_s = cam.project_y(cfg, lsx, bottom_h)
-        yb_e = cam.project_y(cfg, lex, bottom_h)
-        yt_s = cam.project_y(cfg, lsx, top_h)
-        yt_e = cam.project_y(cfg, lex, top_h)
-        denom_x = f32(bsx - bex)
-        yb_d = f32(yb_s - yb_e) / denom_x
-        yt_d = f32(yt_s - yt_e) / denom_x
-
-        # back-to-front painter position j_of_m WITHOUT a scatter: the
-        # old path argsorted (as_i16(lsx), m) ascending, reversed it,
-        # and scattered positions back; j_of_m[m] is simply MO-1 minus
-        # m's ascending stable position — bit-identical
-        j_of_m = (MO - 1) - stable_positions(as_i16(lsx))        # [B, MO]
+        valid = sps["valid"]
+        pic_s, w_pic, light_m = sps["pic_s"], sps["w_pic"], sps["light_m"]
+        lsx, lsy, lex, ley = sps["lsx"], sps["lsy"], sps["lex"], sps["ley"]
+        start_off, vpx, vpy = sps["start_off"], sps["vpx"], sps["vpy"]
+        bsx, bex = sps["bsx"], sps["bex"]
+        yb_s, yb_d = sps["yb_s"], sps["yb_d"]
+        yt_s, yt_d = sps["yt_s"], sps["yt_d"]
+        bottom_h, top_h = sps["bottom_h"], sps["top_h"]
+        j_of_m = sps["j_of_m"]
     else:
         valid = jnp.zeros((B, 0), bool)
 
@@ -472,6 +508,79 @@ def item_pack(
     }
     aux = dict(zero_aux, items_dropped=s["items_dropped"])
     return pack, aux
+
+
+def item_census(
+    level: DeviceLevel,
+    cfg: RenderConfig,
+    frame: dict,
+    pools,
+    px, py, angle, floor_height,        # [B]
+    sector_light,                        # [B, SEC]
+    mobj_state,                          # [B, MO]
+):
+    """UNCAPPED per-column item-presence counts + valid-item totals.
+
+    The census behind auto-capacity calibration (doomtpu/calibrate.py):
+    returns {"n_valid": [B] i32, "presence": [B, W] i32} where
+    `presence[b, w]` is exactly the item-pool occupancy deferred_pass
+    would see with max_visible_mobjs and item_capacity both uncapped
+    (its rc[:, 0, :]), computed WITHOUT any [B, I, W] array:
+
+    - sprite coverage intervals [bsx, bex) are accumulated as a
+      difference array + cumsum (integer-exact)
+    - mid coverage counts the mid-pool slots whose seg is a valid
+      drawable mid (conservatively >= the distinct-item count if a seg
+      ever emitted two mid slots in one column)
+    """
+    B, W = px.shape[0], cfg.width
+    MO = level.num_mobjs
+    dsegs_j = level.dseg_ix
+    D = dsegs_j.shape[0]
+    zero_w = jnp.zeros((B, W), I32)
+    n_valid = jnp.zeros((B,), I32)
+
+    spr_cnt = zero_w
+    if MO > 0:
+        sps = _sprite_scalars(
+            level, cfg, px, py, angle, floor_height, sector_light,
+            mobj_state,
+        )
+        valid = sps["valid"]
+        x0i = as_i16(sps["bsx"])
+        x1i = as_i16(sps["bex"])                       # exclusive
+        lo = jnp.clip(x0i, 0, W)
+        hi = jnp.clip(x1i, 0, W)
+        use = valid & (hi > lo)
+        rows = jnp.arange(B, dtype=I32)[:, None]
+        diff = jnp.zeros((B, W + 1), I32)
+        # masked adds land on the dumped W column (outside the cumsum)
+        diff = diff.at[rows, jnp.where(use, lo, W)].add(1)
+        diff = diff.at[rows, jnp.where(use, hi, W)].add(-1)
+        spr_cnt = jnp.cumsum(diff[:, :W], axis=1)
+        n_valid = n_valid + valid.sum(axis=1).astype(I32)
+
+    mid_cnt = zero_w
+    if D > 0:
+        _, midp = pools
+        m_span, m_d6 = midp["span"], midp["d6"]
+        KMID = m_span.shape[2]
+        m_ok = (
+            jnp.arange(KMID, dtype=I32)[None, None] < midp["cnt"][..., None]
+        )
+        mid_slot = (((m_span >> 29) & 3) == KIND_MID) & m_ok   # [B,W,KMID]
+        dseg_valid = (
+            frame["valid"][:, dsegs_j] & frame["active"][:, dsegs_j, 1]
+        )                                                      # [B, D]
+        valid_of_seg = jnp.zeros((B, level.num_segs), bool)
+        valid_of_seg = valid_of_seg.at[:, dsegs_j].set(dseg_valid)
+        seg_ok = jnp.take_along_axis(
+            valid_of_seg, m_d6.reshape(B, W * KMID), axis=1
+        ).reshape(B, W, KMID)
+        mid_cnt = (mid_slot & seg_ok).sum(axis=2).astype(I32)
+        n_valid = n_valid + dseg_valid.sum(axis=1).astype(I32)
+
+    return {"n_valid": n_valid, "presence": spr_cnt + mid_cnt}
 
 
 def deferred_pass(

@@ -71,6 +71,7 @@ def rollout(
     key,
     return_frames: bool = True,
     keys=None,          # [T, 2] u32: per-tick keys (overrides key)
+    sort_shards: int = 1,
 ):
     """lax.scan rollout: T ticks of step+render (the RL-env workload).
 
@@ -81,7 +82,14 @@ def rollout(
     `keys` lets a caller pre-split the per-tick keys (engine.rollout's
     segment chaining passes slices of one split so chained == unchained
     bit for bit).
+
+    Each tick's render camera-sorts a VIEW of the state (the carried
+    state stays in caller order; frames/checksums are unsorted back) —
+    the same tile-coherence win engine.render gets, re-derived per tick
+    because the poses move.  `sort_shards` keeps the sort shard-local
+    under a device mesh (see render/camsort.py).
     """
+    from doomtpu.render.camsort import sort_state, unsort_out
     from doomtpu.render.frame import render_frame
 
     T = controls_seq.shape[0]
@@ -90,6 +98,7 @@ def rollout(
 
     B = state.pos.shape[0]
     C = cfg.render_chunk
+    S = max(1, sort_shards)
 
     def one_render(st):
         idx, _, _ = render_frame(
@@ -101,16 +110,22 @@ def rollout(
     def body(st, inp):
         controls, k = inp
         st = tick(level, tkt, st, controls, k)
+        loc = None
+        st_r = st
+        if getattr(cfg, "camera_sort", False) and B // S > 8:
+            st_r, loc = sort_state(st, B, S)
         # chunk the render like engine._render_jit: bounds the [B, H, W]
         # working set at large B (an unchunked B=2048 render OOMs)
         if C and B > C and B % C == 0:
             chunks = jax.tree_util.tree_map(
-                lambda x: x.reshape((B // C, C) + x.shape[1:]), st
+                lambda x: x.reshape((B // C, C) + x.shape[1:]), st_r
             )
             out = jax.lax.map(one_render, chunks)
             out = out.reshape((B,) + out.shape[2:])
         else:
-            out = one_render(st)
+            out = one_render(st_r)
+        if loc is not None:
+            out = unsort_out(out, loc, B, S)
         return st, out
 
     final, frames = jax.lax.scan(body, state, (controls_seq, keys))

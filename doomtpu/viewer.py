@@ -14,9 +14,15 @@ import numpy as np
 
 
 def run_viewer(engine, state, print_fps: bool = False, scale: int = 3,
-               max_frames: int | None = None) -> int:
+               max_frames: int | None = None, time_fn=time.time) -> int:
     """max_frames bounds the loop (headless/dummy-driver testing);
-    None = run until quit, like the reference's main_loop."""
+    None = run until quit, like the reference's main_loop.
+
+    Simulation advances on the reference's fixed 35 Hz clock: each
+    frame, the elapsed wall time is added to the Clock and exactly the
+    MISSED ticks are run (game.rs:469-483) — simulation speed is
+    independent of frame rate.  `time_fn` is injectable so tests can
+    drive the loop with simulated frame intervals."""
     try:
         import pygame
     except ImportError:
@@ -39,9 +45,11 @@ def run_viewer(engine, state, print_fps: bool = False, scale: int = 3,
     viewing_map = False
     key = jax.random.PRNGKey(123)
     frame_i = 0
+    tick_i = 0
+    last_tick_processed = 0
 
     while True:
-        t0 = time.time()
+        t0 = time_fn()
         for ev in pygame.event.get():
             if ev.type == pygame.QUIT:
                 return 0
@@ -86,13 +94,18 @@ def run_viewer(engine, state, print_fps: bool = False, scale: int = 3,
         screen.blit(surf, (0, 0))
         pygame.display.flip()
 
-        state = engine.tick(
-            state, jnp.full(state.batch, c, jnp.int32),
-            jax.random.fold_in(key, frame_i),
-        )
+        # evolve (game.rs:469-483): run exactly the ticks the elapsed
+        # wall time implies — none on a fast frame, several on a slow one
         frame_i += 1
-        clock.add_elapsed_interval(time.time() - t0)
+        clock.add_elapsed_interval(time_fn() - t0)
         if print_fps:
             print(f"FPS {clock.fps():.1f}")
+        controls = jnp.full(state.batch, c, jnp.int32)
+        for _ in range(clock.ticks - last_tick_processed):
+            state = engine.tick(
+                state, controls, jax.random.fold_in(key, tick_i)
+            )
+            tick_i += 1
+        last_tick_processed = clock.ticks
         if max_frames is not None and frame_i >= max_frames:
             return 0

@@ -26,8 +26,10 @@ run() {
   shift
   timeout 2400 env "$@" >> "$LOG" 2>&1
 }
-# the shipping default: percam CAP=256, honest pools, asserts on
-run "bench DEFAULT (percam CAP256 honest)" python bench.py
+# NOTE: after sweep #7 the shipped bench default is UNION CAP=416
+# (percam lost end-to-end); pin the percam run explicitly so rerunning
+# this script logs correctly-labeled results
+run "bench PERCAM CAP256 honest" DOOMTPU_BENCH_PERCAM=1 DOOMTPU_BENCH_PAINTCAP=256 python bench.py
 # union A/B at the same honest pools (the sweep-#6 step that OOMed)
 run "bench UNION CAP416 honest" DOOMTPU_BENCH_PERCAM=0 python bench.py
 echo "=== done $(date)" >> "$LOG"

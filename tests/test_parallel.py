@@ -115,6 +115,40 @@ def test_sharded_rollout_matches_single_device(engine):
     )
 
 
+def test_camera_sort_is_shard_local(engine):
+    """The camera sort must add NO cross-device communication: under an
+    env-sharded mesh it runs within shards (render/camsort.py), so the
+    compiled HLO has no all-to-all / collective-permute, and the same
+    collective count as a sort-free compile (the residual all-gathers
+    are a pre-existing GSPMD artifact of the tiny [B, SEC] sector-light
+    lookup, not the sort)."""
+    from dataclasses import replace
+
+    from doomtpu.engine import _render_jit, _sort_shards
+
+    state = shard_batch(
+        engine.new_game(batch=128, key=jax.random.PRNGKey(7)), make_mesh()
+    )
+    S = _sort_shards(state)
+    assert S == 8
+
+    def counts(cfg):
+        txt = _render_jit.lower(
+            engine.level, state, cfg, S
+        ).compile().as_text()
+        return {
+            b: txt.count(b)
+            for b in ("all-to-all", "all-gather", "all-reduce",
+                      "collective-permute", "reduce-scatter")
+        }
+
+    with_sort = counts(engine.config)
+    no_sort = counts(replace(engine.config, camera_sort=False))
+    assert with_sort["all-to-all"] == 0
+    assert with_sort["collective-permute"] == 0
+    assert with_sort == no_sort, (with_sort, no_sort)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as ge
 
