@@ -51,29 +51,9 @@ def main() -> int:
     use_itempass = os.environ.get("DOOMTPU_BENCH_ITEMPASS", "0") != "0"
 
     chunk = int(os.environ.get("DOOMTPU_BENCH_CHUNK", 256))
-    # deferred-pass cost is linear in the selected-item count N; the
-    # e1m1-scale fixture peaks at 284 valid items per camera over the
-    # bench poses (incl. ticks), so a 320 cap drops NOTHING (bit-exact
-    # output, items_dropped == 0 — see tests/test_scale.py) while
-    # cutting every [B, N, W] stage ~22%
-    maxn = int(os.environ.get("DOOMTPU_BENCH_MAXN", 320))
     cfg = RenderConfig(
         width=320, height=200,
         render_chunk=chunk,
-        max_visible_mobjs=maxn,
-        # 64 random views on the e1m1-scale fixture peak at 46
-        # spans/column (tests/test_scale.py measures this)
-        span_capacity=48,
-        # TRUE per-column peaks over all 2048 bench poses, measured on
-        # the v5e with oversized pools (scripts/probe_bench_capacities,
-        # 2026-08-19): cnt_mid 16, cnt_clip 51, item presence 20.  The
-        # round-2 defaults (8/24/8) silently dropped work at these
-        # poses — the warmup assert below now enforces honesty.  Items
-        # get +4 margin because the timed loop ticks the sim (sprite
-        # frames change size); mid/clip counts are geometry-only.
-        mid_capacity=int(os.environ.get("DOOMTPU_BENCH_KM", 16)),
-        clip_capacity=int(os.environ.get("DOOMTPU_BENCH_KC", 56)),
-        item_capacity=int(os.environ.get("DOOMTPU_BENCH_KI", 24)),
         use_pallas_scan=use_pallas and jax.default_backend() != "cpu",
         # paint-at-emit kernel (ops/pallas_paint.py): the fast path when
         # the level is eligible; frame.paint_available falls back cleanly
@@ -89,24 +69,6 @@ def main() -> int:
         # paint-stage probes showed (PERF.md sweep #7).
         paint_percam_compact=(
             os.environ.get("DOOMTPU_BENCH_PERCAM", "0") != "0"
-        ),
-        # compacted live-seg list capacity (0 = exact/full).  Defaults
-        # ride ~8-14% above the measured bench-pose census peaks
-        # (scripts/probe_visits.py: union 385 -> 416, percam 225 -> 256);
-        # the warmup below asserts live_dropped == 0 so an undersized
-        # cap can never ship wrong bench pixels silently
-        # (tests/test_paint.py proves the counter catches any excess).
-        # NOTE: the census is at the default B=2048, where camera_sort
-        # makes each 8-camera tile spatially coherent; at small B the
-        # tiles are less coherent and the union peak is HIGHER (B=32
-        # trips the assert at 416).  For small-B runs set
-        # DOOMTPU_BENCH_PAINTCAP=0 (exact, uncapped).
-        paint_live_capacity=int(
-            os.environ.get(
-                "DOOMTPU_BENCH_PAINTCAP",
-                256 if os.environ.get("DOOMTPU_BENCH_PERCAM", "0") != "0"
-                else 416,
-            )
         ),
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
@@ -136,12 +98,68 @@ def main() -> int:
     ang = np.asarray([p[2] for p in poses], np.float32)
 
     state = engine.new_game(B, key=jax.random.PRNGKey(0), pos=pos, angle=ang)
-    render = engine.render if with_things else engine.render_walls
 
     def checksum(x):
         # a host fetch of a dependent value is the only reliable barrier
         # on relay-backed runtimes (block_until_ready can return early)
         return int(np.asarray(x.sum()))
+
+    # ---- tick chain (sim only, render-config-independent) -------------
+    # Zero controls: poses stay at the censused spots; the thinkers
+    # still animate sprites.  The chain covers the timed renders (ticks
+    # 0..iters-1) AND the rollout (ticks 0..roll_T): mobj animation is
+    # key-independent under zero controls (PRNG keys only drive light
+    # flicker, which no capacity depends on).
+    controls = jnp.zeros(B, jnp.int32)
+    key = jax.random.PRNGKey(1)
+    roll_T = (
+        int(os.environ.get("DOOMTPU_BENCH_ROLLOUT_T", 32))
+        if with_things else 0
+    )
+    chain = [state]
+    for i in range(max(iters, roll_T + 1) - 1):
+        chain.append(
+            engine.tick(chain[-1], controls, jax.random.fold_in(key, i))
+        )
+    checksum(chain[-1].tick)
+    states = chain[:iters]
+
+    # ---- auto-capacity calibration (doomtpu/calibrate.py) -------------
+    # No hand-tuned pool constants: every capacity is measured from an
+    # uncapped census of the exact states rendered below, then asserted
+    # drop-free at warmup.  DOOMTPU_BENCH_* env vars remain as explicit
+    # A/B overrides.
+    t0 = time.time()
+    engine = engine.calibrate(chain)
+    from dataclasses import replace as _replace
+
+    overrides = {}
+    for env_name, fld in (
+        ("DOOMTPU_BENCH_MAXN", "max_visible_mobjs"),
+        ("DOOMTPU_BENCH_SPAN", "span_capacity"),
+        ("DOOMTPU_BENCH_KM", "mid_capacity"),
+        ("DOOMTPU_BENCH_KC", "clip_capacity"),
+        ("DOOMTPU_BENCH_KI", "item_capacity"),
+        ("DOOMTPU_BENCH_PAINTCAP", "paint_live_capacity"),
+    ):
+        v = os.environ.get(env_name)
+        if v is not None:
+            overrides[fld] = int(v)
+    if overrides:
+        engine = _replace(
+            engine, config=_replace(engine.config, **overrides)
+        )
+    c = engine.config
+    print(
+        f"# calibrated in {time.time() - t0:.1f}s: span={c.span_capacity} "
+        f"mid={c.mid_capacity} clip={c.clip_capacity} "
+        f"items={c.item_capacity} maxn={c.max_visible_mobjs} "
+        f"livecap={c.paint_live_capacity}"
+        + (f" overrides={overrides}" if overrides else ""),
+        file=sys.stderr,
+    )
+
+    render = engine.render if with_things else engine.render_walls
 
     # compile + warm up (checksum also warms the sum/fetch path)
     t0 = time.time()
@@ -152,22 +170,16 @@ def main() -> int:
     # exactness guard: every capacity counter must be 0 on the bench
     # workload, or the configured caps (paint_live_capacity above all)
     # would be trading wrong pixels for speed.  Runs once, outside the
-    # timed loop.
-    if with_things:
-        counters = engine.render_counters(state)
-        bad = {k: v for k, v in counters.items() if v != 0}
-        assert not bad, f"bench config drops work: {bad}"
+    # timed loop.  Walls-only runs assert their subset too — the live
+    # cap applies to the walls path regardless of things.
+    counters = (
+        engine.render_counters(state) if with_things
+        else engine.render_walls_counters(state)
+    )
+    bad = {k: v for k, v in counters.items() if v != 0}
+    assert not bad, f"bench config drops work: {bad}"
 
     # timed loop (state advances so frames differ)
-    controls = jnp.zeros(B, jnp.int32)
-    key = jax.random.PRNGKey(1)
-    states = [state]
-    for i in range(iters - 1):
-        states.append(
-            engine.tick(states[-1], controls, jax.random.fold_in(key, i))
-        )
-    checksum(states[-1].tick)
-
     t0 = time.time()
     out = None
     for st in states:
@@ -176,6 +188,44 @@ def main() -> int:
     dt = time.time() - t0
 
     fps = B * iters / dt
+
+    # ---- rollout workload: step+render under lax.scan (the RL-env
+    # product shape, BASELINE configs[4]).  Zero controls keep every
+    # pose inside the censused capacity envelope (the thinkers still
+    # tick, so sprites animate frame to frame); the final state's
+    # counters are asserted below, same honesty bar as the render loop.
+    # Chained 16-tick segments stay far under the relay's ~100 s
+    # single-execution kill (engine.rollout chains bit-identically).
+    rollout = None
+    if with_things and roll_T > 0:
+        seq = jnp.zeros((roll_T, B), jnp.int32)
+        rkey = jax.random.PRNGKey(2)
+        t0 = time.time()
+        fstate, cks = engine.rollout(
+            state, seq, rkey, return_frames=False, max_ticks_per_jit=16
+        )
+        checksum(cks)
+        roll_compile_s = time.time() - t0
+        t0 = time.time()
+        fstate, cks = engine.rollout(
+            state, seq, rkey, return_frames=False, max_ticks_per_jit=16
+        )
+        checksum(cks)
+        roll_dt = time.time() - t0
+        rcounters = engine.render_counters(fstate)
+        rbad = {k: v for k, v in rcounters.items() if v != 0}
+        assert not rbad, f"rollout drops work: {rbad}"
+        rollout = {
+            "value": round(B * roll_T / roll_dt, 1),
+            "unit": "step+render frames/sec/chip",
+            "T": roll_T,
+            "vs_baseline": round(B * roll_T / roll_dt / NORTH_STAR_FPS, 4),
+        }
+        print(
+            f"# rollout: T={roll_T} compile={roll_compile_s:.1f}s "
+            f"run={roll_dt:.3f}s -> {rollout['value']:.1f} f/s/chip",
+            file=sys.stderr,
+        )
     print(
         f"# {source}: B={B} iters={iters} things={with_things} "
         f"compile={compile_s:.1f}s run={dt:.3f}s "
@@ -196,6 +246,10 @@ def main() -> int:
             "things": int(len(t.thing_type)),
         },
         "batch": B,
+        # the RL-product workload (step+render under lax.scan), VERDICT
+        # round-3 #9 — rides inside the single JSON line the driver
+        # records, so both numbers land in BENCH_r{N}.json
+        "rollout": rollout,
     }))
     return 0
 

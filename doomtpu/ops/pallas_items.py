@@ -57,6 +57,17 @@ SPR_MARK = 1 << 29   # keep in sync with render/things.py
 # no env-var path (see render/things._DEFER_ONLY).
 _ITEMS_INPUTONLY = False
 
+# k-outer fold with a dynamic per-camera occupancy bound (KC == 0 path
+# only): the unrolled KI-inner fold runs all KI slots over all H//8
+# y-blocks even though the per-(camera, column-block) occupancy max is
+# far below KI at bench shapes (scripts/probe_item_blockmax).  The
+# k-outer variant bounds the slot loop by max(cnt) per camera row and
+# each slot's y-loop by its live [min ct, max cb] range, carrying the
+# fold through two VMEM scratch planes.  Output-preserving A/B knob.
+import os as _os
+
+ITEMS_KOUTER = _os.environ.get("DOOMTPU_ITEMS_KOUTER", "1") != "0"
+
 
 def _gather_sub(tab, idx):
     return jnp.take_along_axis(tab, idx, axis=0)
@@ -230,6 +241,131 @@ def _kernel(
         lax.fori_loop(0, H // 8, yb_body, 0)
 
 
+def _kernel_kouter(*refs, H, KI, TB):
+    """Occupancy-bounded composite fold (KC == 0).
+
+    Bit-identical to _kernel with KC=0: the farthest->nearest overwrite
+    fold visits slots k = kimax_b-1 .. 0 (slots >= max(cnt) have
+    ok=false on every lane of this (camera, block), so skipping them
+    changes nothing) and each slot only the y-blocks intersecting its
+    live [ct, cb] range (rows outside have cover=false).  The fold
+    state (texel|touched-bit, light/zd word) lives in two VMEM scratch
+    planes; a final pass shades + merges over the background exactly
+    like _kernel's per-y-block epilogue.
+    """
+    (iw_ref, icb_ref, ibt_ref, iot_ref, ilz_ref, iy1_ref,
+     cnt_ref, texq_ref, maskq_ref, idx_in, ld_in, rgb_in,
+     pal_ref) = refs[:13]
+    idx_out, ld_out, rgb_out = refs[13:16]
+    sA, sB = refs[16:18]                         # (H, LANES) i32 scratch
+    zero8 = jnp.zeros((8, LANES), I32)
+    pal0 = _gather_sub(pal_ref[...], zero8)
+    pal1 = _gather_sub(pal_ref[...], zero8 + 1)
+
+    # per-camera occupancy maxes: issue every vector->scalar reduction
+    # back to back so the sync stalls overlap (PERF.md lesson)
+    cnts = [cnt_ref[0, b:b + 1, :] for b in range(TB)]
+    kimaxs = [jnp.max(c) for c in cnts]
+
+    for b in range(TB):
+        cnt_r = cnts[b]
+        kimax_b = jnp.minimum(kimaxs[b], KI)
+
+        # only the touched bit (in sB) must be clean per camera; stale
+        # sA values are masked by `touched` in the final pass
+        sB[...] = jnp.zeros((H, LANES), I32)
+
+        def k_body(kk, carry, b=b, cnt_r=cnt_r, kimax_b=kimax_b):
+            k = kimax_b - 1 - kk                 # farthest slot first
+            word = iw_ref[b, pl.ds(k, 1), :]
+            ct = ((word >> 16) & 0x1FF) - 1
+            cb = ((word << 16) >> 16) - 1
+            bt = ibt_ref[b, pl.ds(k, 1), :]
+            by = bt >> 16
+            ty = (bt << 16) >> 16
+            ot = iot_ref[b, pl.ds(k, 1), :]
+            off_y = ot >> 16
+            th = (ot << 16) >> 16
+            lz = ilz_ref[b, pl.ds(k, 1), :]
+            uy1 = lax.bitcast_convert_type(iy1_ref[b, pl.ds(k, 1), :], F32)
+            ok = k < cnt_r
+            tvw = texq_ref[b, pl.ds(pl.multiple_of(k * 32, 8), 32), :]
+            mvw = maskq_ref[b, pl.ds(pl.multiple_of(k * 8, 8), 8), :]
+            tv = [tvw[j * 8:(j + 1) * 8] for j in range(4)]
+            mv = [jnp.broadcast_to(mvw[j:j + 1], (8, LANES))
+                  for j in range(4)]
+            # live y-block range of this slot (two back-to-back
+            # reductions; an all-dead slot yields lo >= hi -> no body)
+            ylo = jnp.min(jnp.where(ok, jnp.maximum(ct, 0), H))
+            yhi = jnp.max(jnp.where(ok, jnp.minimum(cb, H - 1), -1))
+            yb_lo = ylo // 8
+            yb_hi = yhi // 8 + 1
+
+            def yb_body(yb, c2):
+                ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+                yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
+                cover = ok & (yy8 >= ct) & (yy8 <= cb)
+                ay = f32(yy8 - ty) / f32(by - ty)
+                tyv = as_i16(f32(th) + smul(ay, uy1)) + off_y
+                tyv = wrap_tex(tyv, jnp.maximum(th, 1))
+                word_t = _gather_sub(tv[0], (tyv >> 2) & 7)
+                qh = tyv >> 5
+                for j in range(1, 4):
+                    word_t = jnp.where(
+                        qh == j, _gather_sub(tv[j], (tyv >> 2) & 7), word_t
+                    )
+                texel = (word_t >> ((tyv & 3) * 8)) & 0xFF
+                mword = mv[0]
+                for j in range(1, 4):
+                    mword = jnp.where(qh == j, mv[j], mword)
+                opaque = ((mword >> (tyv & 31)) & 1) != 0
+                write = cover & opaque
+                sA[ys, :] = jnp.where(write, lz, sA[ys, :])
+                sB[ys, :] = jnp.where(write, texel | 0x100, sB[ys, :])
+                return c2
+
+            lax.fori_loop(yb_lo, yb_hi, yb_body, 0)
+            return carry
+
+        lax.fori_loop(0, kimax_b, k_body, 0)
+
+        def fin_body(yb, c2, b=b):
+            ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+            a_blk = sA[ys, :]
+            b_blk = sB[ys, :]
+            touched = (b_blk & 0x100) != 0
+            texel_v = b_blk & 0xFF
+            light_v = a_blk >> 16
+            zd_v = (a_blk << 16) >> 16
+            rgbw = jnp.where(
+                texel_v >= LANES,
+                _gather_lane(pal1, texel_v & (LANES - 1)),
+                _gather_lane(pal0, texel_v & (LANES - 1)),
+            )
+            factor = f32(light_v) / f32(255.0) - smul(
+                f32(zd_v), 1.0 / (16.0 * 256.0)
+            )
+            factor = jnp.maximum(factor, 0.0)
+            packed = jnp.zeros((8, LANES), I32)
+            for shift in (16, 8, 0):
+                chan = f32((rgbw >> shift) & 0xFF)
+                byte = jnp.clip(
+                    jnp.trunc(chan * factor), 0.0, 255.0
+                ).astype(I32)
+                packed = packed | (byte << shift)
+            # a_blk IS the pack16(light, zd) pool word (light <= 255 so
+            # bits 24+ are clear) -> ld_new = a_blk | LD_WRITTEN
+            idx_out[b, ys, :] = jnp.where(
+                touched, texel_v, idx_in[b, ys, :])
+            ld_out[b, ys, :] = jnp.where(
+                touched, a_blk | LD_WRITTEN, ld_in[b, ys, :])
+            rgb_out[b, ys, :] = jnp.where(
+                touched, packed, rgb_in[b, ys, :])
+            return c2
+
+        lax.fori_loop(0, H // 8, fin_body, 0)
+
+
 def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
                     clip=None, vp=None, interpret: bool = False):
     """Fold the per-column item pool into (idx, ld, rgb) on device.
@@ -347,13 +483,20 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
             s = s + x.sum()
         return idx | (s & 1), ld, rgb
 
-    kernel = functools.partial(_kernel, H=H, KI=KI, TB=TB, KC=KC)
+    kouter = ITEMS_KOUTER and KC == 0
+    if kouter:
+        kernel = functools.partial(_kernel_kouter, H=H, KI=KI, TB=TB)
+        scratch = [pltpu.VMEM((H, LANES), jnp.int32)] * 2
+    else:
+        kernel = functools.partial(_kernel, H=H, KI=KI, TB=TB, KC=KC)
+        scratch = []
     outs = pl.pallas_call(
         kernel,
         grid=(B // TB, NBW),
         in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # honest bench pools (KC=56, KI=24) put the scoped stack at

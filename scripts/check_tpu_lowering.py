@@ -84,6 +84,28 @@ def main():
         )
         return item_pass(lv, cfg, ip, out["raw"])
 
+    def deferred_honest(lv, x, y, an, f, s_l, t, mstate):
+        # honest bench pools (KI=24 > 8): clip_in_kernel is off, so the
+        # composite takes the k-outer occupancy-bounded kernel
+        import dataclasses
+
+        hcfg = dataclasses.replace(
+            cfg, mid_capacity=16, clip_capacity=56, item_capacity=24,
+        )
+        frame = cam.build_seg_frame(lv, hcfg, x, y, an, f, s_l, t)
+        order = cam.seg_order(lv, cam.traversal_rank(lv, x, y))
+        out = render_paint(lv, hcfg, frame, order, an, x, y, f)
+        ld = out["ld"]
+        light = (ld >> 16) & 0xFF
+        dist = ((ld & 0xFFFF) << 16) >> 16
+        is_sky = (ld & (1 << 25)) != 0
+        pools = things.pools_from_paint(out)
+        return things.deferred_pass(
+            lv, hcfg, frame, pools, order, x, y, an, f, s_l, mstate,
+            out["idx"], light, dist, is_sky, rgb=out["rgb"],
+            item_kernel=True,
+        )
+
     checks = [
         ("render_paint", lambda: jax.jit(paint).lower(
             level, px, py, ang, fh, sl, ts, ms)),
@@ -92,6 +114,9 @@ def main():
         ("wall_scan_pallas", lambda: jax.jit(scan).lower(
             level, px, py, ang, fh, sl, ts)),
         ("deferred+item_kernel", lambda: jax.jit(deferred).lower(
+            level, px, py, ang, fh, sl, ts, ms)),
+        ("deferred+item_kernel honest KI=24 (k-outer)",
+         lambda: jax.jit(deferred_honest).lower(
             level, px, py, ang, fh, sl, ts, ms)),
     ]
     for name, fn in checks:
