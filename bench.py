@@ -250,6 +250,13 @@ def main() -> int:
         # round-3 #9 — rides inside the single JSON line the driver
         # records, so both numbers land in BENCH_r{N}.json
         "rollout": rollout,
+        # honest ceiling (PERF.md round-4 roofline): exact per-column
+        # rendering at this seg count has a ~20k f/s/chip issue+grid
+        # floor on one v5e; 100k is unreachable without quality trades
+        "ceiling_note": "roofline (PERF.md r4): measured issue floors "
+                        "sum to ~11-13 ms/256-chunk => ~20k f/s/chip "
+                        "architectural ceiling on one v5e; 100k "
+                        "north star unreachable for exact rendering",
     }))
     return 0
 
