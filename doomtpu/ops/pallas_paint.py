@@ -122,6 +122,18 @@ PAINT_STATLOAD = _os.environ.get("DOOMTPU_PAINT_STATLOAD", "0") != "0"
 # instead of TB, with a guarded per-camera copy fallback.  Outputs are
 # identical either way (the fallback arm reproduces the old loads).
 PAINT_SHAREDTEX = _os.environ.get("DOOMTPU_PAINT_SHAREDTEX", "1") != "0"
+# STREAM: drop the seg grid dimension — one grid step per (tile,
+# block); the four seg packs stay HBM-resident and the kernel
+# double-buffer DMAs U*GSUB-seg chunks into scratch.  Targets the
+# measured skeleton wall (~29 us per grid step at CAP=416: per-step
+# block-window machinery, not DMA bytes or count — PERF.md round 4);
+# the streamed pipeline pays the fixed cost once per (tile, block) and
+# overlaps the next chunk's copy with the current chunk's scan.
+# Outputs are bit-identical (same reads, same order).  A/B knob until
+# an END-TO-END bench win adopts it (sweep-#7 lesson).
+PAINT_STREAM = _os.environ.get("DOOMTPU_PAINT_STREAM", "0") != "0"
+# stream-mode chunk buffers (2 = classic double buffering)
+PAINT_NBUF = int(_os.environ.get("DOOMTPU_PAINT_NBUF", "2"))
 # early exit: skip a grid step's whole seg fori once the occlusion
 # state hor is all-ones over the (tile, block) — every later seg's body
 # is a provable no-op (open_ = covered & ~hor is false everywhere; the
@@ -255,33 +267,28 @@ def _gather_2d(tvs, q, c):
 
 
 class _RowView:
-    """Adapter exposing row-slices of one packed [1, N, R, TB] ref under
-    the old multi-ref access pattern ref[0, u, r, ...]; consolidating
+    """Adapter exposing row-slices of one packed SMEM scalar pack under
+    the old multi-ref access pattern view[0, u, r, b]; consolidating
     the per-seg inputs into ONE block per memory space cuts the
     per-grid-step input DMA count from ~23 to ~3.
 
-    With flat_tb set (SMEM refs), the block is [1, N, R*TB] — (row,
-    camera) flattened into the last dim so the SMEM window's pad-to-128
-    is paid once per seg, not once per row (a 4D [.., 17, 8] SMEM
-    window pads 8 -> 128 lanes PER ROW: 768 KB of the 1 MB SMEM)."""
+    The pack flattens (row, camera) into the last dim so the SMEM
+    window's pad-to-128 is paid once per seg, not once per row (a 4D
+    [.., 17, 8] SMEM window pads 8 -> 128 lanes PER ROW: 768 KB of the
+    1 MB SMEM).  Reads go through a LATE-BOUND accessor dict so the
+    same view serves the grid-blocked refs and the streaming path's
+    per-chunk scratch slots (rd is rebound per chunk)."""
 
-    def __init__(self, ref, base, as_f32=False, rows_total=0):
-        self.ref, self.base, self.as_f32 = ref, base, as_f32
+    def __init__(self, rd, base, rows_total=17):
+        self.rd, self.base = rd, base
         self.rows_total = rows_total
 
     def __getitem__(self, idx):
-        # refs carry a leading per-block dim (seg rows are compacted per
-        # (camera tile, column block)): [1, 1, G, ...].  Flattened SMEM
-        # packs are CAMERA-major (b * rows_total + row) — the layout the
-        # composed compaction gather produces without any transpose.
+        # Flattened SMEM packs are CAMERA-major (b * rows_total + row)
+        # — the layout the composed compaction gather produces without
+        # any transpose.
         z, u, r, rest = idx
-        if self.rows_total:
-            v = self.ref[z, 0, u, rest * self.rows_total + self.base + r]
-        else:
-            v = self.ref[z, 0, u, self.base + r, rest]
-        if self.as_f32:
-            v = lax.bitcast_convert_type(v, F32)
-        return v
+        return self.rd["smi"](u, rest * self.rows_total + self.base + r)
 
 
 def _kernel(
@@ -291,8 +298,13 @@ def _kernel(
     # render_paint), the live-seg count, and per-camera scalars
     # (constant over the seg grid dim).  Items are NOT painted here:
     # the mid/clip pools feed things.deferred_pass or the standalone
-    # item-pass kernel (ops/pallas_itempass.py)
-    smi_ref, pf_ref, scnt_ref, plive_ref, uni_ref,
+    # item-pass kernel (ops/pallas_itempass.py).
+    # STREAM mode (cfg/env): the four seg packs arrive as FULL HBM refs
+    # [Bt, NBW, Gc, ...] instead of grid-blocked windows; the kernel
+    # double-buffer DMAs U*GSUB-seg chunks into scratch and the grid
+    # drops its third dimension (per-grid-step machinery was ~29 us/
+    # step at CAP=416 — the measured skeleton wall, PERF.md round 4).
+    smi_ref, pf_ref, scnt_ref, uni_ref,
     camf_ref,       # [1, 1, 4*TB] f32: cos, sin, floor_height, 0
     cami_ref,       # [1, 1, 4*TB] i32: pxi, pyi, sky tx_off, 0
     # VMEM: per-seg field matrix [1, 1, U*GSUB, TB, 128] f32 (SVF_*
@@ -307,25 +319,50 @@ def _kernel(
     m_span, m_d1, m_d2, m_d3, m_d4, m_d5, m_d6,
     c_span, c_d2, c_d6, c_lsx, c_lsy, c_lex, c_ley,
     cntm_ref, cntc_ref, ovf_ref,
-    # scratch
+    # scratch (stream mode appends: svf/smi/pf/uni chunk buffers + DMA
+    # semaphores)
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s, texscr_s, flatscr_s,
-    *, W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, TEXQ_WIDE,
+    *stream_scr,
+    W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, TEXQ_WIDE, STREAM,
 ):
     # shared window loads need the hoisted-setups structure of merged
     # mode (serial per-camera foris keep the classic per-camera loads)
     SHTEX = PAINT_SHAREDTEX and PAINT_MERGEB
+    # late-bound seg-pack accessors: grid mode binds the blocked refs
+    # once; stream mode rebinds to the current chunk's scratch slot
+    # (every consumer — the _RowViews below, paint_wall/paint_plane and
+    # the seg body — reads through this dict at trace time)
+    rd = {}
+    if STREAM:
+        svfbuf_s, smibuf_s, pfbuf_s, unibuf_s, dma_sem = stream_scr
+
+        def bind_rd(slot):
+            rd["svf"] = lambda u: svfbuf_s[
+                slot, 0 if PAINT_STATLOAD else u
+            ]
+            rd["smi"] = lambda u, k: smibuf_s[slot, u, k]
+            rd["pf"] = lambda u, k: pfbuf_s[slot, u, k]
+            rd["uni"] = lambda u, k: unibuf_s[slot, u, k]
+    else:
+        def bind_rd(slot):
+            rd["svf"] = lambda u: svf_ref[
+                0, 0, 0 if PAINT_STATLOAD else u
+            ]
+            rd["smi"] = lambda u, k: smi_ref[0, 0, u, k]
+            rd["pf"] = lambda u, k: pf_ref[0, 0, u, k]
+            rd["uni"] = lambda u, k: uni_ref[0, 0, u, k]
+
+        bind_rd(None)
     # views reconstruct the original per-field refs (same loads, same
     # dtypes — f32 fields bitcast back on read)
-    texid_ref = _RowView(smi_ref, 0, rows_total=17)
-    flatid_ref = _RowView(smi_ref, 4, rows_total=17)
-    pheight_ref = _RowView(smi_ref, 6, rows_total=17)
-    pi_ref = _RowView(smi_ref, 8, rows_total=17)
+    texid_ref = _RowView(rd, 0)
+    flatid_ref = _RowView(rd, 4)
+    pheight_ref = _RowView(rd, 6)
+    pi_ref = _RowView(rd, 8)
 
     wb = pl.program_id(1)
-    gi = pl.program_id(2)
-    n_g = pl.num_programs(2)
+    gi = 0 if STREAM else pl.program_id(2)
 
-    @pl.when(gi == 0)
     def _init():
         # pad lanes (column >= W in the last block) can never be painted
         # or occluded (x1 < W bounds `covered`), so mark them occluded
@@ -348,6 +385,11 @@ def _kernel(
             r[...] = jnp.zeros((TB, KM, LANES), I32)
         for r in (c_span, c_d2, c_d6, c_lsx, c_lsy, c_lex, c_ley):
             r[...] = jnp.zeros((TB, KC, LANES), I32)
+
+    if STREAM:
+        _init()                      # one grid step per (tile, block)
+    else:
+        pl.when(gi == 0)(_init)
 
     # absolute screen column of each lane in this block
     xx = lax.broadcasted_iota(I32, (TB, LANES), 1) + wb * LANES
@@ -459,7 +501,7 @@ def _kernel(
                 # tile-uniform texture id: ONE window load for all TB
                 # cameras; the (rare) divergent-tile fallback copies
                 # each camera's window into scratch under pl.when
-                ut = uni_ref[0, 0, u_, p]
+                ut = rd["uni"](u_, p)
                 sh = ut >= 0
                 tvs = texq_ref[
                     pl.ds(pl.multiple_of(jnp.maximum(ut, 0) * 32, 8), 32),
@@ -496,7 +538,7 @@ def _kernel(
                 # per-(seg, piece, camera) SMEM scalars — NEVER (1,1)
                 # value slices (Mosaic probe: those fail to compile)
                 th_b = jnp.maximum(pi_ref[0, u_, PI_THW + p, b] >> 16, 1)
-                uy1_b = pf_ref[0, 0, u_, b * 4 + p]
+                uy1_b = rd["pf"](u_, b * 4 + p)
                 offy_b = pi_ref[0, u_, PI_OFFY + p, b]
                 light_b = pi_ref[0, u_, PI_LIGHT, b]
                 ldc = (light_b << 16) | LD_WRITTEN
@@ -563,7 +605,7 @@ def _kernel(
             if SHTEX:
                 # tile-uniform flat id (sky bit rides in the word; the
                 # window base strips it) — see the wall-paint comment
-                uf = uni_ref[0, 0, u_, 4 + which]
+                uf = rd["uni"](u_, 4 + which)
                 shf = uf >= 0
                 ufid = jnp.maximum(uf, 0) & ~FLAT_SKY_BIT
                 fvs = flatq_ref[
@@ -698,16 +740,17 @@ def _kernel(
         # loads.  Keep the per-seg loads.
         for uu in range(U):
             u_ = g0 + uu
-            w = svf_ref[0, 0, 0 if PAINT_STATLOAD else u_]  # (TB, 128) f32
+            w = rd["svf"](u_)                            # (TB, 128) f32
             # per-(tile, block, seg) piece-live bits, precomputed on the
             # XLA side: bit p set iff piece p is active for SOME tile
             # camera whose seg row overlaps this column block.  An SMEM
             # scalar branch replaces the old per-piece
             # ((flags & (1<<p)) != 0).any() vector->scalar reductions
-            # (4 sync stalls per seg visit).
+            # (4 sync stalls per seg visit).  The bits ride in uni row
+            # 6 (the uni pack had two spare zero rows).
             pl_bits = (
                 jnp.int32(15) if PAINT_SKIP & 16
-                else plive_ref[0, 0, u_, 0]
+                else rd["uni"](u_, 6)
             )
             bcf, bci = _field_bc(w)
             flags = bci(SVF_FLAGS)
@@ -920,18 +963,67 @@ def _kernel(
 
     # run only the sub-steps that hold live segs for this block: the
     # compacted list puts them first, scnt counts them
-    rem = scnt_ref[0, 0, 0, 0] - gi * (U * GSUB)
-    nsub = jnp.clip((rem + U - 1) // U, 0, GSUB)
-    if PAINT_EXIT:
-        # skip the whole step once this (tile, block) is fully occluded
-        @pl.when((hor_s[...] == 0).any())
-        def _seg_steps():
-            lax.fori_loop(0, nsub, _gsub, 0)
+    UGc = U * GSUB
+    if STREAM:
+        # stream mode: one grid step per (tile, block); the seg packs
+        # are HBM-resident and chunked through double-buffered scratch.
+        # The DMA for chunk ci+1 issues before chunk ci's wait, so the
+        # copy of the next UGc segs overlaps the current chunk's scan.
+        ib = pl.program_id(0)
+        NBUF = svfbuf_s.shape[0]
+        n_ch = jnp.clip(
+            (scnt_ref[0, 0, 0, 0] + UGc - 1) // UGc,
+            0, smi_ref.shape[2] // UGc,
+        )
+
+        def _chunk_dmas(ci, slot):
+            gs = pl.ds(ci * UGc, UGc)
+            return [
+                pltpu.make_async_copy(
+                    src.at[ib, wb, gs], dst.at[slot], dma_sem.at[slot, j]
+                )
+                for j, (src, dst) in enumerate((
+                    (svf_ref, svfbuf_s), (smi_ref, smibuf_s),
+                    (pf_ref, pfbuf_s), (uni_ref, unibuf_s),
+                ))
+            ]
+
+        @pl.when(n_ch > 0)
+        def _stream_chunks():
+            for d in _chunk_dmas(0, 0):
+                d.start()
+
+            def chunk_body(ci, carry):
+                nb = jnp.int32(NBUF)
+                slot = lax.rem(ci.astype(I32), nb)
+
+                @pl.when(ci + 1 < n_ch)
+                def _prefetch():
+                    nxt = ci.astype(I32) + 1
+                    for d in _chunk_dmas(nxt, lax.rem(nxt, nb)):
+                        d.start()
+
+                for d in _chunk_dmas(ci, slot):
+                    d.wait()
+                bind_rd(slot)
+                rem = scnt_ref[0, 0, 0, 0] - ci * UGc
+                nsub = jnp.clip((rem + U - 1) // U, 0, GSUB)
+                lax.fori_loop(0, nsub, _gsub, 0)
+                return carry
+
+            lax.fori_loop(0, n_ch, chunk_body, 0)
     else:
-        lax.fori_loop(0, nsub, _gsub, 0)
+        rem = scnt_ref[0, 0, 0, 0] - gi * UGc
+        nsub = jnp.clip((rem + U - 1) // U, 0, GSUB)
+        if PAINT_EXIT:
+            # skip the whole step once this (tile, block) is occluded
+            @pl.when((hor_s[...] == 0).any())
+            def _seg_steps():
+                lax.fori_loop(0, nsub, _gsub, 0)
+        else:
+            lax.fori_loop(0, nsub, _gsub, 0)
 
     # ---------------- composite + shade at the last grid step ---------------
-    @pl.when(gi == n_g - 1)
     def _finish():
         zero8 = jnp.zeros((8, LANES), I32)
         pal0 = _gather_sub(pal_ref[...], zero8)
@@ -979,6 +1071,11 @@ def _kernel(
             return carry
 
         lax.fori_loop(0, H // 8, fin_body, 0)
+
+    if STREAM:
+        _finish()                    # the single step per (tile, block)
+    else:
+        pl.when(gi == pl.num_programs(2) - 1)(_finish)
 
 
 def build_item_packs(items, B, TB):
@@ -1455,7 +1552,10 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         for w_ in range(2)
     ]
     zrow = jnp.zeros_like(uni_rows[0])
-    uni = jnp.stack(uni_rows + [zrow, zrow], axis=-1)  # [Bt,NBW,Gp,8]
+    # row 6 carries the per-(tile, block, slot) piece-live bits — one
+    # SMEM pack fewer per grid step (consolidation measured neutral,
+    # and stream mode wants one DMA stream fewer)
+    uni = jnp.stack(uni_rows + [plive, zrow], axis=-1)  # [Bt,NBW,Gp,8]
 
     svf_c = lax.bitcast_convert_type(out_i[..., :SVF_FD], F32)
     smi_f = out_i[..., SVF_FD:SVF_FD + smi.shape[-1]].reshape(
@@ -1473,7 +1573,13 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     ]
     tables = [level.tex_q, level.flat_q, level.sky_q, level.palette_words]
 
+    stream = PAINT_STREAM
+
     def seg_spec(x, space):
+        # stream mode: the seg packs stay HBM-resident (full-array ANY
+        # refs); the kernel DMA-chunks them into scratch itself
+        if stream:
+            return pl.BlockSpec(memory_space=pl.ANY)
         if x.ndim == 4:                    # flattened SMEM pack
             return pl.BlockSpec(
                 (1, 1, UG, x.shape[3]), lambda i, w, g: (i, w, g, 0),
@@ -1486,57 +1592,50 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
 
     def cnt_spec4(x):
         return pl.BlockSpec(
-            (1, 1) + x.shape[2:], lambda i, w, g: (i, w, 0, 0),
+            (1, 1) + x.shape[2:], lambda i, w, *_: (i, w, 0, 0),
             memory_space=pltpu.SMEM,
         )
 
     def cam_spec(space):
         return pl.BlockSpec(
-            (1, 1, 4 * TB), lambda i, w, g: (i, 0, 0), memory_space=space
+            (1, 1, 4 * TB), lambda i, w, *_: (i, 0, 0), memory_space=space
         )
 
     def table_spec(x):
         return pl.BlockSpec(
-            x.shape, lambda i, w, g: tuple(0 for _ in x.shape),
+            x.shape, lambda i, w, *_: tuple(0 for _ in x.shape),
             memory_space=pltpu.VMEM,
         )
 
-    # trailing unit dim: Mosaic requires the block's last two dims to be
-    # (8, 128)-divisible or equal to the array dims — (1, 1, UG) lowers
-    # in interpret mode but is rejected on real TPU
-    plive = plive[..., None]
-    plive_spec = pl.BlockSpec(
-        (1, 1, UG, 1), lambda i, w, g: (i, w, g, 0),
-        memory_space=pltpu.SMEM,
-    )
     in_specs = (
         [seg_spec(smi_f, pltpu.SMEM), seg_spec(pf_f, pltpu.SMEM),
-         cnt_spec4(scnt), plive_spec, seg_spec(uni, pltpu.SMEM)]
+         cnt_spec4(scnt), seg_spec(uni, pltpu.SMEM)]
         + [cam_spec(pltpu.SMEM) for _ in cam_inputs]
         + [seg_spec(svf_c, pltpu.VMEM)]
         + [table_spec(x) for x in tables]
     )
 
     fb_spec = pl.BlockSpec(
-        (TB, H, LANES), lambda i, w, g: (i, 0, w), memory_space=pltpu.VMEM
+        (TB, H, LANES), lambda i, w, *_: (i, 0, w),
+        memory_space=pltpu.VMEM,
     )
     mpool_spec = pl.BlockSpec(
-        (TB, KM, LANES), lambda i, w, g: (i, 0, w),
+        (TB, KM, LANES), lambda i, w, *_: (i, 0, w),
         memory_space=pltpu.VMEM,
     )
     cpool_spec = pl.BlockSpec(
-        (TB, KC, LANES), lambda i, w, g: (i, 0, w),
+        (TB, KC, LANES), lambda i, w, *_: (i, 0, w),
         memory_space=pltpu.VMEM,
     )
     # 2D [B, Wp] outputs would give (TB, Wp) blocks, which Mosaic
     # rejects for TB < 8; shape them [B//T, T, Wp] so the block
     # equals the trailing array dims exactly
     cnt_spec = pl.BlockSpec(
-        (1, TB, LANES), lambda i, w, g: (i, 0, w),
+        (1, TB, LANES), lambda i, w, *_: (i, 0, w),
         memory_space=pltpu.VMEM,
     )
     ovf_spec = pl.BlockSpec(
-        (1, 1, TB, 128), lambda i, w, g: (i, w, 0, 0),
+        (1, 1, TB, 128), lambda i, w, *_: (i, w, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -1570,11 +1669,11 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     kernel = functools.partial(
         _kernel, W=W, H=H, TEX_POW2=level.tex_sizes_pow2, U=U,
         KM=KM, KC=KC, TW_ATLAS=TW_ATLAS, TB=TB, GSUB=GSUB,
-        TEXQ_WIDE=level.texq_wide,
+        TEXQ_WIDE=level.texq_wide, STREAM=stream,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(B // TB, NBW, Gc // UG),
+        grid=(B // TB, NBW) if stream else (B // TB, NBW, Gc // UG),
         in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
@@ -1587,12 +1686,19 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             # of the shared texture/flat loads
             pltpu.VMEM((TB * 32, level.tex_q.shape[1]), jnp.int32),
             pltpu.VMEM((TB * 16, LANES), jnp.int32),
-        ],
+        ] + ([
+            # stream-mode chunk buffers + per-(slot, pack) DMA sems
+            pltpu.VMEM((PAINT_NBUF, UG, TB, SVF_FD), jnp.float32),
+            pltpu.SMEM((PAINT_NBUF, UG, TB * 17), jnp.int32),
+            pltpu.SMEM((PAINT_NBUF, UG, 4 * TB), jnp.float32),
+            pltpu.SMEM((PAINT_NBUF, UG, 8), jnp.int32),
+            pltpu.SemaphoreType.DMA((PAINT_NBUF, 4)),
+        ] if stream else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * (2 if stream else 3),
         ),
         interpret=interpret,
-    )(smi_f, pf_f, scnt, plive, uni, *cam_inputs, svf_c, *tables)
+    )(smi_f, pf_f, scnt, uni, *cam_inputs, svf_c, *tables)
 
     idx, ld, rgb = (o[:, :, :W] for o in outs[:3])
     tr = lambda x: jnp.swapaxes(x, 1, 2)[:, :W, :]   # [B,K,Wp] -> [B,W,K]

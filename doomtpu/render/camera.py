@@ -76,14 +76,51 @@ def traversal_rank(level: DeviceLevel, px, py):
     return hi, lo
 
 
+# counting-sort seg order (VERDICT r3 #4): subsector ranks are UNIQUE
+# per camera (two leaf paths differ at their divergence node's bit), so
+# a seg's traversal position decomposes into "segs of
+# earlier-ranked subsectors" + its static within-subsector rank — an
+# O(SS^2) compare-reduce over SUBSECTORS replaces the O(G log^2 G)
+# bitonic [B, G] argsort (SS ~ G/3), and seg_order becomes one scatter
+# (the inverse of a permutation).  Bit-identical to the stable argsort
+# by construction (test_parity pins the inverse property; the paint/
+# scan tests pin the orders).  Module flag for A/B monkeypatching;
+# env override for queued sweeps.
+import os as _os
+
+COUNTING_ORDER = _os.environ.get("DOOMTPU_COUNTING_ORDER", "1") != "0"
+# above this subsector count the [B, SS, SS] compare-reduce's
+# quadratic memory loses to the bitonic argsort (same reasoning as
+# jmath.stable_positions' cutoff)
+COUNTING_SS_MAX = 1024
+
+
+def _counting_ok(level, rank):
+    return (
+        COUNTING_ORDER
+        and not isinstance(rank, tuple)
+        and level.sub_nseg.shape[0] <= COUNTING_SS_MAX
+    )
+
+
+def _seg_positions_by_sub(level: DeviceLevel, rank):
+    """[B, G] traversal position via the subsector decomposition."""
+    nseg = level.sub_nseg                                 # [SS]
+    before = rank[:, None, :] < rank[:, :, None]          # [B, SS, SS]
+    seg_before = (before * nseg[None, None]).sum(-1).astype(I32)
+    return seg_before[:, level.seg_sub] + level.seg_local[None]
+
+
 def seg_order(level: DeviceLevel, rank):
     """[B, G] seg indices in front-to-back draw order.
 
-    Stable argsort on the subsector rank alone: ties (segs of the same
-    subsector) keep ascending seg order, exactly like the recursion.
-    A two-word rank (depth > 31) sorts lexicographically via two stable
-    passes: by the low word first, then by the high word — stability
-    carries the low-word (and seg-index) order through ties.
+    Counting path (default): scatter-invert the positions permutation.
+    Argsort path: stable argsort on the subsector rank alone — ties
+    (segs of the same subsector) keep ascending seg order, exactly
+    like the recursion.  A two-word rank (depth > 31) sorts
+    lexicographically via two stable passes: by the low word first,
+    then by the high word — stability carries the low-word (and
+    seg-index) order through ties.
     """
     if isinstance(rank, tuple):
         hi, lo = rank
@@ -93,6 +130,18 @@ def seg_order(level: DeviceLevel, rank):
         hi_p = jnp.take_along_axis(seg_hi, perm, axis=1)
         perm2 = jnp.argsort(hi_p, axis=1, stable=True)
         return jnp.take_along_axis(perm, perm2, axis=1).astype(I32)
+    if _counting_ok(level, rank):
+        pos = _seg_positions_by_sub(level, rank)          # [B, G]
+        B, G = pos.shape
+        return (
+            jnp.zeros((B, G), I32)
+            .at[jnp.arange(B, dtype=I32)[:, None], pos]
+            .set(
+                jnp.broadcast_to(jnp.arange(G, dtype=I32)[None], (B, G)),
+                unique_indices=True,
+                mode="promise_in_bounds",
+            )
+        )
     seg_rank = rank[:, level.seg_sub]                     # [B, G]
     return jnp.argsort(seg_rank, axis=1, stable=True).astype(I32)
 
@@ -104,7 +153,8 @@ def traversal_positions(level: DeviceLevel, rank):
 
     A seg's position is the number of segs the stable rank-argsort
     places before it: lower subsector rank, or equal rank (same
-    subsector) and lower seg index — i.e. jmath.stable_positions
+    subsector) and lower seg index — the subsector counting
+    decomposition when eligible, else jmath.stable_positions
     (compare-reduce for small maps, double stable argsort above its
     quadratic-memory cutoff).  Two-word ranks (depth > 31) invert the
     seg_order permutation directly: argsort of a permutation IS its
@@ -114,6 +164,8 @@ def traversal_positions(level: DeviceLevel, rank):
     if isinstance(rank, tuple):
         order = seg_order(level, rank)
         return jnp.argsort(order, axis=1, stable=True).astype(I32)
+    if _counting_ok(level, rank):
+        return _seg_positions_by_sub(level, rank)
     return stable_positions(rank[:, level.seg_sub])
 
 

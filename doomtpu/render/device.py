@@ -36,6 +36,20 @@ def _j(x, dtype=None):
     return jnp.asarray(x, dtype=dtype)
 
 
+def _seg_local(seg_sub: np.ndarray) -> np.ndarray:
+    """Per-seg rank within its subsector (#same-subsector segs with a
+    lower index) — the tie-break a stable argsort on subsector rank
+    applies, precomputed statically for the counting-sort seg order."""
+    order = np.argsort(seg_sub, kind="stable")
+    g = len(seg_sub)
+    starts = np.r_[0, np.flatnonzero(np.diff(seg_sub[order])) + 1]
+    sizes = np.diff(np.r_[starts, g])
+    ranks = np.arange(g, dtype=np.int64) - np.repeat(starts, sizes)
+    local = np.empty(g, np.int32)
+    local[order] = ranks.astype(np.int32)
+    return local
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceLevel:
@@ -66,6 +80,11 @@ class DeviceLevel:
     sub_depth: jnp.ndarray       # [SS] i32
     sub_sector: jnp.ndarray      # [SS] i32
     node_child: jnp.ndarray      # [N,2] i32 (raw, bit15 = subsector)
+    sub_nseg: jnp.ndarray        # [SS] i32  segs per subsector
+    seg_local: jnp.ndarray       # [G] i32  seg's rank within its
+    #   subsector (= #same-subsector segs with a lower index); with
+    #   sub_nseg this makes camera.seg_order a counting sort on the
+    #   [B, SS] subsector ranks instead of a [B, G] argsort
 
     # --- sector static attributes ---------------------------------------
     sector_floor_h: jnp.ndarray   # [SEC] i32
@@ -466,6 +485,16 @@ class DeviceLevel:
             sub_depth=_j(t.sub_depth, jnp.int32),
             sub_sector=_j(t.sub_sector, jnp.int32),
             node_child=_j(t.node_child, jnp.int32),
+            sub_nseg=_j(
+                np.bincount(
+                    np.asarray(t.seg_sub),
+                    minlength=t.sub_path_nodes.shape[0],
+                ),
+                jnp.int32,
+            ),
+            # robust to non-contiguous subsector seg ranges: counts
+            # same-subsector predecessors, not i - first_seg
+            seg_local=_j(_seg_local(np.asarray(t.seg_sub)), jnp.int32),
             sector_floor_h=_j(t.sector_floor_h, jnp.int32),
             sector_ceil_h=_j(t.sector_ceil_h, jnp.int32),
             sector_light0=_j(t.sector_light, jnp.int32),

@@ -106,9 +106,22 @@ def main():
             item_kernel=True,
         )
 
+    def paint_stream():
+        # streaming seg-pack pipeline (grid drops its seg dimension;
+        # in-kernel double-buffered HBM->VMEM/SMEM chunk DMAs)
+        from doomtpu.ops import pallas_paint as pp
+
+        old = pp.PAINT_STREAM
+        pp.PAINT_STREAM = True
+        try:
+            return jax.jit(paint).lower(level, px, py, ang, fh, sl, ts, ms)
+        finally:
+            pp.PAINT_STREAM = old
+
     checks = [
         ("render_paint", lambda: jax.jit(paint).lower(
             level, px, py, ang, fh, sl, ts, ms)),
+        ("render_paint STREAM", paint_stream),
         ("item_pass", lambda: jax.jit(itempass).lower(
             level, px, py, ang, fh, sl, ts, ms)),
         ("wall_scan_pallas", lambda: jax.jit(scan).lower(

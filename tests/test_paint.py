@@ -94,6 +94,36 @@ def test_paint_walls_planes_bit_exact(setup, demo_level, config, nviews):
     assert int(np.asarray(out["overflow"]).max()) == 0
 
 
+def test_paint_stream_bit_exact(setup, demo_level, config, monkeypatch):
+    """Streaming seg-pack mode (DOOMTPU_PAINT_STREAM: grid drops its
+    seg dimension; the kernel double-buffer DMAs U*GSUB-seg chunks from
+    HBM) == the grid-blocked kernel, bit for bit.  unroll=1/gsub=2
+    keeps the interpret compile fast while still exercising multiple
+    chunks per (tile, block) and the partial last chunk."""
+    from doomtpu.ops import pallas_paint as pp
+
+    level = setup
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    ref = pp.render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    monkeypatch.setattr(pp, "PAINT_STREAM", True)
+    out = pp.render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip", "overflow"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+    for a, b in zip(out["midpool"], ref["midpool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(out["clippool"], ref["clippool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_paint_wide_texture_bit_exact(config, info):
     """256-wide wall textures (DeviceLevel.texq_wide two-half texel
     fetch) == the XLA pipeline, bit for bit, on a level whose wall/
