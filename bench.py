@@ -140,6 +140,7 @@ def main() -> int:
         ("DOOMTPU_BENCH_KM", "mid_capacity"),
         ("DOOMTPU_BENCH_KC", "clip_capacity"),
         ("DOOMTPU_BENCH_KI", "item_capacity"),
+        ("DOOMTPU_BENCH_KIB", "item_block_capacity"),
         ("DOOMTPU_BENCH_PAINTCAP", "paint_live_capacity"),
     ):
         v = os.environ.get(env_name)
@@ -153,8 +154,8 @@ def main() -> int:
     print(
         f"# calibrated in {time.time() - t0:.1f}s: span={c.span_capacity} "
         f"mid={c.mid_capacity} clip={c.clip_capacity} "
-        f"items={c.item_capacity} maxn={c.max_visible_mobjs} "
-        f"livecap={c.paint_live_capacity}"
+        f"items={c.item_capacity} kib={c.item_block_capacity} "
+        f"maxn={c.max_visible_mobjs} livecap={c.paint_live_capacity}"
         + (f" overrides={overrides}" if overrides else ""),
         file=sys.stderr,
     )

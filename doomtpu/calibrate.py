@@ -112,20 +112,21 @@ def _geom_census(cfg, level, px, py, angle, floor_height, tile,
     }
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 11))
 def _item_census(cfg, level, pool, cnt, px, py, angle, floor_height,
-                 sector_light, timestamp, mobj_state):
+                 sector_light, timestamp, mobj_state, tile):
     frame = cam.build_seg_frame(
         level, cfg, px, py, angle, floor_height, sector_light, timestamp
     )
     pools = things.pools_from_unified(pool, cnt)
     out = things.item_census(
         level, cfg, frame, pools, px, py, angle, floor_height,
-        sector_light, mobj_state,
+        sector_light, mobj_state, tile=tile,
     )
     return {
         "items": out["presence"].max(),
         "n_valid": out["n_valid"].max(),
+        "items_block": out["presence_block"],
     }
 
 
@@ -152,7 +153,7 @@ def calibrated_config(engine, states, margin_q=(8, 32)) -> RenderConfig:
 
     peaks = {k: 0 for k in
              ("span", "mid", "clip", "live_cam", "live_union",
-              "items", "n_valid")}
+              "items", "n_valid", "items_block")}
     span_cap = _round_up(max(cfg.span_capacity, 64), 8)
     while True:
         ccfg = dataclasses.replace(
@@ -198,12 +199,10 @@ def calibrated_config(engine, states, margin_q=(8, 32)) -> RenderConfig:
                 it = _item_census(
                     ccfg, level, pool, cnt, sl.pos[:, 0], sl.pos[:, 1],
                     sl.angle, sl.floor_height, sl.sector_light,
-                    sl.timestamp, sl.mobj_state,
+                    sl.timestamp, sl.mobj_state, tile,
                 )
-                peaks["items"] = max(peaks["items"],
-                                     int(np.asarray(it["items"])))
-                peaks["n_valid"] = max(peaks["n_valid"],
-                                       int(np.asarray(it["n_valid"])))
+                for k in ("items", "n_valid", "items_block"):
+                    peaks[k] = max(peaks[k], int(np.asarray(it[k])))
         if overflow == 0:
             break
         span_cap *= 2          # census pool itself clipped: grow + rerun
@@ -221,6 +220,9 @@ def calibrated_config(engine, states, margin_q=(8, 32)) -> RenderConfig:
         clip_capacity=_round_up(peaks["clip"], pq),
         item_capacity=_round_up(peaks["items"], pq),
         max_visible_mobjs=_round_up(peaks["n_valid"], 32),
+        # block-local item emission (things.deferred_pass): the census
+        # peak is the distinct-live-items-per-(tile, block) bound
+        item_block_capacity=_round_up(peaks["items_block"], pq),
         # +1 forces a full quantum of headroom even at exact multiples
         paint_live_capacity=_round_up(live_peak + 1, lq),
     )

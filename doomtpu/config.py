@@ -50,6 +50,16 @@ class RenderConfig:
     # sprites/masked-mids per screen column); the farthest overflow and
     # are counted in aux["item_overflow"].
     item_capacity: int = 8
+    # Block-local item emission (render/things.deferred_pass): > 0
+    # compacts each (camera tile, 128-column block) to its <= NB live
+    # items BEFORE the presence/cumsum/one-hot emission, replacing the
+    # [B, N, W] / [B, W, N, KI] dense operands (N = max_visible_mobjs
+    # worst case, ~288 calibrated) with [.., NB, 128, KI] ones (census:
+    # ~7 mean / 20 max live items per tile-block).  Bit-identical to
+    # the dense path while aux["item_block_dropped"] == 0 (calibrate()
+    # measures the peak; callers assert the counter like live_dropped).
+    # 0 disables (dense path).
+    item_block_capacity: int = 0
     # Cameras rendered per inner chunk: large batches are processed as a
     # lax.map over chunks so the peak [chunk, H, W] working set stays
     # inside HBM while the output frames accumulate at full batch size.

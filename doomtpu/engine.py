@@ -134,7 +134,8 @@ class DoomEngine:
 
     def render_counters(self, state: GameState):
         """Summed capacity counters for a full render of `state`:
-        {overflow, live_dropped, items_dropped, item_overflow}.
+        {overflow, live_dropped, items_dropped, item_overflow,
+        item_block_dropped}.
 
         Every counter at 0 proves the configured capacities (span/clip/
         mid pools, max_visible_mobjs, paint_live_capacity) dropped
@@ -336,7 +337,7 @@ def _render_counters_jit(
             k: jnp.asarray(aux.get(k, zero)).sum().astype(jnp.int32)
             for k in (
                 "overflow", "live_dropped", "items_dropped",
-                "item_overflow",
+                "item_overflow", "item_block_dropped",
             )
         }
 

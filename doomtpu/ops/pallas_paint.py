@@ -1574,6 +1574,24 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     tables = [level.tex_q, level.flat_q, level.sky_q, level.palette_words]
 
     stream = PAINT_STREAM
+    if stream:
+        # Mosaic HBM memrefs are (1, 128)-tiled on the LAST dim and a
+        # DMA slice must cover whole tiles: a [.., TB, 48] svf slice
+        # fails the hardware AOT with "Slice shape along dimension 4
+        # must be aligned to tiling (128)" (sweep #9) — interpret AND
+        # .lower() both accept it, the AOT pipeline alone rejects.
+        # Pad every seg pack's last dim to a 128 multiple.
+        def pad128(x):
+            lp = (-x.shape[-1]) % 128
+            if lp:
+                x = jnp.pad(
+                    x, [(0, 0)] * (x.ndim - 1) + [(0, lp)]
+                )
+            return x
+
+        smi_f, pf_f, uni, svf_c = (
+            pad128(smi_f), pad128(pf_f), pad128(uni), pad128(svf_c)
+        )
 
     def seg_spec(x, space):
         # stream mode: the seg packs stay HBM-resident (full-array ANY
@@ -1687,11 +1705,14 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             pltpu.VMEM((TB * 32, level.tex_q.shape[1]), jnp.int32),
             pltpu.VMEM((TB * 16, LANES), jnp.int32),
         ] + ([
-            # stream-mode chunk buffers + per-(slot, pack) DMA sems
-            pltpu.VMEM((PAINT_NBUF, UG, TB, SVF_FD), jnp.float32),
-            pltpu.SMEM((PAINT_NBUF, UG, TB * 17), jnp.int32),
-            pltpu.SMEM((PAINT_NBUF, UG, 4 * TB), jnp.float32),
-            pltpu.SMEM((PAINT_NBUF, UG, 8), jnp.int32),
+            # stream-mode chunk buffers (128-padded last dims, see the
+            # pad128 note above) + per-(slot, pack) DMA sems
+            pltpu.VMEM((PAINT_NBUF, UG, TB, 128), jnp.float32),
+            pltpu.SMEM(
+                (PAINT_NBUF, UG, smi_f.shape[-1]), jnp.int32
+            ),
+            pltpu.SMEM((PAINT_NBUF, UG, 128), jnp.float32),
+            pltpu.SMEM((PAINT_NBUF, UG, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((PAINT_NBUF, 4)),
         ] if stream else []),
         compiler_params=pltpu.CompilerParams(

@@ -88,7 +88,13 @@ def traversal_rank(level: DeviceLevel, px, py):
 # env override for queued sweeps.
 import os as _os
 
-COUNTING_ORDER = _os.environ.get("DOOMTPU_COUNTING_ORDER", "1") != "0"
+# Default OFF: sweep #9 measured the counting path LOSING the camera
+# stage on the v5e (INPUTONLY=3: 6.90 ms vs the argsort's 5.70 at
+# NP=2048 CAP=416) — the [B, SS, SS] compare-reduce + [B, G] scatter
+# inversion cost more than the stable bitonic [B, G] argsort they
+# replace at e1m1 scale (SS=237, G=736).  Kept as a knob: the
+# asymptotics favor it on maps where SS^2 << G log^2 G.
+COUNTING_ORDER = _os.environ.get("DOOMTPU_COUNTING_ORDER", "0") != "0"
 # above this subsector count the [B, SS, SS] compare-reduce's
 # quadratic memory loses to the bitonic argsort (same reasoning as
 # jmath.stable_positions' cutoff)

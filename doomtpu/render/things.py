@@ -518,20 +518,28 @@ def item_census(
     px, py, angle, floor_height,        # [B]
     sector_light,                        # [B, SEC]
     mobj_state,                          # [B, MO]
+    tile: int = 1,
 ):
     """UNCAPPED per-column item-presence counts + valid-item totals.
 
     The census behind auto-capacity calibration (doomtpu/calibrate.py):
-    returns {"n_valid": [B] i32, "presence": [B, W] i32} where
-    `presence[b, w]` is exactly the item-pool occupancy deferred_pass
-    would see with max_visible_mobjs and item_capacity both uncapped
-    (its rc[:, 0, :]), computed WITHOUT any [B, I, W] array:
+    returns {"n_valid": [B] i32, "presence": [B, W] i32,
+    "presence_block": [] i32} where `presence[b, w]` is exactly the
+    item-pool occupancy deferred_pass would see with max_visible_mobjs
+    and item_capacity both uncapped (its rc[:, 0, :]), computed WITHOUT
+    any [B, I, W] array:
 
     - sprite coverage intervals [bsx, bex) are accumulated as a
       difference array + cumsum (integer-exact)
     - mid coverage counts the mid-pool slots whose seg is a valid
       drawable mid (conservatively >= the distinct-item count if a seg
       ever emitted two mid slots in one column)
+
+    `presence_block` is the peak count of DISTINCT live items per
+    (camera `tile`, 128-column block) — the block-local emission's
+    item_block_capacity requirement (a superset of the selected-item
+    liveness deferred_pass compacts on, so calibrating to it is always
+    conservative).
     """
     B, W = px.shape[0], cfg.width
     MO = level.num_mobjs
@@ -539,6 +547,15 @@ def item_census(
     D = dsegs_j.shape[0]
     zero_w = jnp.zeros((B, W), I32)
     n_valid = jnp.zeros((B,), I32)
+    LAN = 128
+    NBW = (W + LAN - 1) // LAN
+    wlo = jnp.arange(NBW, dtype=I32)[None, None] * LAN      # [1,1,NBW]
+    T = tile if (tile > 1 and B % tile == 0) else 1
+
+    def tile_any(x):                    # [B, I, NBW] -> [B/T, I, NBW]
+        return x.reshape(B // T, T, x.shape[1], NBW).any(1)
+
+    blk_cnt = jnp.zeros((B // T, NBW), I32)
 
     spr_cnt = zero_w
     if MO > 0:
@@ -559,6 +576,11 @@ def item_census(
         diff = diff.at[rows, jnp.where(use, hi, W)].add(-1)
         spr_cnt = jnp.cumsum(diff[:, :W], axis=1)
         n_valid = n_valid + valid.sum(axis=1).astype(I32)
+        live_spr = (
+            (x0i[..., None] < wlo + LAN) & (x1i[..., None] > wlo)
+            & valid[..., None]
+        )                                                      # [B,MO,NBW]
+        blk_cnt = blk_cnt + tile_any(live_spr).sum(1).astype(I32)
 
     mid_cnt = zero_w
     if D > 0:
@@ -579,8 +601,26 @@ def item_census(
         ).reshape(B, W, KMID)
         mid_cnt = (mid_slot & seg_ok).sum(axis=2).astype(I32)
         n_valid = n_valid + dseg_valid.sum(axis=1).astype(I32)
+        # distinct live mids per block: pool entries scattered into
+        # (block, seg) flags, gathered back per drawable mid
+        G = level.num_segs
+        wblk = jnp.broadcast_to(
+            (jnp.arange(W, dtype=I32) // LAN)[None, :, None], m_d6.shape
+        )
+        tgt = jnp.where(mid_slot & seg_ok, m_d6, G)
+        segblk = jnp.zeros((B, NBW, G + 1), bool).at[
+            jnp.arange(B, dtype=I32)[:, None, None], wblk, tgt
+        ].set(True)                                            # [B,NBW,G+1]
+        live_mid = jnp.swapaxes(
+            segblk[:, :, dsegs_j], 1, 2
+        ) & dseg_valid[..., None]                              # [B,D,NBW]
+        blk_cnt = blk_cnt + tile_any(live_mid).sum(1).astype(I32)
 
-    return {"n_valid": n_valid, "presence": spr_cnt + mid_cnt}
+    return {
+        "n_valid": n_valid,
+        "presence": spr_cnt + mid_cnt,
+        "presence_block": blk_cnt.max(),
+    }
 
 
 def deferred_pass(
@@ -619,6 +659,7 @@ def deferred_pass(
     zero_aux = {
         "items_dropped": jnp.zeros((B,), I32),
         "item_overflow": jnp.zeros((B,), I32),
+        "item_block_dropped": jnp.zeros((), I32),
     }
     if sel_s is None:
         if rgb is not None:
@@ -657,87 +698,14 @@ def deferred_pass(
     )
     mid_slot = (((m_span >> 29) & 3) == KIND_MID) & m_ok         # [B,W,KMID]
 
-    # ---------------- per-item presence [B, N, W] (booleans only) -----------
+    # ---------------- per-item scalars (presence-independent) ---------------
+    one = f32(1.0)
+    fbits = lambda v: lax.bitcast_convert_type(f32(v), I32)
+    fields = {"fl": sel_valid.astype(I32) | (is_spr_sel.astype(I32) << 1)}
     if MO > 0:
         sp = sel_s["spr"]
         x0i = as_i16(sp["bsx"])
         x1i = as_i16(sp["bex"])                                  # exclusive
-        in_range = (xcol[:, None] >= x0i[..., None]) & (
-            xcol[:, None] < x1i[..., None]
-        )
-        pres_spr = in_range & is_spr_sel[..., None]
-    if D > 0:
-        segsel = sel_s["segsel"]                                 # [B, N]
-        want_mid = ~is_spr_sel if MO > 0 else jnp.ones((B, N), bool)
-        presence_d = jnp.zeros((B, D, W), bool)
-        for k in range(KMID):
-            hit = mid_slot[:, :, k]                              # [B, W]
-            presence_d = presence_d | (
-                hit[:, None, :]
-                & (m_d6[:, :, k][:, None, :] == dsegs_j[None, :, None])
-            )
-        present_m = jnp.take_along_axis(
-            presence_d, jnp.clip(sel - MO, 0, D - 1)[..., None], axis=1
-        ) & want_mid[..., None]                                  # [B, N, W]
-    if MO > 0 and D > 0:
-        pres = jnp.where(is_spr_sel[..., None], pres_spr, present_m)
-    elif MO > 0:
-        pres = pres_spr
-    else:
-        pres = present_m
-    pres = pres & sel_valid[..., None]
-
-    # ---------------- emit into the per-column item pool --------------------
-    # Nearest item first (slot 0 = nearest), so a full column drops the
-    # FARTHEST items; the composite then folds farthest -> nearest.
-    # Vectorized (an N-step sequential fori cost ~50 ms at 408 items):
-    # an item's slot is the count of present nearer items (reverse
-    # cumsum along n), and the pool content is gathered with an EXACT
-    # one-hot contraction over n.
-    #
-    # What rides through the contraction is per-ITEM SCALARS [B, N, 2F]
-    # (u16 halves — exactly representable in f32, and a one-hot row has
-    # a single 1.0, so the fold is bit-identical to a gather); ALL
-    # per-column math (billboard u/zd/by/ty interpolation, the sprite
-    # seg clip) then runs POST-emission on [B, W, KI] — KI(8) vs N(320)
-    # is ~40x less arithmetic + HBM traffic than the old [B, N, W]
-    # column stages, with bit-identical results: the same f32 ops in
-    # the same order run on the same folded per-item values, indexed by
-    # pool slot instead of item row.
-    ki_iota = jnp.arange(KI, dtype=I32)[None, None, :]
-    rc = jnp.cumsum(pres[:, ::-1, :].astype(I32), axis=1)[:, ::-1, :]
-    slot = rc - 1
-    fits = slot < KI
-    do = pres & fits
-    icnt = jnp.minimum(rc[:, 0, :], KI)                      # [B, W]
-    item_overflow = (pres & ~fits).sum(axis=(1, 2)).astype(I32)
-    oh = jnp.where(do, slot, -1)                             # [B, N, W]
-
-    def _cut(extra):
-        daux = {"items_dropped": items_dropped,
-                "item_overflow": item_overflow}
-        if rgb is not None:
-            daux["rgb"] = rgb
-        return idx + extra.astype(I32), light, dist, is_sky, daux
-
-    if _DEFER_ONLY == 6:
-        # capacity probe (scripts/probe_bench_capacities.py): the
-        # UNCAPPED per-column item-presence peak — the item_capacity a
-        # workload truly needs — rides the idx channel (probe subtracts
-        # the background idx to recover it)
-        return _cut(rc[:, 0, :].max())
-
-    if _DEFER_ONLY == 4:
-        return _cut(oh.sum() + icnt.sum())
-    onehot = (
-        oh.transpose(0, 2, 1)[..., None] == ki_iota[:, :, None, :]
-    ).astype(jnp.float32)                                    # [B, W, N, KI]
-
-    # ---- per-item scalar fold: [B, N, 2F] x [B, W, N, KI] -------------------
-    fbits = lambda v: lax.bitcast_convert_type(f32(v), I32)
-    fields = {"fl": sel_valid.astype(I32) | (is_spr_sel.astype(I32) << 1)}
-    if MO > 0:
-        one = f32(1.0)
         # identical expressions to the old [B, N, W] stage setup (the
         # [..., None] broadcasts are gone; values are per-item)
         s_len = jnp.sqrt(
@@ -762,6 +730,8 @@ def deferred_pass(
             vpx=fbits(sp["vpx"]), vpy=fbits(sp["vpy"]),
         )
     if D > 0:
+        segsel = sel_s["segsel"]                                 # [B, N]
+        want_mid = ~is_spr_sel if MO > 0 else jnp.ones((B, N), bool)
         fields["segsel"] = segsel
     names = list(fields)
     Fn = len(names)
@@ -769,12 +739,239 @@ def deferred_pass(
     halves_n = jnp.concatenate(
         [f32(src_n & 0xFFFF), f32((src_n >> 16) & 0xFFFF)], axis=-1
     )                                                        # [B, N, 2F]
-    foldv = lax.dot_general(
-        halves_n, onehot,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                                        # [B, 2F, W, KI]
+
+    # ---------------- emit into the per-column item pool --------------------
+    # Nearest item first (slot 0 = nearest), so a full column drops the
+    # FARTHEST items; the composite then folds farthest -> nearest.
+    # Vectorized (an N-step sequential fori cost ~50 ms at 408 items):
+    # an item's slot is the count of present nearer items (reverse
+    # cumsum along n), and the pool content is gathered with an EXACT
+    # one-hot contraction over n.
+    #
+    # What rides through the contraction is per-ITEM SCALARS [B, N, 2F]
+    # (u16 halves — exactly representable in f32, and a one-hot row has
+    # a single 1.0, so the fold is bit-identical to a gather); ALL
+    # per-column math (billboard u/zd/by/ty interpolation, the sprite
+    # seg clip) then runs POST-emission on [B, W, KI] — KI(8) vs N(320)
+    # is ~40x less arithmetic + HBM traffic than the old [B, N, W]
+    # column stages, with bit-identical results: the same f32 ops in
+    # the same order run on the same folded per-item values, indexed by
+    # pool slot instead of item row.
+    #
+    # BLOCK-LOCAL emission (cfg.item_block_capacity = NB > 0): the
+    # census says only ~7 mean / 20 max DISTINCT items are live per
+    # (camera tile, 128-column block) while N is the ~288 worst case —
+    # so the presence/cumsum/one-hot operands above are ~12x denser
+    # than the work.  This path compacts each (tile, block) to its <=NB
+    # live items first (ascending n order preserved), then runs the
+    # same reverse-cumsum + one-hot fold on [.., NB, 128, KI].  When no
+    # (tile, block) exceeds NB (item_block_dropped == 0, calibrated +
+    # asserted exactly like live_dropped) every output is bit-identical
+    # to the dense path: per column the present subset and its order
+    # are unchanged, and the fold arithmetic is the same u16-halves
+    # one-hot contraction.  Truncation keeps the NEAREST items (the
+    # dense path's own full-column policy drops farthest first).
+    ki_iota = jnp.arange(KI, dtype=I32)[None, None, :]
+    blk_dropped = jnp.zeros((), I32)
+    use_blk = (
+        cfg.item_block_capacity > 0 and B % 4 == 0 and _DEFER_ONLY != 6
+    )
+    if use_blk:
+        LAN = 128
+        NBWi = (W + LAN - 1) // LAN
+        Wp = NBWi * LAN
+        TBi = 8 if B % 8 == 0 else 4
+        Bt = B // TBi
+        NB = min(cfg.item_block_capacity, N)
+        wlo = jnp.arange(NBWi, dtype=I32)[None, None] * LAN  # [1,1,NBW]
+
+        # --- block liveness per selected item, unioned over the tile
+        live_i = jnp.zeros((B, N, NBWi), bool)
+        if MO > 0:
+            live_i = live_i | (
+                (x0i[..., None] < wlo + LAN) & (x1i[..., None] > wlo)
+                & is_spr_sel[..., None]
+            )
+        if D > 0:
+            # seg -> block presence from the mid pool via ONE scatter
+            # over the pool entries, then a gather per selected mid
+            wblk = jnp.broadcast_to(
+                (xcol // LAN)[..., None], m_d6.shape
+            )                                                # [B,W,KMID]
+            tgt = jnp.where(mid_slot, m_d6, G)
+            segblk = jnp.zeros((B, NBWi, G + 1), bool).at[
+                jnp.arange(B, dtype=I32)[:, None, None], wblk, tgt
+            ].set(True)                                      # [B,NBW,G+1]
+            live_mid = jnp.take_along_axis(
+                segblk,
+                jnp.clip(segsel, 0, G)[:, None, :], axis=2,
+            ).transpose(0, 2, 1) & want_mid[..., None]       # [B,N,NBW]
+            live_i = live_i | live_mid
+        live_i = live_i & sel_valid[..., None]
+        live_tn = jnp.swapaxes(
+            live_i.reshape(Bt, TBi, N, NBWi).any(1), 1, 2
+        )                                                    # [Bt,NBW,N]
+
+        # keep the NEAREST NB (largest n = nearest; farthest-first
+        # order must survive the truncation)
+        rev = jnp.cumsum(
+            live_tn[:, :, ::-1].astype(I32), axis=2
+        )[:, :, ::-1]                                        # live with >= n
+        keep = live_tn & (rev <= NB)
+        blk_dropped = (live_tn & (rev > NB)).sum().astype(I32)
+        n_iota = jnp.arange(N, dtype=I32)[None, None]
+        ilist = jnp.argsort(
+            jnp.where(keep, n_iota, N + n_iota), axis=-1
+        ).astype(I32)[..., :NB]                              # [Bt,NBW,NB]
+        lval = jnp.take_along_axis(keep, ilist, axis=-1)
+        il_safe = jnp.where(lval, ilist, 0)
+
+        def gatherL(x):
+            """[B, N] -> [Bt, TBi, NBW, NB] at the listed slots."""
+            return jnp.take_along_axis(
+                x.reshape(Bt, TBi, 1, N),
+                jnp.broadcast_to(
+                    il_safe[:, None], (Bt, TBi, NBWi, NB)
+                ),
+                axis=3,
+            )
+
+        colL = (
+            wlo.reshape(1, 1, NBWi, 1, 1)
+            + jnp.arange(LAN, dtype=I32).reshape(1, 1, 1, 1, LAN)
+        )                                                    # block columns
+        svalidL = gatherL(sel_valid.astype(I32)) != 0
+        presL = jnp.zeros((Bt, TBi, NBWi, NB, LAN), bool)
+        if MO > 0:
+            is_sprL = gatherL(is_spr_sel.astype(I32)) != 0
+            in_sprL = (
+                (colL >= gatherL(x0i)[..., None])
+                & (colL < gatherL(x1i)[..., None])
+                & is_sprL[..., None]
+            )
+            presL = presL | in_sprL
+        if D > 0:
+            segL = gatherL(jnp.where(want_mid, segsel, -1))
+            m_d6p = jnp.pad(
+                m_d6, ((0, 0), (0, Wp - W), (0, 0))
+            ).reshape(Bt, TBi, NBWi, LAN, KMID)
+            slotp = jnp.pad(
+                mid_slot, ((0, 0), (0, Wp - W), (0, 0))
+            ).reshape(Bt, TBi, NBWi, LAN, KMID)
+            mid_hitL = (
+                slotp[:, :, :, None]
+                & (m_d6p[:, :, :, None] == segL[..., None, None])
+            ).any(-1)                                        # [..,NB,LAN]
+            presL = presL | mid_hitL
+        presL = presL & (lval & (il_safe < N))[:, None, :, :, None]
+        presL = presL & svalidL[..., None] & (colL < W)
+
+        rcL = jnp.cumsum(
+            presL[:, :, :, ::-1].astype(I32), axis=3
+        )[:, :, :, ::-1]                                     # [..,NB,LAN]
+        slotL = rcL - 1
+        fitsL = slotL < KI
+        doL = presL & fitsL
+        icnt = jnp.minimum(
+            rcL[:, :, :, 0], KI
+        ).reshape(B, Wp)[:, :W]                              # [B, W]
+        item_overflow = (
+            (presL & ~fitsL).sum(axis=(2, 3, 4)).reshape(B).astype(I32)
+        )
+        ohL = jnp.where(doL, slotL, -1)
+
+        def _cut(extra):
+            daux = {"items_dropped": items_dropped,
+                    "item_overflow": item_overflow,
+                    "item_block_dropped": blk_dropped}
+            if rgb is not None:
+                daux["rgb"] = rgb
+            return idx + extra.astype(I32), light, dist, is_sky, daux
+
+        if _DEFER_ONLY == 4:
+            return _cut(ohL.sum() + icnt.sum())
+        onehotL = (
+            ohL[..., None] == jnp.arange(KI, dtype=I32)
+        ).astype(jnp.float32)                        # [..,NB,LAN,KI]
+        halvesL = jnp.take_along_axis(
+            halves_n.reshape(Bt, TBi, 1, N, 2 * Fn),
+            jnp.broadcast_to(
+                il_safe[:, None, :, :, None],
+                (Bt, TBi, NBWi, NB, 2 * Fn),
+            ),
+            axis=3,
+        )                                            # [..,NB,2F]
+        foldv = lax.dot_general(
+            halvesL, onehotL,
+            dimension_numbers=(((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                            # [..,2F,LAN,KI]
+        foldv = (
+            foldv.transpose(0, 1, 3, 2, 4, 5)        # [Bt,TBi,2F,NBW,LAN,KI]
+            .reshape(B, 2 * Fn, Wp, KI)[:, :, :W]
+        )
+    else:
+        # ---------------- dense presence [B, N, W] ---------------------------
+        if MO > 0:
+            in_range = (xcol[:, None] >= x0i[..., None]) & (
+                xcol[:, None] < x1i[..., None]
+            )
+            pres_spr = in_range & is_spr_sel[..., None]
+        if D > 0:
+            presence_d = jnp.zeros((B, D, W), bool)
+            for k in range(KMID):
+                hit = mid_slot[:, :, k]                          # [B, W]
+                presence_d = presence_d | (
+                    hit[:, None, :]
+                    & (m_d6[:, :, k][:, None, :] == dsegs_j[None, :, None])
+                )
+            present_m = jnp.take_along_axis(
+                presence_d, jnp.clip(sel - MO, 0, D - 1)[..., None], axis=1
+            ) & want_mid[..., None]                              # [B, N, W]
+        if MO > 0 and D > 0:
+            pres = jnp.where(is_spr_sel[..., None], pres_spr, present_m)
+        elif MO > 0:
+            pres = pres_spr
+        else:
+            pres = present_m
+        pres = pres & sel_valid[..., None]
+
+        rc = jnp.cumsum(pres[:, ::-1, :].astype(I32), axis=1)[:, ::-1, :]
+        slot = rc - 1
+        fits = slot < KI
+        do = pres & fits
+        icnt = jnp.minimum(rc[:, 0, :], KI)                  # [B, W]
+        item_overflow = (pres & ~fits).sum(axis=(1, 2)).astype(I32)
+        oh = jnp.where(do, slot, -1)                         # [B, N, W]
+
+        def _cut(extra):
+            daux = {"items_dropped": items_dropped,
+                    "item_overflow": item_overflow,
+                    "item_block_dropped": blk_dropped}
+            if rgb is not None:
+                daux["rgb"] = rgb
+            return idx + extra.astype(I32), light, dist, is_sky, daux
+
+        if _DEFER_ONLY == 6:
+            # capacity probe (scripts/probe_bench_capacities.py): the
+            # UNCAPPED per-column item-presence peak — the
+            # item_capacity a workload truly needs — rides the idx
+            # channel (probe subtracts the background idx to recover)
+            return _cut(rc[:, 0, :].max())
+
+        if _DEFER_ONLY == 4:
+            return _cut(oh.sum() + icnt.sum())
+        onehot = (
+            oh.transpose(0, 2, 1)[..., None] == ki_iota[:, :, None, :]
+        ).astype(jnp.float32)                                # [B, W, N, KI]
+        foldv = lax.dot_general(
+            halves_n, onehot,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                    # [B, 2F, W, KI]
+
     vals = foldv[:, :Fn].astype(I32) | (
         foldv[:, Fn:].astype(I32) << 16
     )                                                        # [B, F, W, KI]
@@ -961,7 +1158,8 @@ def deferred_pass(
             interpret=interpret,
         )
         daux = {"items_dropped": items_dropped,
-                "item_overflow": item_overflow, "rgb": rgb2}
+                "item_overflow": item_overflow,
+                "item_block_dropped": blk_dropped, "rgb": rgb2}
         return (
             idx2, (ld2 >> 16) & 0xFF, ((ld2 & 0xFFFF) << 16) >> 16,
             (ld2 & LD_SKY) != 0, daux,
@@ -1050,7 +1248,8 @@ def deferred_pass(
             rgb24 = jnp.where(write, k_rgb24, rgb24)
             touched = touched | write
 
-    daux = {"items_dropped": items_dropped, "item_overflow": item_overflow}
+    daux = {"items_dropped": items_dropped, "item_overflow": item_overflow,
+            "item_block_dropped": blk_dropped}
     if want_rgb:
         # shade the composited item pixels (bitmap_render.rs:190-208)
         # and merge over the kernel-shaded background

@@ -40,6 +40,9 @@ def main():
         mid_capacity=int(os.environ.get("KM", 16)),
         clip_capacity=int(os.environ.get("KC", 56)),
         item_capacity=int(os.environ.get("KI", 24)),
+        # block-local emission; census max at bench poses is 20 ->
+        # KIB=24 carries a quantum of headroom.  0 = dense path.
+        item_block_capacity=int(os.environ.get("KIB", 0)),
         use_pallas_paint=True, use_pallas_scan=True,
     )
     eng = DoomEngine.from_wad_bytes(synth.e1m1_scale_wad(), "e1m1",

@@ -89,3 +89,23 @@ def test_item_census_matches_deferred_occupancy(engine):
     assert probe_peak > 0      # the demo spawn sees items
     assert int(np.asarray(census["presence"].max())) == probe_peak
     assert int(np.asarray(census["n_valid"].max())) > 0
+
+
+def test_block_emission_matches_dense(engine):
+    """Block-local item emission (cfg.item_block_capacity > 0) is
+    bit-identical to the dense [B, N, W] path while its drop counter is
+    0, and the counter fires when a (tile, block) exceeds the cap."""
+    from dataclasses import replace
+
+    state = _states(engine, n=2)[-1]
+    cal = engine.calibrate(state)
+    assert cal.config.item_block_capacity > 0
+    dense = replace(cal, config=replace(cal.config, item_block_capacity=0))
+    i0, r0 = dense.render(state)
+    i1, r1 = cal.render(state)
+    assert cal.render_counters(state)["item_block_dropped"] == 0
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    tiny = replace(cal, config=replace(cal.config, item_block_capacity=1))
+    assert tiny.render_counters(state)["item_block_dropped"] > 0
