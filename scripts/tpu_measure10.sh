@@ -33,6 +33,13 @@ run "deferred cuts KIB=0 (dense ref)" KIB=0 python scripts/probe_deferred_cuts.p
 # 2. STREAM retry with 128-padded seg packs (sweep-#9 AOT fix)
 run "profile_paint STREAM=1 padded" NP=2048 CAP=416 DOOMTPU_PAINT_STREAM=1 python scripts/profile_paint.py
 run "skeleton STREAM=1 padded skip15" NP=2048 CAP=416 DOOMTPU_PAINT_STREAM=1 DOOMTPU_PAINT_SKIP=15 python scripts/profile_paint.py
+# 2b. paint-work decomposition at bench poses (the seg body is
+#     88.8 - 36.4 skeleton = ~52 ms/chunk; attribute walls/planes/emits)
+run "paint skip1 (no walls)" NP=2048 CAP=416 DOOMTPU_PAINT_SKIP=1 python scripts/profile_paint.py
+run "paint skip2 (no planes)" NP=2048 CAP=416 DOOMTPU_PAINT_SKIP=2 python scripts/profile_paint.py
+run "paint skip3 (no paints)" NP=2048 CAP=416 DOOMTPU_PAINT_SKIP=3 python scripts/profile_paint.py
+run "paint skip4 (no emits)" NP=2048 CAP=416 DOOMTPU_PAINT_SKIP=4 python scripts/profile_paint.py
+run "paint skip7 (body only)" NP=2048 CAP=416 DOOMTPU_PAINT_SKIP=7 python scripts/profile_paint.py
 # 3. end-to-end: bench auto-calibrates KIB > 0 by default now
 run "bench KIB auto (candidate)" python bench.py
 run "bench KIB=0 (dense ref)" DOOMTPU_BENCH_KIB=0 python bench.py
