@@ -220,9 +220,17 @@ def calibrated_config(engine, states, margin_q=(8, 32)) -> RenderConfig:
         clip_capacity=_round_up(peaks["clip"], pq),
         item_capacity=_round_up(peaks["items"], pq),
         max_visible_mobjs=_round_up(peaks["n_valid"], 32),
-        # block-local item emission (things.deferred_pass): the census
-        # peak is the distinct-live-items-per-(tile, block) bound
-        item_block_capacity=_round_up(peaks["items_block"], pq),
+        # block-local item emission (things.deferred_pass) measured a
+        # LOSS on v5e (sweep #10 ladder: cut-3 36.4 ms vs 20.25 dense —
+        # the mid-liveness scatter + the [NB, LAN, KMID] mid-presence
+        # compare outweigh the N->NB operand shrink).  Keep it opt-in:
+        # calibrate leaves it at the caller's value; the census peak is
+        # still measured and only substituted when the caller asked for
+        # the block path with a nonzero placeholder capacity.
+        item_block_capacity=(
+            _round_up(peaks["items_block"], pq)
+            if cfg.item_block_capacity > 0 else 0
+        ),
         # +1 forces a full quantum of headroom even at exact multiples
         paint_live_capacity=_round_up(live_peak + 1, lq),
     )

@@ -98,7 +98,12 @@ def test_block_emission_matches_dense(engine):
     from dataclasses import replace
 
     state = _states(engine, n=2)[-1]
-    cal = engine.calibrate(state)
+    # the block path measured a v5e LOSS (sweep #10) so calibrate keeps
+    # it opt-in: a nonzero placeholder asks for the censused capacity
+    opt_in = replace(
+        engine, config=replace(engine.config, item_block_capacity=1)
+    )
+    cal = opt_in.calibrate(state)
     assert cal.config.item_block_capacity > 0
     dense = replace(cal, config=replace(cal.config, item_block_capacity=0))
     i0, r0 = dense.render(state)
