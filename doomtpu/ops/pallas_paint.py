@@ -1415,6 +1415,15 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         )                                                   # [Bt,TB,NBW,Gc]
         comb_b = jnp.where(vlive_b, comb_b, Gp)
         comb2 = comb_b.transpose(0, 2, 3, 1).reshape(Bt, NBW * Gc, TB)
+        # percam's compaction chain ([Bt, TB, NBW, Gp] argsort + the
+        # 8x-wider comb) is the prime suspect for the sweep-#7
+        # end-to-end loss (798.7 vs 1439.0 while WINNING the stage
+        # probe by 16 ms): XLA re-fuses multiply-consumed chains into
+        # every consumer (see CLAUDE.md).  Materialize it once here;
+        # scoped to percam so the measured union path is untouched.
+        comb2, scnt, live_dropped = lax.optimization_barrier(
+            (comb2, scnt, live_dropped)
+        )
         plive = None        # computed post-gather from the packed flags
     else:
         # UNION lists: one list per (tile, block) = positions live for
