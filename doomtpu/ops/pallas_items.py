@@ -6,9 +6,9 @@ one-hot operand is materialized in HBM and the [H,R]x[R,4] matmuls pad
 their tiny N dim to the full MXU tile).  This kernel does the same fold
 as pure VPU work in VMEM:
 
-- XLA pre-gathers each slot's texture column as 32 packed words (4
-  texel rows per i32, `DeviceLevel.atlas_colsq`) plus 4 opacity-bit
-  words (`atlas_maskq`) — a cheap [B, W, KI]-indexed slice-gather
+- XLA pre-gathers each slot's texture column as ONE 40-word row (32
+  packed texel words, 4 rows per i32, ++ 8 opacity-bit words —
+  `DeviceLevel.atlas_tmq`) — a cheap [B, W, KI]-indexed slice-gather
 - in-kernel, per 8-row pixel block and slot: the texel row select is a
   per-element SUBLANE dynamic gather over the 4 word vregs (each lane
   holds its own screen column's texture words — no sublane-invariance
@@ -81,17 +81,17 @@ def _kernel(
     *refs,
     H, KI, TB, KC,
 ):
-    # unpack: 6 pool planes, cnt, texq, maskq, 3 fb inputs, palette,
-    # then (with KC > 0) vpx/vpy planes + 6 clip-pool planes + clip cnt,
-    # then the 3 outputs
+    # unpack: 6 pool planes, cnt, tmq (texel+mask words), 3 fb inputs,
+    # palette, then (with KC > 0) vpx/vpy planes + 6 clip-pool planes +
+    # clip cnt, then the 3 outputs
     (iw_ref, icb_ref, ibt_ref, iot_ref, ilz_ref, iy1_ref,
-     cnt_ref, texq_ref, maskq_ref, idx_in, ld_in, rgb_in,
-     pal_ref) = refs[:13]
-    n_in = 13
+     cnt_ref, tmq_ref, idx_in, ld_in, rgb_in,
+     pal_ref) = refs[:12]
+    n_in = 12
     if KC > 0:
         (vpx_ref, vpy_ref, cspan_ref, cd2_ref,
-         clsx_ref, clsy_ref, clex_ref, cley_ref, ccnt_ref) = refs[13:22]
-        n_in = 22
+         clsx_ref, clsy_ref, clex_ref, cley_ref, ccnt_ref) = refs[12:21]
+        n_in = 21
     idx_out, ld_out, rgb_out = refs[n_in:n_in + 3]
     zero8 = jnp.zeros((8, LANES), I32)
     pal0 = _gather_sub(pal_ref[...], zero8)
@@ -167,12 +167,13 @@ def _kernel(
             uy1 = lax.bitcast_convert_type(iy1_ref[b, k:k + 1, :], F32)
             ok = (k < cnt_r)
             tv = [
-                texq_ref[b, k * 32 + j * 8:k * 32 + (j + 1) * 8, :]
+                tmq_ref[b, k * 40 + j * 8:k * 40 + (j + 1) * 8, :]
                 for j in range(4)
             ]
             mv = [
                 jnp.broadcast_to(
-                    maskq_ref[b, k * 8 + j:k * 8 + j + 1, :], (8, LANES)
+                    tmq_ref[b, k * 40 + 32 + j:k * 40 + 32 + j + 1, :],
+                    (8, LANES),
                 )
                 for j in range(4)
             ]
@@ -254,10 +255,10 @@ def _kernel_kouter(*refs, H, KI, TB):
     like _kernel's per-y-block epilogue.
     """
     (iw_ref, icb_ref, ibt_ref, iot_ref, ilz_ref, iy1_ref,
-     cnt_ref, texq_ref, maskq_ref, idx_in, ld_in, rgb_in,
-     pal_ref) = refs[:13]
-    idx_out, ld_out, rgb_out = refs[13:16]
-    sA, sB = refs[16:18]                         # (H, LANES) i32 scratch
+     cnt_ref, tmq_ref, idx_in, ld_in, rgb_in,
+     pal_ref) = refs[:12]
+    idx_out, ld_out, rgb_out = refs[12:15]
+    sA, sB = refs[15:17]                         # (H, LANES) i32 scratch
     zero8 = jnp.zeros((8, LANES), I32)
     pal0 = _gather_sub(pal_ref[...], zero8)
     pal1 = _gather_sub(pal_ref[...], zero8 + 1)
@@ -289,10 +290,9 @@ def _kernel_kouter(*refs, H, KI, TB):
             lz = ilz_ref[b, pl.ds(k, 1), :]
             uy1 = lax.bitcast_convert_type(iy1_ref[b, pl.ds(k, 1), :], F32)
             ok = k < cnt_r
-            tvw = texq_ref[b, pl.ds(pl.multiple_of(k * 32, 8), 32), :]
-            mvw = maskq_ref[b, pl.ds(pl.multiple_of(k * 8, 8), 8), :]
-            tv = [tvw[j * 8:(j + 1) * 8] for j in range(4)]
-            mv = [jnp.broadcast_to(mvw[j:j + 1], (8, LANES))
+            tmw = tmq_ref[b, pl.ds(pl.multiple_of(k * 40, 8), 40), :]
+            tv = [tmw[j * 8:(j + 1) * 8] for j in range(4)]
+            mv = [jnp.broadcast_to(tmw[32 + j:33 + j], (8, LANES))
                   for j in range(4)]
             # live y-block range of this slot (two back-to-back
             # reductions; an all-dead slot yields lo >= hi -> no body)
@@ -394,11 +394,12 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
         assert KI <= 8, "in-kernel clip supports item_capacity <= 8"
         assert vp is not None
 
-    # XLA pre-gather: packed texture words + opacity bits per slot
-    C = level.atlas_colsq.shape[0]
+    # XLA pre-gather: ONE 40-word row per slot (32 packed texture words
+    # ++ 8 opacity-bit words, DeviceLevel.atlas_tmq) — one slice-gather
+    # + one relayout where split colsq/maskq tables cost two of each
+    C = level.atlas_tmq.shape[0]
     safe = jnp.clip(icolbase, 0, C - 1)
-    texqi = level.atlas_colsq[safe]                      # [B, W, KI, 32]
-    maskqi = level.atlas_maskq[safe]                     # [B, W, KI, 8]
+    tmqi = level.atlas_tmq[safe]                         # [B, W, KI, 40]
 
     def to_kw(x, n):
         """[B, W, KI, n] -> [B, KIp*n, Wp] (slot-major rows)."""
@@ -424,7 +425,7 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
         plane_kw(iword), plane_kw(icolbase), plane_kw(ibyty),
         plane_kw(ioffth), plane_kw(ilightzd), plane_kw(iuy1),
         jnp.pad(icnt, ((0, 0), (0, Wp - W))).reshape(B // TB, TB, Wp),
-        to_kw(texqi, 32), to_kw(maskqi, 8),
+        to_kw(tmqi, 40),
         fb_pad(idx), fb_pad(ld), fb_pad(rgb),
         level.palette_words,
     ]
@@ -463,7 +464,7 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
     in_specs = (
         [pool_spec(1)] * 6
         + [cnt_spec]
-        + [pool_spec(32), pool_spec(8)]
+        + [pool_spec(40)]
         + [fb_spec] * 3
         + [pl.BlockSpec((8, 128), lambda i, w: (0, 0),
                         memory_space=pltpu.VMEM)]
@@ -477,9 +478,14 @@ def composite_items(level, cfg, ipool, icnt, idx, ld, rgb,
     out_shapes = [jax.ShapeDtypeStruct((B, H, Wp), jnp.int32)] * 3
     out_specs = [fb_spec] * 3
 
+    if _ITEMS_INPUTONLY == 2:
+        # gather-only cut: consume the pregathered rows BEFORE the
+        # to_kw relayout, attributing pregather cost between the
+        # slice-gather and the slot-major transpose
+        return idx | (tmqi.sum() & 1), ld, rgb
     if _ITEMS_INPUTONLY:
         s = inputs[0].sum()
-        for x in inputs[1:9] + (inputs[13:] if KC > 0 else []):
+        for x in inputs[1:8] + (inputs[12:] if KC > 0 else []):
             s = s + x.sum()
         return idx | (s & 1), ld, rgb
 

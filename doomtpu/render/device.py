@@ -147,10 +147,12 @@ class DeviceLevel:
     flat_q: jnp.ndarray      # [F*16, 128] i32
     sky_q: jnp.ndarray       # [32, 256] i32
     palette_words: jnp.ndarray  # [8, 128] i32 (256 packed 0xRRGGBB rows)
-    # packed per-COLUMN tables for the item-composite kernel
-    # (ops/pallas_items.py): same C axis as atlas_cols
-    atlas_colsq: jnp.ndarray   # [C, 32] i32, texel rows 4-per-word
-    atlas_maskq: jnp.ndarray   # [C, 8] i32, opacity bit per row (4 used)
+    # packed per-COLUMN table for the item-composite kernel
+    # (ops/pallas_items.py): same C axis as atlas_cols.  One 40-word
+    # row = 32 texel words (rows 4-per-word) ++ 8 opacity-bit words
+    # (bit r%32 of word 32 + r//32) so the kernel's XLA pregather is
+    # ONE [B, W, KI]-indexed slice-gather + ONE relayout instead of two
+    atlas_tmq: jnp.ndarray     # [C, 40] i32
     # unified per-PICTURE packed tables for the IN-KERNEL item paint
     # (ops/pallas_paint.py item pass), id space [textures | sprites]:
     # unified id u (mid tex t -> u = t; sprite pic p -> u = T + p) maps
@@ -385,25 +387,26 @@ class DeviceLevel:
             | a.palette[:, 2].astype(np.int64)
         ).astype(np.int32)
 
-        # ---- per-COLUMN packed tables for the item-composite kernel ----
-        # (ops/pallas_items.py): atlas column id -> 32 packed texel words
-        # (rows 4-per-word) + 8 opacity-bit words (row r = bit r%32 of
-        # word r//32; 4 words cover 128 rows, padded to 8 for sublane
-        # alignment).  Same column space as atlas_cols.
+        # ---- per-COLUMN packed table for the item-composite kernel ----
+        # (ops/pallas_items.py): atlas column id -> ONE 40-word row:
+        # 32 packed texel words (rows 4-per-word) ++ 8 opacity-bit words
+        # (row r = bit r%32 of word 32 + r//32; 4 words cover 128 rows,
+        # padded to 8 for sublane alignment).  Same column space as
+        # atlas_cols; merged so the pregather is one gather.
         items_ok = rows <= 128
         C_ = atlas_cols.shape[0]
         cq = pack_rows4(
             np.where(atlas_cols >= 0, atlas_cols, 0)
             .astype(np.uint8).T[:min(rows, 128)]
         ).T                                                  # [C, <=32]
-        atlas_colsq = np.zeros((C_, 32), np.int32)
-        atlas_colsq[:, : cq.shape[1]] = cq
+        atlas_tmq = np.zeros((C_, 40), np.int32)
+        atlas_tmq[:, : cq.shape[1]] = cq
         bits = (atlas_cols >= 0)[:, :min(rows, 128)]         # [C, R]
-        atlas_maskq = np.zeros((C_, 8), np.int64)
+        maskw = np.zeros((C_, 8), np.int64)
         for r in range(bits.shape[1]):
-            atlas_maskq[:, r // 32] |= bits[:, r].astype(np.int64) << (r % 32)
-        atlas_maskq = (
-            atlas_maskq.astype(np.uint64) & 0xFFFFFFFF
+            maskw[:, r // 32] |= bits[:, r].astype(np.int64) << (r % 32)
+        atlas_tmq[:, 32:] = (
+            maskw.astype(np.uint64) & 0xFFFFFFFF
         ).astype(np.uint32).astype(np.int64).astype(np.int32)
 
         # ---- per-PICTURE tables for the in-kernel item paint ----------
@@ -456,8 +459,7 @@ class DeviceLevel:
             flat_q=_j(flat_q, jnp.int32),
             sky_q=_j(sky_q, jnp.int32),
             palette_words=_j(pal_words, jnp.int32),
-            atlas_colsq=_j(atlas_colsq, jnp.int32),
-            atlas_maskq=_j(atlas_maskq, jnp.int32),
+            atlas_tmq=_j(atlas_tmq, jnp.int32),
             paint_ok=paint_ok,
             texq_wide=texq_wide,
             items_ok=items_ok,

@@ -139,6 +139,7 @@ def main():
     run("cut 1: + one-hot emission fold", 1)
     run("cut 2: + per-slot sprite math", 2)
     run("cut 3: + mid slot fill", 3)
+    run("cut 5a: + pregather slice-gather only", 0, items_inputonly=2)
     run("cut 5: + item-kernel input pregather", 0, items_inputonly=True)
     run("full deferred (+ composite kernel)", 0)
 

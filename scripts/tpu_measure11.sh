@@ -44,4 +44,7 @@ run "bench default (KIB=0 tree)" python bench.py
 run "bench PERCAM (barrier, calibrated)" DOOMTPU_BENCH_PERCAM=1 python bench.py
 # 3. percam stage ref at the calibrated shape (sweep-#6 said 72.3)
 run "profile_paint PERCAM CAP=256" NP=2048 CAP=256 DOOMTPU_PAINT_PERCAM=1 python scripts/profile_paint.py
+# 4. deferred ladder with the merged 40-word tmq atlas + the new 5a
+#    gather-only cut (attributes pregather between gather and relayout)
+run "deferred cuts (merged tmq)" KIB=0 python scripts/probe_deferred_cuts.py
 echo "=== tpu_measure11 done $(date)" >> "$LOG"
