@@ -113,6 +113,16 @@ PAINT_SEGWHEN = _os.environ.get("DOOMTPU_PAINT_SEGWHEN", "0") != "0"
 # measurement-only: load every seg's field matrix from a STATIC index
 # (wrong results) to attribute the cost of the dynamic-index VMEM load
 PAINT_STATLOAD = _os.environ.get("DOOMTPU_PAINT_STATLOAD", "0") != "0"
+# deferred plane RECORDS (bit-identical A/B knob, PERF.md round-4
+# footprint census): plane emissions store only (flat word, light |
+# height record) into the plane framebuffer — the tile-union y-loops
+# process ~31x more px than they paint (quantization, NOT overdraw:
+# 1.02x), so making them store-only and running the inverse projection
+# + flat/sky sampling ONCE per final pixel in _finish moves the real
+# work from 239M processed px to 16.4M final px.  The finish flat
+# lookup is a fori over ALL level flats (fixture F=9; real-WAD maps
+# with many flats want per-(tile, block) SMEM lists — round 5).
+PAINT_PDEFER = _os.environ.get("DOOMTPU_PAINT_PDEFER", "0") != "0"
 # shared texture/flat window loads: Morton-sorted camera tiles are
 # near-100% coherent (scripts/probe_coherence: every live compacted
 # slot holds the SAME seg for all 8 cameras on the e1m1 fixture), so
@@ -602,6 +612,32 @@ def _kernel(
 
         @pl.when(yb_lo < yb_hi)
         def _():
+            if PAINT_PDEFER:
+                # records only: the flat word (id + sky bit) and
+                # light<<16 | WRITTEN | SKY? | h_s(u16); _finish
+                # resolves texel + dist from these per FINAL pixel
+                def drec_setup(b):
+                    fl = flatid_ref[0, u_, which, b]
+                    is_sky = (fl & FLAT_SKY_BIT) != 0
+                    h_s = pheight_ref[0, u_, which, b]
+                    light_b = pi_ref[0, u_, PI_LIGHT, b]
+                    rec = (
+                        (light_b << 16) | LD_WRITTEN
+                        | jnp.where(is_sky, LD_SKY, 0) | (h_s & 0xFFFF)
+                    )
+                    return (m[b:b + 1, :], y0c[b:b + 1, :],
+                            y1c[b:b + 1, :], fl, rec)
+
+                def drec_row(b, st, ys, yy8):
+                    mrow, y0_r, y1_r, fl, rec = st
+                    cover = mrow & (yy8 >= y0_r) & (yy8 <= y1_r)
+                    pidx_s[b, ys, :] = jnp.where(
+                        cover, fl, pidx_s[b, ys, :])
+                    pld_s[b, ys, :] = jnp.where(
+                        cover, rec, pld_s[b, ys, :])
+
+                _paint_cams(yb_lo, yb_hi, drec_setup, drec_row)
+                return
             if SHTEX:
                 # tile-uniform flat id (sky bit rides in the word; the
                 # window base strips it) — see the wall-paint comment
@@ -1036,13 +1072,96 @@ def _kernel(
         # regression in PERF.md)
         def fin_body(yb, carry):
             ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
+            yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
             for b in range(TB):
                 pw = pld_s[b, ys, :]
                 ww = wld_s[b, ys, :]
                 use_p = (pw & LD_WRITTEN) != 0
-                ldw = jnp.where(use_p, pw, ww)
-                texel = jnp.where(
-                    use_p, pidx_s[b, ys, :], widx_s[b, ys, :])
+                if PAINT_PDEFER:
+                    # resolve the plane record: same arithmetic as the
+                    # immediate paint_plane path (visplanes.rs:42-152),
+                    # run once per final pixel
+                    stw, sth = SKY_TEXTURE_WIDTH, SKY_TEXTURE_HEIGHT
+                    is_skyp = (pw & LD_SKY) != 0
+                    h_sv = ((pw & 0xFFFF) << 16) >> 16
+                    flw = pidx_s[b, ys, :]
+                    fl_id = flw & ~FLAT_SKY_BIT
+                    cosv = camf_ref[0, 0, 0 * TB + b]
+                    sinv = camf_ref[0, 0, 1 * TB + b]
+                    fh = camf_ref[0, 0, 2 * TB + b]
+                    pxi = cami_ref[0, 0, 0 * TB + b]
+                    pyi = cami_ref[0, 0, 1 * TB + b]
+                    txoff = cami_ref[0, 0, 2 * TB + b]
+                    xw = xx[b:b + 1, :]
+                    vy = f32(float(H) / 2.0) - f32(yy8)
+                    wz = f32(h_sv) - fh - f32(PLAYER_EYE_HEIGHT)
+                    wx = f32(
+                        float(W) / 2.0 / ASPECT_RATIO_CORRECTION
+                    ) * wz / vy
+                    vx = (
+                        f32(float(W) / 2.0) - f32(xw)
+                    ) / f32(float(ASPECT_RATIO_CORRECTION))
+                    wy = wz * vx / vy
+                    rx = smul(wx, cosv) - smul(wy, sinv)
+                    ry = smul(wy, cosv) + smul(wx, sinv)
+                    ftx = (as_i16(rx) + pxi) & (FLAT_SIZE - 1)
+                    fty = (as_i16(ry) + pyi) & (FLAT_SIZE - 1)
+                    pdist = as_i16(wx) & 0xFFFF
+                    qv = fty >> 2
+                    NF = flatq_ref.shape[0] // 16
+
+                    def flat_body(fi, facc):
+                        fv16 = flatq_ref[
+                            pl.ds(pl.multiple_of(fi * 16, 8), 16), :
+                        ]
+                        w_ = _gather_2d(
+                            [fv16[0:8], fv16[8:16]], qv, ftx
+                        )
+                        return jnp.where(fl_id == fi, w_, facc)
+
+                    facc = lax.fori_loop(
+                        0, NF, flat_body, jnp.zeros((8, LANES), I32)
+                    )
+                    flat_texel = _byte(facc, fty)
+                    # sky (angle-scrolled, row-invariant lane pattern)
+                    stx = rem_trunc(
+                        as_i16(
+                            f32(xw) * f32(float(stw)) / f32(float(W))
+                        ) + txoff,
+                        stw,
+                    )
+                    spat = jnp.broadcast_to(
+                        stx & (LANES - 1), (8, LANES))
+                    shalf = jnp.broadcast_to(stx >= LANES, (8, LANES))
+                    skv = [
+                        jnp.where(
+                            shalf,
+                            _gather_lane(
+                                skyq_ref[j * 8:(j + 1) * 8, LANES:],
+                                spat,
+                            ),
+                            _gather_lane(
+                                skyq_ref[j * 8:(j + 1) * 8, :LANES],
+                                spat,
+                            ),
+                        )
+                        for j in range(4)
+                    ]
+                    sty = as_i16(
+                        f32(yy8) * f32(float(sth)) * f32(2.0)
+                        / f32(float(H))
+                    )
+                    sty = jnp.where(sty < 0, sty + sth, sty)
+                    sty = rem_trunc(sty, sth)
+                    sky_texel = _byte(_select_q(skv, sty >> 2), sty)
+                    p_texel = jnp.where(is_skyp, sky_texel, flat_texel)
+                    p_ldw = (pw & jnp.int32(~0xFFFF)) | pdist
+                    ldw = jnp.where(use_p, p_ldw, ww)
+                    texel = jnp.where(use_p, p_texel, widx_s[b, ys, :])
+                else:
+                    ldw = jnp.where(use_p, pw, ww)
+                    texel = jnp.where(
+                        use_p, pidx_s[b, ys, :], widx_s[b, ys, :])
                 written = (ldw & LD_WRITTEN) != 0
                 is_sky = (ldw & LD_SKY) != 0
                 light = (ldw >> 16) & 0xFF

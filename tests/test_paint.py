@@ -124,6 +124,37 @@ def test_paint_stream_bit_exact(setup, demo_level, config, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_paint_planes_defer_bit_exact(setup, demo_level, config, monkeypatch):
+    """Deferred plane records (DOOMTPU_PAINT_PDEFER: emissions store
+    only (flat word, light|height record); _finish resolves the
+    inverse projection + flat/sky texel + dist once per final pixel)
+    == the immediate plane paint, bit for bit — the record fully
+    determines the texel arithmetic (visplanes.rs:42-152) given the
+    camera scalars, and the finish replays the exact op sequence."""
+    from doomtpu.ops import pallas_paint as pp
+
+    level = setup
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    ref = pp.render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    monkeypatch.setattr(pp, "PAINT_PDEFER", True)
+    out = pp.render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip", "overflow"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+    for a, b in zip(out["midpool"], ref["midpool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(out["clippool"], ref["clippool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_paint_wide_texture_bit_exact(config, info):
     """256-wide wall textures (DeviceLevel.texq_wide two-half texel
     fetch) == the XLA pipeline, bit for bit, on a level whose wall/
