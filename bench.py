@@ -60,15 +60,16 @@ def main() -> int:
         use_pallas_paint=use_paint and jax.default_backend() != "cpu",
         # standalone item-pass kernel (ops/pallas_itempass.py)
         use_item_pass_kernel=use_itempass,
-        # per-camera live lists (config.py): A/B knob, default OFF.
-        # Sweep #6 measured percam CAP=256 winning the paint stage
-        # (72.3 vs 88.6 ms/chunk union CAP=416) but sweep #7's
-        # END-TO-END bench flipped it hard: 798.7 f/s percam vs 1439.0
-        # union at the same honest pools — the 8x-wider compaction
-        # metadata costs far more in the full pipeline than the
-        # paint-stage probes showed (PERF.md sweep #7).
+        # per-camera live lists (config.py): default ON since sweep #11.
+        # Sweep #7 had percam LOSING end-to-end (798.7 vs 1439.0)
+        # despite winning the paint stage; the cause was XLA re-fusing
+        # the 8x-wider compaction chain into every consumer.  With the
+        # chain materialized behind lax.optimization_barrier (e2d59d2)
+        # sweep #11 measures percam 2205.9 f/s vs 1897.2 union
+        # (rollout 2232.4 vs 1919.1) at auto-calibrated pools
+        # (livecap 256 vs 416), every drop counter 0.
         paint_percam_compact=(
-            os.environ.get("DOOMTPU_BENCH_PERCAM", "0") != "0"
+            os.environ.get("DOOMTPU_BENCH_PERCAM", "1") != "0"
         ),
     )
     wad_path = os.environ.get("DOOM_WAD", "doom1.wad")
