@@ -479,9 +479,13 @@ def _kernel(
 
     def _ybounds(mask, ylo_v, yhi_v):
         """Shared y-block bounds over the whole (tile, block) vreg: ONE
-        vector->scalar reduction pair per paint call (not per camera) —
-        the union range costs a few masked extra rows instead (cameras
-        in a sorted tile see near-identical y ranges).  Callers issue
+        vector->scalar reduction pair per paint call (not per camera).
+        The union range is NOT tight (probe_plane_census: ~31x painted
+        px processed vs 5.9x at per-camera bounds — the "near-identical
+        y ranges" assumption fails at spread poses), but per-camera
+        bounds need 8x the vector->scalar reductions, the measured
+        ~2.4us/seg cost class; PAINT_PDEFER attacks the same waste by
+        making the plane loops store-only instead.  Callers issue
         ALL of a piece's reduction pairs back-to-back BEFORE the first
         scalar use, so the vector->scalar sync stalls overlap instead of
         serializing; yb_lo < yb_hi doubles as the emptiness guard (an
