@@ -47,6 +47,9 @@ Kernel-side count sources this mirrors (cited so drift is auditable):
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
+import os
 from functools import partial
 
 import jax
@@ -59,6 +62,52 @@ from doomtpu.render import things, walls
 from doomtpu.render.jmath import I32, as_i16
 
 LANES = 128
+
+# bump when the census logic changes (invalidates every cache entry)
+_CACHE_VERSION = 1
+
+# config fields that change the census RESULT (not just its speed):
+# chunking/tiling, the sort permutation, which live peak is selected,
+# whether the block-item peak is substituted, and the screen shape
+_KEY_FIELDS = (
+    "width", "height", "render_chunk", "camera_sort",
+    "paint_percam_compact",
+)
+# the capacity fields a cache entry stores / re-applies
+_OUT_FIELDS = (
+    "span_capacity", "mid_capacity", "clip_capacity", "item_capacity",
+    "max_visible_mobjs", "item_block_capacity", "paint_live_capacity",
+)
+
+
+def _cache_key(engine, states, margin_q) -> str:
+    """sha256 over everything the census output depends on: the WAD
+    bytes + map name, the key config fields, and the exact state arrays
+    (poses drive geometry censuses; mobj_state drives the item census;
+    sector_light/timestamp ride along for safety — hashing is ~ms)."""
+    cfg = engine.config
+    h = hashlib.sha256()
+    h.update(f"v{_CACHE_VERSION};{engine.tables.name};".encode())
+    h.update(np.ascontiguousarray(engine.wad.data).tobytes())
+    h.update(json.dumps(
+        [getattr(cfg, f) for f in _KEY_FIELDS]
+        + [cfg.item_block_capacity > 0, list(margin_q)]
+    ).encode())
+    for st in states:
+        for arr in (st.pos, st.angle, st.floor_height, st.mobj_state,
+                    st.sector_light, st.timestamp):
+            a = np.asarray(arr)
+            h.update(str(a.shape).encode())
+            h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
+def _cache_dir() -> str:
+    return os.environ.get(
+        "DOOMTPU_CALIB_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".calib_cache"),
+    )
 
 
 def _round_up(v: int, q: int) -> int:
@@ -130,16 +179,35 @@ def _item_census(cfg, level, pool, cnt, px, py, angle, floor_height,
     }
 
 
-def calibrated_config(engine, states, margin_q=(8, 32)) -> RenderConfig:
+def calibrated_config(engine, states, margin_q=(8, 32),
+                      cache=True) -> RenderConfig:
     """Measure capacity peaks over `states` and return engine.config
     with span/mid/clip/item/max_visible_mobjs/paint_live_capacity set.
 
     `states`: a GameState or list of them — the exact states the caller
     will render (include ticked states if the workload ticks).
     `margin_q`: (pool, live-cap) round-up quanta.
+    `cache`: the census is a pure function of (WAD, map, key config
+    fields, states) but costs ~105 s through the relay per bench start;
+    results are cached on disk keyed by a sha256 of those inputs
+    (DOOMTPU_CALIB_CACHE overrides the location, =0 disables).
     """
     if not isinstance(states, (list, tuple)):
         states = [states]
+    cdir = _cache_dir()
+    use_cache = cache and cdir != "0"
+    if use_cache:
+        key = _cache_key(engine, states, margin_q)
+        path = os.path.join(cdir, key + ".json")
+        try:
+            with open(path) as f:
+                entry = json.load(f)
+            return dataclasses.replace(
+                engine.config,
+                **{f: int(entry[f]) for f in _OUT_FIELDS},
+            )
+        except (OSError, KeyError, ValueError):
+            pass
     cfg = engine.config
     level = engine.level
     B = states[0].pos.shape[0]
@@ -213,7 +281,7 @@ def calibrated_config(engine, states, margin_q=(8, 32)) -> RenderConfig:
         peaks["live_cam"] if cfg.paint_percam_compact
         else peaks["live_union"]
     )
-    return dataclasses.replace(
+    out = dataclasses.replace(
         cfg,
         span_capacity=_round_up(peaks["span"], pq),
         mid_capacity=_round_up(peaks["mid"], pq),
@@ -234,3 +302,16 @@ def calibrated_config(engine, states, margin_q=(8, 32)) -> RenderConfig:
         # +1 forces a full quantum of headroom even at exact multiples
         paint_live_capacity=_round_up(live_peak + 1, lq),
     )
+    if use_cache:
+        try:
+            os.makedirs(cdir, exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {f: getattr(out, f) for f in _OUT_FIELDS}
+                    | {"peaks": peaks}, f,
+                )
+            os.replace(tmp, path)
+        except OSError:
+            pass
+    return out
