@@ -102,9 +102,22 @@ SEG_GSUB = int(_os.environ.get("DOOMTPU_PAINT_GSUB", "8"))
 PAINT_MERGEB = _os.environ.get("DOOMTPU_PAINT_MERGEB", "1") != "0"
 # measurement-only bitmask: 1 skips wall paints, 2 skips plane paints,
 # 4 skips pool emits, 8 skips the whole seg body, 16 replaces the
-# per-seg plive SMEM read with a constant (outputs are WRONG with any
-# bit set — profiling decomposition only)
+# per-seg plive SMEM read with a constant, 32 keeps ONLY the occlusion
+# recurrence (loads + by/ty/ct/cb + fo/co/hor updates; no u-math, no
+# emits, no reductions, no paints — the floor of any phase-split
+# pass A, PERF.md structural alt #4).  Outputs are WRONG with any bit
+# set — profiling decomposition only.
 PAINT_SKIP = int(_os.environ.get("DOOMTPU_PAINT_SKIP", "0"))
+# per-camera y-block bounds (round-5, the plane/wall quantization
+# lever): _ybounds additionally lane-reduces each camera's own [lo, hi]
+# to a (TB, 1) vreg, round-trips it through a VMEM scratch and reads
+# 2*TB scalars; _paint_cams then skips y-blocks outside camera b's own
+# range with a per-camera pl.when.  Bit-exact: skipped blocks only
+# re-stored unchanged values (every rowwork store is cover-masked).
+# The footprint census says per-camera bounds process 5.9x the painted
+# px vs the union's 31x; the mechanism cost is priced by
+# scripts/probe_percam_ybounds.py.
+PAINT_PCYB = _os.environ.get("DOOMTPU_PAINT_PCYB", "0") != "0"
 # guard each compacted seg's body with pl.when(seg_live): saves the body
 # on segs dead for the whole tile (closed columns / piece-inactive), but
 # the .any() cross-lane reduction -> SREG -> branch chain measures ~2.4us
@@ -332,6 +345,7 @@ def _kernel(
     # scratch (stream mode appends: svf/smi/pf/uni chunk buffers + DMA
     # semaphores)
     widx_s, wld_s, pidx_s, pld_s, hor_s, fo_s, co_s, texscr_s, flatscr_s,
+    ybscr_s,
     *stream_scr,
     W, H, TEX_POW2, U, GSUB, KM, KC, TW_ATLAS, TB, TEXQ_WIDE, STREAM,
 ):
@@ -444,7 +458,7 @@ def _kernel(
                 (mask & ~fits).sum(axis=-1).astype(I32)
             )
 
-    def _paint_cams(yb_lo, yb_hi, setup, rowwork):
+    def _paint_cams(yb_lo, yb_hi, setup, rowwork, pcb=None):
         """Run the per-camera paint chains over y-blocks [yb_lo, yb_hi).
 
         setup(b) -> per-camera state tuple (texture gathers, SMEM
@@ -453,7 +467,13 @@ def _kernel(
         body interleaves the TB independent chains (ILP hides the
         dynamic-load / read-modify-write stalls); serial mode keeps the
         classic per-camera foris.  Cameras write disjoint [b] buffers,
-        so the two orders are bit-identical."""
+        so the two orders are bit-identical.
+
+        pcb (PAINT_PCYB): per-camera (los, his) scalar block bounds —
+        camera b's rowwork is skipped outside [los[b], his[b]).  Exact:
+        every rowwork store is cover-masked, so a skipped y-block would
+        only have re-stored unchanged values."""
+        los, his = pcb if pcb is not None else (None, None)
         if PAINT_MERGEB:
             setups = [setup(b) for b in range(TB)]
 
@@ -461,7 +481,12 @@ def _kernel(
                 ys = pl.ds(pl.multiple_of(yb * 8, 8), 8)
                 yy8 = lax.broadcasted_iota(I32, (8, LANES), 0) + yb * 8
                 for b in range(TB):
-                    rowwork(b, setups[b], ys, yy8)
+                    if los is None:
+                        rowwork(b, setups[b], ys, yy8)
+                    else:
+                        @pl.when((yb >= los[b]) & (yb < his[b]))
+                        def _(b=b):
+                            rowwork(b, setups[b], ys, yy8)
                 return carry
 
             lax.fori_loop(yb_lo, yb_hi, body, 0)
@@ -475,24 +500,57 @@ def _kernel(
                     rowwork(b, st, ys, yy8)
                     return carry
 
-                lax.fori_loop(yb_lo, yb_hi, body, 0)
+                if los is None:
+                    lax.fori_loop(yb_lo, yb_hi, body, 0)
+                else:
+                    lax.fori_loop(
+                        jnp.maximum(yb_lo, los[b]),
+                        jnp.minimum(yb_hi, his[b]), body, 0,
+                    )
 
-    def _ybounds(mask, ylo_v, yhi_v):
+    def _ybounds_pc(mask, ylo_v, yhi_v, slot):
+        """Per-camera y-block bounds (PAINT_PCYB): ONE lanes-axis
+        reduce pair to (TB, 1), a VMEM scratch round trip, 2*TB scalar
+        reads; the union bounds come from a scalar min/max chain over
+        the per-camera values.  Mechanism priced by
+        scripts/probe_percam_ybounds.py; `slot` gives each in-flight
+        call site its own scratch columns."""
+        plo = jnp.min(jnp.where(mask, ylo_v, H), axis=1, keepdims=True)
+        phi = jnp.max(jnp.where(mask, yhi_v, -1), axis=1, keepdims=True)
+        ybscr_s[:, 2 * slot:2 * slot + 1] = plo
+        ybscr_s[:, 2 * slot + 1:2 * slot + 2] = phi
+        los, his = [], []
+        for b in range(TB):
+            los.append(jnp.maximum(ybscr_s[b, 2 * slot], 0) // 8)
+            his.append(
+                jnp.minimum(ybscr_s[b, 2 * slot + 1], H - 1) // 8 + 1
+            )
+        yb_lo, yb_hi = los[0], his[0]
+        for b in range(1, TB):
+            yb_lo = jnp.minimum(yb_lo, los[b])
+            yb_hi = jnp.maximum(yb_hi, his[b])
+        return yb_lo, yb_hi, (los, his)
+
+    def _ybounds(mask, ylo_v, yhi_v, slot=0):
         """Shared y-block bounds over the whole (tile, block) vreg: ONE
         vector->scalar reduction pair per paint call (not per camera).
         The union range is NOT tight (probe_plane_census: ~31x painted
         px processed vs 5.9x at per-camera bounds — the "near-identical
-        y ranges" assumption fails at spread poses), but per-camera
-        bounds need 8x the vector->scalar reductions, the measured
-        ~2.4us/seg cost class; PAINT_PDEFER attacks the same waste by
-        making the plane loops store-only instead.  Callers issue
+        y ranges" assumption fails at spread poses); PAINT_PCYB routes
+        through _ybounds_pc for per-camera bounds instead (sweep #12
+        killed the store-only-deferral alternative).  Callers issue
         ALL of a piece's reduction pairs back-to-back BEFORE the first
         scalar use, so the vector->scalar sync stalls overlap instead of
         serializing; yb_lo < yb_hi doubles as the emptiness guard (an
-        all-false mask yields H//8 > 0)."""
+        all-false mask yields H//8 > 0).  Returns (yb_lo, yb_hi, pcb)
+        with pcb the per-camera bounds pair for _paint_cams (None in
+        union mode)."""
+        if PAINT_PCYB:
+            return _ybounds_pc(mask, ylo_v, yhi_v, slot)
         ylo = jnp.min(jnp.where(mask, ylo_v, H))
         yhi = jnp.max(jnp.where(mask, yhi_v, -1))
-        return jnp.maximum(ylo, 0) // 8, jnp.minimum(yhi, H - 1) // 8 + 1
+        return (jnp.maximum(ylo, 0) // 8,
+                jnp.minimum(yhi, H - 1) // 8 + 1, None)
 
     def _clamp_span(y0, y1):
         """Screen-clamp a plane span (the old paint_plane entry clamps,
@@ -503,7 +561,8 @@ def _kernel(
         )
 
     # ---------------- paint: wall columns ------------------------------------
-    def paint_wall(u_, p, mask, ct, cb, by, ty, tx, zdist, yb_lo, yb_hi):
+    def paint_wall(u_, p, mask, ct, cb, by, ty, tx, zdist, yb_lo, yb_hi,
+                   pcb=None):
         """Texture v by linear interpolation over the FULL (unclipped)
         bottom..top edges + offset, wrapped (bitmap_render.rs:253-263)."""
         if PAINT_SKIP & 1:
@@ -602,10 +661,10 @@ def _kernel(
                 wld_s[b, ys, :] = jnp.where(
                     cover, ld_r, wld_s[b, ys, :])
 
-            _paint_cams(yb_lo, yb_hi, wall_setup, wall_row)
+            _paint_cams(yb_lo, yb_hi, wall_setup, wall_row, pcb)
 
     # ---------------- paint: visplane / sky spans ---------------------------
-    def paint_plane(u_, which, m, y0c, y1c, yb_lo, yb_hi):
+    def paint_plane(u_, which, m, y0c, y1c, yb_lo, yb_hi, pcb=None):
         """Fill a span: per-pixel inverse projection + flat sample
         (visplanes.rs:82-152) or sky columns (visplanes.rs:42-80).
         y0c/y1c arrive screen-clamped (see _clamp_span); yb_lo/yb_hi are
@@ -619,7 +678,16 @@ def _kernel(
             if PAINT_PDEFER:
                 # records only: the flat word (id + sky bit) and
                 # light<<16 | WRITTEN | SKY? | h_s(u16); _finish
-                # resolves texel + dist from these per FINAL pixel
+                # resolves texel + dist from these per FINAL pixel.
+                # h_s truncates to 16 bits: plane heights are WAD i16
+                # sector heights, the same invariant the span pool's d2
+                # pack16(by, ty) relies on (walls.py d2 packing) — a
+                # height outside i16 cannot come from a loaded level.
+                # NOTE the _finish PDEFER branch below re-derives the
+                # inverse projection + flat/sky texel math of the
+                # immediate paint_plane path; any edit to paint_plane's
+                # arithmetic MUST be mirrored there (bit-exact-record
+                # invariant; see the matching note at the _finish site).
                 def drec_setup(b):
                     fl = flatid_ref[0, u_, which, b]
                     is_sky = (fl & FLAT_SKY_BIT) != 0
@@ -640,7 +708,7 @@ def _kernel(
                     pld_s[b, ys, :] = jnp.where(
                         cover, rec, pld_s[b, ys, :])
 
-                _paint_cams(yb_lo, yb_hi, drec_setup, drec_row)
+                _paint_cams(yb_lo, yb_hi, drec_setup, drec_row, pcb)
                 return
             if SHTEX:
                 # tile-uniform flat id (sky bit rides in the word; the
@@ -749,7 +817,7 @@ def _kernel(
                 pld_s[b, ys, :] = jnp.where(
                     cover, ldw, pld_s[b, ys, :])
 
-            _paint_cams(yb_lo, yb_hi, plane_setup, plane_row)
+            _paint_cams(yb_lo, yb_hi, plane_setup, plane_row, pcb)
 
     # ---------------- the seg loop ------------------------------------------
     # field broadcast: one (TB, 128) window load per seg, then each
@@ -819,30 +887,41 @@ def _kernel(
                 f_sky = (flags & 1024) != 0
                 c_sky = (flags & 2048) != 0
                 has_mid = (flags & FLAG_HAS_MID) != 0
-                light = bci(SVF_LIGHT)
-                g_bc = bci(SVF_G)
+                if not (PAINT_SKIP & 32):
+                    light = bci(SVF_LIGHT)
+                    g_bc = bci(SVF_G)
 
+                # PAINT_SKIP & 32 = "occlusion recurrence only": keep
+                # the per-visit window load + by/ty/ct/cb/in_ver math +
+                # every fo/co/hor state write, skip texture-u math,
+                # pool emissions, y-bounds reductions and paint bodies.
+                # Measurement-only (outputs wrong): prices the floor of
+                # any phase-split pass A (PERF.md structural alt #4) —
+                # the serial phase cannot cost less than this.
+                EMIT = not (PAINT_SKIP & 32)
                 one = f32(1.0)
-                ax = f32(xx - x0) / f32(x1 - x0)
-                uz0 = bcf(SVF_LSX)
-                uz1 = bcf(SVF_LEX)
-                inv0 = one / uz0
-                inv1 = one / uz1
-                denom = smul(one - ax, inv0) + smul(ax, inv1)
-                u = (
-                    smul(one - ax, f32(0.0) / uz0)
-                    + smul(ax, bcf(SVF_LENGTH) / uz1)
-                ) / denom
-                tx_base = (
-                    as_i16(u) + as_i16(bcf(SVF_SOFF)) + bci(SVF_OFFX)
-                )
-                zdist = as_i16(((one - ax) + ax) / denom)
-                # FOV-clipped seg endpoint coords, f32 bits, for the item
-                # kernel's in-VMEM sprite clip (things.py is_behind_vertex)
-                coords = tuple(
-                    lax.bitcast_convert_type(bcf(f), I32)
-                    for f in (SVF_LSX, SVF_LSY, SVF_LEX, SVF_LEY)
-                )
+                if EMIT:
+                    ax = f32(xx - x0) / f32(x1 - x0)
+                    uz0 = bcf(SVF_LSX)
+                    uz1 = bcf(SVF_LEX)
+                    inv0 = one / uz0
+                    inv1 = one / uz1
+                    denom = smul(one - ax, inv0) + smul(ax, inv1)
+                    u = (
+                        smul(one - ax, f32(0.0) / uz0)
+                        + smul(ax, bcf(SVF_LENGTH) / uz1)
+                    ) / denom
+                    tx_base = (
+                        as_i16(u) + as_i16(bcf(SVF_SOFF)) + bci(SVF_OFFX)
+                    )
+                    zdist = as_i16(((one - ax) + ax) / denom)
+                    # FOV-clipped seg endpoint coords, f32 bits, for the
+                    # item kernel's in-VMEM sprite clip
+                    # (things.py is_behind_vertex)
+                    coords = tuple(
+                        lax.bitcast_convert_type(bcf(f), I32)
+                        for f in (SVF_LSX, SVF_LSY, SVF_LEX, SVF_LEY)
+                    )
 
                 for p in range(4):
                     # skip pieces no camera in the tile has live in this
@@ -874,19 +953,15 @@ def _kernel(
                         ct = jnp.maximum(0, jnp.maximum(co, ty))
                         in_ver = (cb >= ct) & open_
 
-                        th = bci(pbase + SVF_P_TH)
-                        tw = bci(pbase + SVF_P_TW)
-                        tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
-                                      pow2=TEX_POW2)
-                        cd2 = pack16(by, ty)
+                        if EMIT:
+                            th = bci(pbase + SVF_P_TH)
+                            tw = bci(pbase + SVF_P_TW)
+                            tx = wrap_tex(tx_base, jnp.maximum(tw, 1),
+                                          pow2=TEX_POW2)
+                            cd2 = pack16(by, ty)
 
                         if p == 0:
                             solid = ~two_sided
-                            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
-                            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                            m_e = in_ver & solid
-                            m_w = m_e & draws_p
-
                             # floor + ceiling spans, each ONE paint_plane
                             # call covering both the in_ver emission and
                             # the occluded-gap fill (disjoint columns:
@@ -898,47 +973,56 @@ def _kernel(
                             gap_b = gap & (by <= co)
                             gap_t = gap & draw_c & (ty >= fo)
 
-                            fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
-                            fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
-                            gb_m = gap_b & (f_sky | keep_g)
-                            m_f = fl_emit | gb_m
-                            y0f, y1f = _clamp_span(
-                                jnp.where(fl_emit, cb, co), fo
-                            )
-                            ce_keep = c_sky | (
-                                jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
-                            )
-                            ce_emit = in_ver & draw_c & (ct > co) & ce_keep
-                            gt_m = gap_t & (c_sky | keep_g)
-                            m_c = ce_emit | gt_m
-                            y0c_, y1c_ = _clamp_span(
-                                co, jnp.where(ce_emit, ct, fo)
-                            )
-                            # ALL of this piece's vector->scalar
-                            # reductions issue here, back to back, before
-                            # the first scalar consumer — the sync
-                            # latencies overlap instead of serializing
-                            # through guard->reduce->loop chains.
-                            # (Replacing them with XLA-precomputed
-                            # conservative SMEM bounds measured 4x SLOWER
-                            # — see PERF.md "PREBOUNDS experiments": the
-                            # reductions are load-bearing work-skippers;
-                            # occlusion-blind bounds overpaint and even
-                            # the extra SMEM row reads alone cost more
-                            # than the syncs.)
-                            e_any = m_e.any()
-                            w_lo, w_hi = _ybounds(m_w, ct, cb)
-                            f_lo, f_hi = _ybounds(m_f, y0f, y1f)
-                            c_lo, c_hi = _ybounds(m_c, y0c_, y1c_)
+                            if EMIT:
+                                rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B | SPAN_E2T
+                                rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
+                                m_e = in_ver & solid
+                                m_w = m_e & draws_p
+                                fl_keep = f_sky | (jnp.minimum(H - 1, fo) - cb > 1)
+                                fl_emit = in_ver & (cb < fo) & (cb != H - 1) & fl_keep
+                                gb_m = gap_b & (f_sky | keep_g)
+                                m_f = fl_emit | gb_m
+                                y0f, y1f = _clamp_span(
+                                    jnp.where(fl_emit, cb, co), fo
+                                )
+                                ce_keep = c_sky | (
+                                    jnp.minimum(H - 1, ct) - jnp.maximum(0, co) > 1
+                                )
+                                ce_emit = in_ver & draw_c & (ct > co) & ce_keep
+                                gt_m = gap_t & (c_sky | keep_g)
+                                m_c = ce_emit | gt_m
+                                y0c_, y1c_ = _clamp_span(
+                                    co, jnp.where(ce_emit, ct, fo)
+                                )
+                                # ALL of this piece's vector->scalar
+                                # reductions issue here, back to back, before
+                                # the first scalar consumer — the sync
+                                # latencies overlap instead of serializing
+                                # through guard->reduce->loop chains.
+                                # (Replacing them with XLA-precomputed
+                                # conservative SMEM bounds measured 4x SLOWER
+                                # — see PERF.md "PREBOUNDS experiments": the
+                                # reductions are load-bearing work-skippers;
+                                # occlusion-blind bounds overpaint and even
+                                # the extra SMEM row reads alone cost more
+                                # than the syncs.)
+                                e_any = m_e.any()
+                                w_lo, w_hi, w_pc = _ybounds(m_w, ct, cb, 0)
+                                f_lo, f_hi, f_pc = _ybounds(
+                                    m_f, y0f, y1f, 1)
+                                c_lo, c_hi, c_pc = _ybounds(
+                                    m_c, y0c_, y1c_, 2)
 
-                            emit_clip(m_e, rec, cd2, g_bc, coords,
-                                      mask_any=e_any)
-                            paint_wall(
-                                u_, p, m_w, ct, cb, by, ty, tx, zdist,
-                                w_lo, w_hi,
-                            )
-                            paint_plane(u_, 0, m_f, y0f, y1f, f_lo, f_hi)
-                            paint_plane(u_, 1, m_c, y0c_, y1c_, c_lo, c_hi)
+                                emit_clip(m_e, rec, cd2, g_bc, coords,
+                                          mask_any=e_any)
+                                paint_wall(
+                                    u_, p, m_w, ct, cb, by, ty, tx, zdist,
+                                    w_lo, w_hi, w_pc,
+                                )
+                                paint_plane(u_, 0, m_f, y0f, y1f,
+                                            f_lo, f_hi, f_pc)
+                                paint_plane(u_, 1, m_c, y0c_, y1c_,
+                                            c_lo, c_hi, c_pc)
                             gap_occl = gap_b | gap_t
 
                             occl_m = in_ver & two_sided
@@ -949,49 +1033,55 @@ def _kernel(
                             fo_s[...] = jnp.where(solid_occl, H // 2, fo)
                             co_s[...] = jnp.where(solid_occl, H // 2, co)
                         elif p == 1:
-                            rec = pack_span(KIND_MID, ct, cb) | jnp.where(
-                                draw_c, SPAN_DC, 0
-                            )
-                            m_m = in_ver & has_mid
-                            iv_any = in_ver.any()
-                            mm_any = m_m.any()
-                            emit_clip(in_ver, rec, cd2, g_bc, coords,
-                                      mask_any=iv_any)
-                            md1 = bci(pbase + SVF_P_TEXV) * TW_ATLAS + tx
-                            md3 = pack16(bci(pbase + SVF_P_OFFY), th)
-                            md4 = pack16(light, zdist)
-                            md5 = lax.bitcast_convert_type(
-                                bcf(pbase + SVF_P_UY1), I32
-                            )
-                            emit_mid(
-                                m_m, rec, (md1, cd2, md3, md4, md5, g_bc),
-                                mask_any=mm_any,
-                            )
+                            if EMIT:
+                                rec = pack_span(KIND_MID, ct, cb) | jnp.where(
+                                    draw_c, SPAN_DC, 0
+                                )
+                                m_m = in_ver & has_mid
+                                iv_any = in_ver.any()
+                                mm_any = m_m.any()
+                                emit_clip(in_ver, rec, cd2, g_bc, coords,
+                                          mask_any=iv_any)
+                                md1 = bci(pbase + SVF_P_TEXV) * TW_ATLAS + tx
+                                md3 = pack16(bci(pbase + SVF_P_OFFY), th)
+                                md4 = pack16(light, zdist)
+                                md5 = lax.bitcast_convert_type(
+                                    bcf(pbase + SVF_P_UY1), I32
+                                )
+                                emit_mid(
+                                    m_m, rec,
+                                    (md1, cd2, md3, md4, md5, g_bc),
+                                    mask_any=mm_any,
+                                )
                         elif p == 2:
-                            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
-                            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                            m_w = in_ver & draws_p
-                            iv_any = in_ver.any()
-                            w_lo, w_hi = _ybounds(m_w, ct, cb)
-                            emit_clip(in_ver, rec, cd2, g_bc, coords,
-                                      mask_any=iv_any)
-                            paint_wall(
-                                u_, p, m_w, ct, cb, by, ty, tx, zdist,
-                                w_lo, w_hi,
-                            )
+                            if EMIT:
+                                rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2B
+                                rec = jnp.where(draws_p, rec,
+                                                rec | SPAN_NODRAW)
+                                m_w = in_ver & draws_p
+                                iv_any = in_ver.any()
+                                w_lo, w_hi, w_pc = _ybounds(m_w, ct, cb, 0)
+                                emit_clip(in_ver, rec, cd2, g_bc, coords,
+                                          mask_any=iv_any)
+                                paint_wall(
+                                    u_, p, m_w, ct, cb, by, ty, tx, zdist,
+                                    w_lo, w_hi, w_pc,
+                                )
                             fo_s[...] = jnp.where(in_ver, ct, fo)
                         else:
-                            rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
-                            rec = jnp.where(draws_p, rec, rec | SPAN_NODRAW)
-                            m_w = in_ver & draws_p
-                            iv_any = in_ver.any()
-                            w_lo, w_hi = _ybounds(m_w, ct, cb)
-                            emit_clip(in_ver, rec, cd2, g_bc, coords,
-                                      mask_any=iv_any)
-                            paint_wall(
-                                u_, p, m_w, ct, cb, by, ty, tx, zdist,
-                                w_lo, w_hi,
-                            )
+                            if EMIT:
+                                rec = pack_span(KIND_WALL, ct, cb) | SPAN_E2T
+                                rec = jnp.where(draws_p, rec,
+                                                rec | SPAN_NODRAW)
+                                m_w = in_ver & draws_p
+                                iv_any = in_ver.any()
+                                w_lo, w_hi, w_pc = _ybounds(m_w, ct, cb, 0)
+                                emit_clip(in_ver, rec, cd2, g_bc, coords,
+                                          mask_any=iv_any)
+                                paint_wall(
+                                    u_, p, m_w, ct, cb, by, ty, tx, zdist,
+                                    w_lo, w_hi, w_pc,
+                                )
                             co_s[...] = jnp.where(in_ver, cb, co)
 
             if PAINT_SEGWHEN:
@@ -1084,7 +1174,13 @@ def _kernel(
                 if PAINT_PDEFER:
                     # resolve the plane record: same arithmetic as the
                     # immediate paint_plane path (visplanes.rs:42-152),
-                    # run once per final pixel
+                    # run once per final pixel.  DUPLICATED from
+                    # paint_plane's projection/flat/sky texel math by
+                    # necessity (paint_plane computes per emitted span,
+                    # this per final pixel; the operand shapes differ) —
+                    # keep the two sites in lockstep or the bit-exact
+                    # record invariant silently breaks (see the note at
+                    # the drec_setup emission site above).
                     stw, sth = SKY_TEXTURE_WIDTH, SKY_TEXTURE_HEIGHT
                     is_skyp = (pw & LD_SKY) != 0
                     h_sv = ((pw & 0xFFFF) << 16) >> 16
@@ -1291,12 +1387,23 @@ def build_item_lists(items, B, TB, NBW):
 def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
                  angle, px, py, floor_height,
                  interpret: bool = False, unroll: int | None = None,
-                 gsub: int | None = None):
+                 gsub: int | None = None,
+                 reuse: dict | None = None, want_reuse: bool = False):
     """Run the paint kernel over B cameras.
 
     Returns dict with idx/ld/rgb [B, H, W], mid pool (7 x [B, W, KM]),
     cnt_mid, clip pool (3 x [B, W, KC]), cnt_clip, overflow [B, 2].
     ld packs light(8)<<16 | dist(u16) | written<<24 | sky<<25.
+
+    Cross-tick live-list reuse (PERF.md structural alt #3, percam
+    only): want_reuse=True additionally returns out["reuse"] — the
+    pose-derived compaction metadata (comb2/scnt + the live predicate).
+    Passing it back as `reuse` on later ticks skips the per-(tile,
+    block) argsort chain; the CURRENT tick's live predicate is still
+    computed (cheap compares) and any seg live now but absent from the
+    reused lists is counted in out["live_stale"].  live_stale == 0
+    proves the reused lists were a superset, i.e. the frame is
+    bit-exact (a conservative list only adds dead visits).
 
     Sprites + masked mids are NOT painted here: the emitted mid/clip
     pools feed things.deferred_pass (the measured-winning item path) or
@@ -1508,7 +1615,23 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # kernel's ceil(scnt/U)*U loop bound may still touch.  Every pack
     # below is gathered with its camera batch dim ALREADY in output
     # position (no post-gather transpose of the big compacted arrays).
-    if percam:
+    live_stale = jnp.zeros((), I32)
+    if reuse is not None:
+        assert percam, "live-list reuse is a percam-compaction feature"
+        # reuse path: the argsort chain is skipped entirely; this
+        # tick's live predicate (cheap compares, computed above) only
+        # polices the superset property.  A seg live now but absent
+        # from the reused lists would render wrong — counted, never
+        # silent; callers assert live_stale == 0 like the other drop
+        # counters.  Extra segs in the reused lists are dead visits
+        # (in-kernel per-camera checks mask them), so a superset is
+        # bit-exact by construction.
+        comb2, scnt = reuse["comb2"], reuse["scnt"]
+        live_dropped = reuse["live_dropped"]
+        live_stale = (live_s & ~reuse["live"]).sum().astype(I32)
+        Gc = capped(Gp)
+        plive = None
+    elif percam:
         # PER-CAMERA live lists: each camera's own live traversal
         # positions, compacted independently.  The kernel's per-seg
         # fields are per-camera rows of the (TB, 128) svf block, so
@@ -1836,6 +1959,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
             # of the shared texture/flat loads
             pltpu.VMEM((TB * 32, level.tex_q.shape[1]), jnp.int32),
             pltpu.VMEM((TB * 16, LANES), jnp.int32),
+            # per-camera y-bounds round-trip (PAINT_PCYB): columns
+            # 2*slot / 2*slot+1 hold a call site's (TB,1) lo/hi vregs
+            pltpu.VMEM((TB, LANES), jnp.int32),
         ] + ([
             # stream-mode chunk buffers (128-padded last dims, see the
             # pad128 note above) + per-(slot, pack) DMA sems
@@ -1865,6 +1991,10 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         "midpool": midpool, "cnt_mid": cnt_mid,
         "clippool": clippool, "cnt_clip": cnt_clip,
         "overflow": overflow, "live_dropped": live_dropped,
+        "live_stale": live_stale,
+        **({"reuse": {"comb2": comb2, "scnt": scnt, "live": live_s,
+                      "live_dropped": live_dropped}}
+           if want_reuse else {}),
         # raw kernel-layout outputs for the standalone item-pass kernel
         # (ops/pallas_itempass.py): no [B, W, K] transpose, no W slice —
         # XLA DCEs whichever view goes unconsumed

@@ -31,6 +31,7 @@ reduces it over clip-pool slots.
 from __future__ import annotations
 
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -57,11 +58,27 @@ _PI = np.float32(math.pi)
 # scripts/probe_item_decomp.py): 4 = presence + slot cumsum only,
 # 1 = + one-hot emission fold, 2 = + per-slot sprite math (clip
 # excluded on the clip_in_kernel path), 3 = + mid-pool slot fill.
+# Sub-decomposition of cut 4 (the 16.75 ms sweep-#11 wall):
+# 9 = sprite presence only, 7 = + mid presence (full pres, no cumsum),
+# 8 = + reverse cumsum (no oh/icnt).
 # The remainder vs the full pass is the composite kernel.
 # Probe scripts monkeypatch this module attribute between traces; there
 # is deliberately NO env-var path (an env var read at import time would
 # silently corrupt every render in the process).
 _DEFER_ONLY = 0
+
+# Perf A/Bs for the deferred side's two measured walls (sweep #11:
+# presence+cumsum 16.75 ms, mid slot fill +17.1 ms).  Bit-exact either
+# way; defaults flip only on end-to-end bench numbers (PERF.md rule).
+#   DEFER_MIDPRES=1: mid presence per selected item (KMID x [B, N, W]
+#     compare-or) instead of the dseg-expanded KMID x [B, D, W] loop +
+#     [B, N, W]-point take_along_axis.
+#   DEFER_MIDFILL=1: mid-pool slot fill restructured KMID-outer and
+#     vectorized over KI (KMID x ~9 ops on [B, W, KI], one fused
+#     chain) instead of the KI x KMID nested loop (KI*KMID [B, W]
+#     select rounds + 6*KI [B, W, KI] scatter-selects).
+DEFER_MIDPRES = _os.environ.get("DOOMTPU_DEFER_MIDPRES", "0") != "0"
+DEFER_MIDFILL = _os.environ.get("DOOMTPU_DEFER_MIDFILL", "0") != "0"
 MID_MARK = 1 << 30  # item-pool word flag: slot is a masked mid (fill pending)
 SPR_MARK = 1 << 29  # item-pool word flag: slot is a sprite (seg-clippable)
 
@@ -918,7 +935,26 @@ def deferred_pass(
                 xcol[:, None] < x1i[..., None]
             )
             pres_spr = in_range & is_spr_sel[..., None]
-        if D > 0:
+        if _DEFER_ONLY == 9:
+            ps = pres_spr & sel_valid[..., None] if MO > 0 else sel_valid
+            return (idx + ps.sum().astype(I32), light, dist, is_sky,
+                    dict(zero_aux, **({"rgb": rgb} if rgb is not None
+                                      else {})))
+        if D > 0 and DEFER_MIDPRES:
+            # per-item join: KMID compare-or rounds on [B, N, W]
+            # directly against each selected item's seg id — skips the
+            # [B, D, W] dseg expansion AND the [B, N, W]-point
+            # take_along_axis.  Identical truth table: item n present
+            # iff some valid mid-pool slot at (b, w) holds segsel[b, n].
+            segsel_e = segsel[..., None]                         # [B,N,1]
+            present_m = jnp.zeros((B, N, W), bool)
+            for k in range(KMID):
+                present_m = present_m | (
+                    mid_slot[:, :, k][:, None, :]
+                    & (m_d6[:, :, k][:, None, :] == segsel_e)
+                )
+            present_m = present_m & want_mid[..., None]
+        elif D > 0:
             presence_d = jnp.zeros((B, D, W), bool)
             for k in range(KMID):
                 hit = mid_slot[:, :, k]                          # [B, W]
@@ -936,8 +972,16 @@ def deferred_pass(
         else:
             pres = present_m
         pres = pres & sel_valid[..., None]
+        if _DEFER_ONLY == 7:
+            return (idx + pres.sum().astype(I32), light, dist, is_sky,
+                    dict(zero_aux, **({"rgb": rgb} if rgb is not None
+                                      else {})))
 
         rc = jnp.cumsum(pres[:, ::-1, :].astype(I32), axis=1)[:, ::-1, :]
+        if _DEFER_ONLY == 8:
+            return (idx + rc.sum(), light, dist, is_sky,
+                    dict(zero_aux, **({"rgb": rgb} if rgb is not None
+                                      else {})))
         slot = rc - 1
         fits = slot < KI
         do = pres & fits
@@ -1105,7 +1149,31 @@ def deferred_pass(
     # ---------------- fill mid slots from the mid pool -----------------------
     # (KI x KMID matching on [B, W] — the mid slot with the same seg id)
     iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = ipool[:6]
-    if D > 0:
+    if D > 0 and DEFER_MIDFILL:
+        # KMID-outer, vectorized over KI: one fused [B, W, KI] chain of
+        # KMID match+select rounds.  Identical results to the nested
+        # loop below: same ascending-k last-match-wins overwrite, same
+        # zero init for matchless mid slots, non-mid slots untouched.
+        m_srcs = (None, midp["d1"], midp["d2"], midp["d3"],
+                  midp["d4"], midp["d5"])
+        is_mid_i = (iword & MID_MARK) != 0                   # [B, W, KI]
+        seg_i = icolbase
+        planes = [iword, icolbase, ibyty, ioffth, ilightzd, iuy1]
+        accs = [jnp.where(is_mid_i, 0, p) for p in planes]
+        for k in range(KMID):
+            m3 = (
+                is_mid_i & mid_slot[:, :, k][..., None]
+                & (m_d6[:, :, k][..., None] == seg_i)
+            )                                                # [B, W, KI]
+            slot = m_span[:, :, k]
+            w_new = pack16(((slot >> 8) & 255), (slot & 255))
+            accs[0] = jnp.where(m3, w_new[..., None], accs[0])
+            for pi in range(1, 6):
+                accs[pi] = jnp.where(
+                    m3, m_srcs[pi][:, :, k][..., None], accs[pi]
+                )
+        iword, icolbase, ibyty, ioffth, ilightzd, iuy1 = accs
+    elif D > 0:
         m_d1, m_d2, m_d3 = midp["d1"], midp["d2"], midp["d3"]
         m_d4, m_d5 = midp["d4"], midp["d5"]
         new_planes = [iword, icolbase, ibyty, ioffth, ilightzd, iuy1]

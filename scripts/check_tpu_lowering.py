@@ -118,10 +118,40 @@ def main():
         finally:
             pp.PAINT_STREAM = old
 
+    def paint_pcyb():
+        # per-camera y-bounds (lane-reduce + VMEM scratch round trip +
+        # scalar reads + per-camera pl.when): scalar reads from VMEM
+        # are the unproven Mosaic construct here — catch a lowering
+        # rejection before the sweep burns its slot
+        from doomtpu.ops import pallas_paint as pp
+
+        old = pp.PAINT_PCYB
+        pp.PAINT_PCYB = True
+        try:
+            return jax.jit(paint).lower(level, px, py, ang, fh, sl, ts, ms)
+        finally:
+            pp.PAINT_PCYB = old
+
+    def paint_pdefer():
+        # deferred plane records (store-only plane emission + in-kernel
+        # per-final-pixel finish resolve) — opt-in, but this repo's
+        # failure class (TB=16 ApplyVectorLayout crash, vmem overflow)
+        # surfaces only at hardware compile, so keep it lowering-checked
+        from doomtpu.ops import pallas_paint as pp
+
+        old = pp.PAINT_PDEFER
+        pp.PAINT_PDEFER = True
+        try:
+            return jax.jit(paint).lower(level, px, py, ang, fh, sl, ts, ms)
+        finally:
+            pp.PAINT_PDEFER = old
+
     checks = [
         ("render_paint", lambda: jax.jit(paint).lower(
             level, px, py, ang, fh, sl, ts, ms)),
         ("render_paint STREAM", paint_stream),
+        ("render_paint PDEFER", paint_pdefer),
+        ("render_paint PCYB", paint_pcyb),
         ("item_pass", lambda: jax.jit(itempass).lower(
             level, px, py, ang, fh, sl, ts, ms)),
         ("wall_scan_pallas", lambda: jax.jit(scan).lower(

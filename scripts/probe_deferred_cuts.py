@@ -135,6 +135,11 @@ def main():
         things._DEFER_ONLY = 0
         pallas_items._ITEMS_INPUTONLY = False
 
+    if os.environ.get("FINE", "0") != "0":
+        # sub-decomposition of cut 4 (sweep #11: 16.75 ms — where?)
+        run("cut 9: sprite presence only", 9)
+        run("cut 7: + mid presence (full pres)", 7)
+        run("cut 8: + reverse cumsum", 8)
     run("cut 4: presence + slot cumsum", 4)
     run("cut 1: + one-hot emission fold", 1)
     run("cut 2: + per-slot sprite math", 2)

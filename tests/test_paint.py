@@ -124,6 +124,93 @@ def test_paint_stream_bit_exact(setup, demo_level, config, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_paint_pcyb_bit_exact(setup, demo_level, config, monkeypatch):
+    """Per-camera y-bounds mode (DOOMTPU_PAINT_PCYB: lane-reduced
+    per-camera [lo, hi] + per-camera pl.when skips of out-of-range
+    y-blocks) == the union-bounds kernel, bit for bit: every rowwork
+    store is cover-masked, so a skipped y-block only ever re-stored
+    unchanged values."""
+    from doomtpu.ops import pallas_paint as pp
+
+    level = setup
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    ref = pp.render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+    )
+    monkeypatch.setattr(pp, "PAINT_PCYB", True)
+    out = pp.render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True,
+    )
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip", "overflow"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+    for a, b in zip(out["midpool"], ref["midpool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(out["clippool"], ref["clippool"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_paint_live_reuse_bit_exact(setup, demo_level, config):
+    """Cross-tick live-list reuse (render_paint reuse/want_reuse,
+    PERF.md structural alt #3): rendering the SAME pose with reused
+    metadata is bit-identical with live_stale == 0, and rendering a
+    DIFFERENT pose against stale metadata trips the counter."""
+    import dataclasses
+
+    from doomtpu.ops.pallas_paint import render_paint
+
+    level = setup
+    cfg = dataclasses.replace(config, paint_percam_compact=True)
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    frame = cam.build_seg_frame(level, cfg, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    ref = render_paint(
+        level, cfg, frame, order, pa, px, py, fh, interpret=True,
+        want_reuse=True,
+    )
+    out = render_paint(
+        level, cfg, frame, order, pa, px, py, fh, interpret=True,
+        reuse=ref["reuse"],
+    )
+    assert int(np.asarray(out["live_stale"])) == 0
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip", "overflow"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+
+    # a far-away pose set against the stale metadata: new live segs are
+    # counted, never silently dropped
+    views2 = [(900.0, 256.0, 2.5), (300.0, 700.0, 4.6),
+              (384.0, 256.0, 3.1), (290.0, 290.0, 0.8)]
+    px2, py2, pa2, fh2, sl2, ts2 = _state(demo_level, views2)
+    frame2 = cam.build_seg_frame(level, cfg, px2, py2, pa2, fh2, sl2, ts2)
+    out2 = render_paint(
+        level, cfg, frame2, order, pa2, px2, py2, fh2, interpret=True,
+        reuse=ref["reuse"],
+    )
+    assert int(np.asarray(out2["live_stale"])) > 0
+
+
+def test_order_matches_rank(setup, demo_level):
+    """cam.order_matches_rank is the exact validity predicate of a
+    reused traversal order: always True for the order derived from the
+    same rank, False somewhere when the pose moved across partitions."""
+    level = setup
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    rank = cam.traversal_rank(level, px, py)
+    order = cam.seg_order(level, rank)
+    ok = np.asarray(cam.order_matches_rank(level, rank, order))
+    assert ok.all()
+
+    views2 = [(900.0, 256.0, 2.5), (300.0, 700.0, 4.6),
+              (384.0, 256.0, 3.1), (290.0, 290.0, 0.8)]
+    px2, py2, *_ = _state(demo_level, views2)
+    rank2 = cam.traversal_rank(level, px2, py2)
+    ok2 = np.asarray(cam.order_matches_rank(level, rank2, order))
+    assert not ok2.all()
+
+
 def test_paint_planes_defer_bit_exact(setup, demo_level, config, monkeypatch):
     """Deferred plane records (DOOMTPU_PAINT_PDEFER: emissions store
     only (flat word, light|height record); _finish resolves the
@@ -295,6 +382,52 @@ def test_paint_full_frame_bit_exact(setup, demo_level, config):
     np.testing.assert_array_equal(
         np.asarray(daux["rgb"]), np.asarray(rgb_r)
     )
+
+def test_deferred_midpres_midfill_bit_exact(setup, demo_level, config,
+                                            monkeypatch):
+    """The DEFER_MIDPRES / DEFER_MIDFILL restructures (round-5 perf
+    A/Bs for the presence/cumsum and mid-fill walls) are pure
+    reorganizations: per-item mid presence has the same truth table as
+    the dseg-expanded join, and the KMID-outer fill applies the same
+    ascending-k last-match-wins overwrite — outputs must be
+    bit-identical to the default paths."""
+    from doomtpu.ops.pallas_paint import LD_SKY, render_paint
+
+    level = setup
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    mp, ma, ms = demo_level.spawn_mobjs()
+    B = len(VIEWS)
+    mstate = jnp.asarray(ms, jnp.int32)[None].repeat(B, 0)
+
+    frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+    out = render_paint(
+        level, config, frame, order, pa, px, py, fh, interpret=True
+    )
+    ld = out["ld"]
+    light = (ld >> 16) & 0xFF
+    dist = ((ld & 0xFFFF) << 16) >> 16
+    is_sky = (ld & LD_SKY) != 0
+    pools = things.pools_from_paint(out)
+
+    def run():
+        return things.deferred_pass(
+            level, config, frame, pools, order,
+            px, py, pa, fh, sl, mstate,
+            out["idx"], light, dist, is_sky, rgb=out["rgb"],
+        )
+
+    ref = run()
+    for pres, fill in ((True, False), (False, True), (True, True)):
+        monkeypatch.setattr(things, "DEFER_MIDPRES", pres)
+        monkeypatch.setattr(things, "DEFER_MIDFILL", fill)
+        got = run()
+        for r, g in zip(ref[:4], got[:4]):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+        np.testing.assert_array_equal(
+            np.asarray(ref[4]["rgb"]), np.asarray(got[4]["rgb"])
+        )
+
 
 @pytest.mark.parametrize("nviews", [4, 8])
 def test_item_pass_kernel_bit_exact(setup, demo_level, config, nviews):
