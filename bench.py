@@ -38,6 +38,20 @@ NORTH_STAR_FPS = 100_000.0
 
 def main() -> int:
     import jax
+
+    if os.environ.get("DOOMTPU_CPU", "0") != "0":
+        # smoke-test escape hatch: sitecustomize force-registers the
+        # axon TPU backend in every process and JAX_PLATFORMS=cpu alone
+        # cannot override it — only this post-import config call can
+        jax.config.update("jax_platforms", "cpu")
+    exact = int(os.environ.get("DOOMTPU_EXACT", "0"))
+    if exact:
+        # exact-TPU mode A/B (jmath.set_exact_tpu): pinned products
+        # (1) / + host-libm trig (2); the headline metric line says
+        # which mode produced it
+        from doomtpu.render import jmath
+
+        jmath.set_exact_tpu(exact)
     import jax.numpy as jnp
 
     from doomtpu.config import RenderConfig
@@ -84,19 +98,24 @@ def main() -> int:
         )
         source = "synthetic e1m1-scale level"
 
-    # random valid camera poses spread over the map
+    def spread_poses(t, n, seed=0):
+        """Random valid camera poses spread over the map."""
+        rng = np.random.default_rng(seed)
+        poses = []
+        left, right, top, bottom = [float(v) for v in t.bbox]
+        while len(poses) < n:
+            x = rng.uniform(left, right)
+            y = rng.uniform(top, bottom)
+            s = t.sector_at(x, y)
+            if s >= 0 and t.sector_floor_h[s] < t.sector_ceil_h[s]:
+                poses.append((x, y, rng.uniform(0, 2 * math.pi)))
+        return (
+            np.asarray([(p[0], p[1]) for p in poses], np.float32),
+            np.asarray([p[2] for p in poses], np.float32),
+        )
+
     t = engine.tables
-    rng = np.random.default_rng(0)
-    poses = []
-    left, right, top, bottom = [float(v) for v in t.bbox]
-    while len(poses) < B:
-        x = rng.uniform(left, right)
-        y = rng.uniform(top, bottom)
-        s = t.sector_at(x, y)
-        if s >= 0 and t.sector_floor_h[s] < t.sector_ceil_h[s]:
-            poses.append((x, y, rng.uniform(0, 2 * math.pi)))
-    pos = np.asarray([(p[0], p[1]) for p in poses], np.float32)
-    ang = np.asarray([p[2] for p in poses], np.float32)
+    pos, ang = spread_poses(t, B)
 
     state = engine.new_game(B, key=jax.random.PRNGKey(0), pos=pos, angle=ang)
 
@@ -200,18 +219,33 @@ def main() -> int:
     # single-execution kill (engine.rollout chains bit-identically).
     rollout = None
     if with_things and roll_T > 0:
+        # cross-tick live-list reuse (engine.rollout live_reuse): each
+        # 16-tick segment reuses its first tick's traversal/compaction
+        # metadata; the summed live_stale counter is asserted 0 below,
+        # proving frames bit-identical to the recompute-every-tick path
+        reuse = os.environ.get("DOOMTPU_BENCH_REUSE", "0") != "0"
         seq = jnp.zeros((roll_T, B), jnp.int32)
         rkey = jax.random.PRNGKey(2)
+
+        def run_rollout():
+            r = engine.rollout(
+                state, seq, rkey, return_frames=False,
+                max_ticks_per_jit=16, live_reuse=reuse,
+            )
+            if reuse:
+                fstate, cks, stale = r
+                assert int(np.asarray(stale)) == 0, (
+                    f"live-list reuse went stale: {int(np.asarray(stale))}"
+                )
+                return fstate, cks
+            return r
+
         t0 = time.time()
-        fstate, cks = engine.rollout(
-            state, seq, rkey, return_frames=False, max_ticks_per_jit=16
-        )
+        fstate, cks = run_rollout()
         checksum(cks)
         roll_compile_s = time.time() - t0
         t0 = time.time()
-        fstate, cks = engine.rollout(
-            state, seq, rkey, return_frames=False, max_ticks_per_jit=16
-        )
+        fstate, cks = run_rollout()
         checksum(cks)
         roll_dt = time.time() - t0
         rcounters = engine.render_counters(fstate)
@@ -222,6 +256,7 @@ def main() -> int:
             "unit": "step+render frames/sec/chip",
             "T": roll_T,
             "vs_baseline": round(B * roll_T / roll_dt / NORTH_STAR_FPS, 4),
+            "live_reuse": reuse,
         }
         print(
             f"# rollout: T={roll_T} compile={roll_compile_s:.1f}s "
@@ -234,10 +269,73 @@ def main() -> int:
         f"({dt / iters * 1000:.1f} ms/batched-frame)",
         file=sys.stderr,
     )
+
+    # ---- second map line: the doom1-ASSET-scale fixture (~50 flats,
+    # TEXTURE2, 256-wide composites, deeper BSP — wad/synth.py
+    # doom1_scale_wad, VERDICT r4 #6).  Same honesty bar: calibrated
+    # capacities (cache-keyed per map), every drop counter asserted 0.
+    map2 = None
+    if (os.environ.get("DOOMTPU_BENCH_MAP2", "1") != "0"
+            and not os.path.exists(wad_path)):
+        from doomtpu.wad import synth
+
+        eng2 = DoomEngine.from_wad_bytes(
+            synth.doom1_scale_wad(), "e1m1", config=cfg
+        )
+        t2 = eng2.tables
+        iters2 = max(2, iters // 2)
+        pos2, ang2 = spread_poses(t2, B, seed=3)
+        st2 = eng2.new_game(
+            B, key=jax.random.PRNGKey(4), pos=pos2, angle=ang2
+        )
+        chain2 = [st2]
+        for i in range(iters2 - 1):
+            chain2.append(
+                eng2.tick(chain2[-1], controls, jax.random.fold_in(key, i))
+            )
+        checksum(chain2[-1].tick)
+        t0 = time.time()
+        eng2 = eng2.calibrate(chain2)
+        cal2_s = time.time() - t0
+        render2 = eng2.render if with_things else eng2.render_walls
+        t0 = time.time()
+        out2 = render2(st2)
+        checksum(out2[0])
+        compile2_s = time.time() - t0
+        c2m = (
+            eng2.render_counters(st2) if with_things
+            else eng2.render_walls_counters(st2)
+        )
+        bad2 = {k: v for k, v in c2m.items() if v != 0}
+        assert not bad2, f"map2 bench config drops work: {bad2}"
+        t0 = time.time()
+        for s2 in chain2:
+            out2 = render2(s2)
+        checksum(out2[0])
+        dt2 = time.time() - t0
+        map2 = {
+            "value": round(B * iters2 / dt2, 1),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(B * iters2 / dt2 / NORTH_STAR_FPS, 4),
+            "map": {
+                "source": "synthetic doom1-asset-scale level",
+                "segs": int(len(t2.seg_line)),
+                "sectors": int(len(t2.sector_floor_h)),
+                "things": int(len(t2.thing_type)),
+                "flats": int(eng2.assets.flat_pixels.shape[0]),
+            },
+        }
+        print(
+            f"# map2 doom1-asset-scale: B={B} iters={iters2} "
+            f"calibrate={cal2_s:.1f}s compile={compile2_s:.1f}s "
+            f"run={dt2:.3f}s -> {map2['value']:.1f} f/s/chip",
+            file=sys.stderr,
+        )
     print(json.dumps({
         "metric": "e1m1-scale 320×200 frames/sec/chip (batched cameras); "
                   "pixel parity vs spec oracle (Rust binary unavailable "
-                  "in this environment)",
+                  "in this environment)"
+                  + (f"; DOOMTPU_EXACT={exact} fp mode" if exact else ""),
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
@@ -252,6 +350,9 @@ def main() -> int:
         # round-3 #9 — rides inside the single JSON line the driver
         # records, so both numbers land in BENCH_r{N}.json
         "rollout": rollout,
+        # the doom1-asset-scale fixture (~50 flats / TEXTURE2 / wide
+        # composites), VERDICT r4 #6 — same honesty bar, second map
+        "map2": map2,
         # honest ceiling (PERF.md round-4 roofline): exact per-column
         # rendering at this seg count has a ~20k f/s/chip issue+grid
         # floor on one v5e; 100k is unreachable without quality trades

@@ -135,7 +135,7 @@ class DoomEngine:
     def render_counters(self, state: GameState):
         """Summed capacity counters for a full render of `state`:
         {overflow, live_dropped, items_dropped, item_overflow,
-        item_block_dropped}.
+        item_block_dropped, live_stale}.
 
         Every counter at 0 proves the configured capacities (span/clip/
         mid pools, max_visible_mobjs, paint_live_capacity) dropped
@@ -175,7 +175,8 @@ class DoomEngine:
         )
 
     def rollout(self, state: GameState, controls_seq, key,
-                return_frames: bool = True, max_ticks_per_jit: int = 32):
+                return_frames: bool = True, max_ticks_per_jit: int = 32,
+                live_reuse: bool = False):
         """T ticks of step+render as lax.scan segments on device.
 
         Long rollouts are chained as <= max_ticks_per_jit-tick jitted
@@ -184,7 +185,13 @@ class DoomEngine:
         segment is one compiled dispatch so per-op relay overhead never
         appears.  The per-tick keys come from ONE split of `key`, so
         chained output == one long scan, bit for bit.  Pass
-        max_ticks_per_jit=0 to run one unchained scan."""
+        max_ticks_per_jit=0 to run one unchained scan.
+
+        live_reuse=True (paint pipeline only) reuses each segment's
+        first-tick traversal/compaction metadata for the rest of the
+        segment (sim/step.rollout) and returns a THIRD element — the
+        summed live_stale counter.  0 proves frames are bit-identical
+        to live_reuse=False; assert it like the drop counters."""
         T = controls_seq.shape[0]
         keys = jax.random.split(key, T)
         shards = _sort_shards(state)
@@ -192,17 +199,26 @@ class DoomEngine:
         if not S or T <= S:
             return _rollout_jit(
                 self.level, self.thinkers, self.config, state,
-                controls_seq, keys, return_frames, shards,
+                controls_seq, keys, return_frames, shards, live_reuse,
             )
         outs = []
+        stale = jnp.zeros((), jnp.int32)
         for s0 in range(0, T, S):
-            state, out = _rollout_jit(
+            r = _rollout_jit(
                 self.level, self.thinkers, self.config, state,
                 controls_seq[s0:s0 + S], keys[s0:s0 + S], return_frames,
-                shards,
+                shards, live_reuse,
             )
+            if live_reuse:
+                state, out, seg_stale = r
+                stale = stale + seg_stale
+            else:
+                state, out = r
             outs.append(out)
-        return state, jnp.concatenate(outs, axis=0)
+        frames = jnp.concatenate(outs, axis=0)
+        if live_reuse:
+            return state, frames, stale
+        return state, frames
 
     def kill_everything(self, state):
         return step_mod.kill_everything(self.level, state)
@@ -337,7 +353,7 @@ def _render_counters_jit(
             k: jnp.asarray(aux.get(k, zero)).sum().astype(jnp.int32)
             for k in (
                 "overflow", "live_dropped", "items_dropped",
-                "item_overflow", "item_block_dropped",
+                "item_overflow", "item_block_dropped", "live_stale",
             )
         }
 
@@ -397,15 +413,16 @@ def _render_walls_jit(level: DeviceLevel, state: GameState, cfg: RenderConfig,
     return out
 
 
-@partial(jax.jit, static_argnums=(2, 6, 7))
+@partial(jax.jit, static_argnums=(2, 6, 7, 8))
 def _rollout_jit(level, thinkers, cfg, state, controls_seq, keys,
-                 return_frames, sort_shards=1):
+                 return_frames, sort_shards=1, live_reuse=False):
     # one jit around the whole scan: without it every surrounding op
     # dispatches individually through the relay (~ms each) and a T-step
     # rollout takes minutes instead of milliseconds
     return step_mod.rollout(
         level, thinkers, cfg, state, controls_seq, None,
         return_frames=return_frames, keys=keys, sort_shards=sort_shards,
+        live_reuse=live_reuse,
     )
 
 

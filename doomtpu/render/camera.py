@@ -152,6 +152,30 @@ def seg_order(level: DeviceLevel, rank):
     return jnp.argsort(seg_rank, axis=1, stable=True).astype(I32)
 
 
+def order_matches_rank(level: DeviceLevel, rank, order):
+    """[B] bool: is `order` exactly the order seg_order(level, rank)
+    would produce?  True iff along `order` the current seg rank is
+    non-decreasing AND seg indices ascend within equal ranks — the
+    defining property of the stable rank-argsort.  Costs one [B, G]
+    gather + compares (no argsort), which is what makes cross-tick
+    order reuse cheap to police: a camera that crossed a BSP partition
+    flips this to False and the caller counts it as staleness."""
+    if isinstance(rank, tuple):
+        hi, lo = rank
+        rh = jnp.take_along_axis(hi[:, level.seg_sub], order, axis=1)
+        rl = jnp.take_along_axis(lo[:, level.seg_sub], order, axis=1)
+        lt = (rh[:, :-1] < rh[:, 1:]) | (
+            (rh[:, :-1] == rh[:, 1:]) & (rl[:, :-1] < rl[:, 1:])
+        )
+        eq = (rh[:, :-1] == rh[:, 1:]) & (rl[:, :-1] == rl[:, 1:])
+    else:
+        r = jnp.take_along_axis(rank[:, level.seg_sub], order, axis=1)
+        lt = r[:, :-1] < r[:, 1:]
+        eq = r[:, :-1] == r[:, 1:]
+    idx_asc = order[:, :-1] < order[:, 1:]
+    return (lt | (eq & idx_asc)).all(axis=1)
+
+
 def traversal_positions(level: DeviceLevel, rank):
     """[B, G] front-to-back POSITION of each seg — the inverse of
     `seg_order`'s permutation: order[b, traversal_positions(...)[b, i]]
@@ -406,7 +430,15 @@ def build_seg_frame(
         -1,
     ) & active
 
-    light = sector_light[jnp.arange(B)[:, None], fsec[None]]
+    # take_along_axis (not an explicit iota-batched gather): the batch
+    # axis stays a gather *batching* dim, so under an env-sharded mesh
+    # GSPMD keeps the lookup shard-local instead of all-gathering the
+    # [B, SEC] operand (test_camera_sort_is_shard_local asserts
+    # all-gather == 0 on the full render HLO)
+    light = jnp.take_along_axis(
+        sector_light, jnp.broadcast_to(fsec[None], (B, fsec.shape[0])),
+        axis=1,
+    )
 
     flat_f = animated_flat(
         level, level.sector_floor_flat[fsec][None], timestamp[:, None]

@@ -60,11 +60,18 @@ def sort_shards(state) -> int:
     return 1
 
 
-def sort_state(state, B: int, S: int):
+def sort_state(state, B: int, S: int, loc=None):
     """Sort cameras by Morton key within each of S contiguous shard
-    groups.  Returns (sorted_state, loc [S, B/S] local permutation)."""
-    key = camera_sort_key(state.pos, state.angle)
-    loc = jnp.argsort(key.reshape(S, B // S), axis=1).astype(jnp.int32)
+    groups.  Returns (sorted_state, loc [S, B/S] local permutation).
+
+    Pass a previous call's `loc` to reuse its permutation (cross-tick
+    live-list reuse: the compaction metadata lives in sorted camera
+    space, so every tick of a reuse window must sort with the SAME
+    permutation — any fixed permutation is output-correct, only tile
+    coherence decays as poses move)."""
+    if loc is None:
+        key = camera_sort_key(state.pos, state.angle)
+        loc = jnp.argsort(key.reshape(S, B // S), axis=1).astype(jnp.int32)
 
     def apply(x):
         x2 = x.reshape((S, B // S) + x.shape[1:])

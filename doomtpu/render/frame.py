@@ -66,8 +66,13 @@ def itempass_available(level, cfg, B) -> bool:
 
 
 def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
-                  timestamp, interpret=False):
-    """Fast path: walls/planes/sky painted in-kernel (pallas_paint)."""
+                  timestamp, interpret=False, reuse=None, want_reuse=False):
+    """Fast path: walls/planes/sky painted in-kernel (pallas_paint).
+
+    reuse/want_reuse: cross-tick live-list reuse (see render_paint).
+    With `reuse`, the traversal order comes from reuse["order"] and is
+    validated against this pose's rank (cam.order_matches_rank);
+    cameras whose BSP order changed count into aux["live_stale"]."""
     from doomtpu.ops.pallas_paint import LD_SKY, render_paint
 
     frame = cam.build_seg_frame(
@@ -75,10 +80,19 @@ def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
     )
     frame = jax.lax.optimization_barrier(frame)
     rank = cam.traversal_rank(level, px, py)
-    order = cam.seg_order(level, rank)
+    order_stale = jnp.zeros((), jnp.int32)
+    if reuse is not None:
+        order = reuse["order"]
+        order_stale = (
+            ~cam.order_matches_rank(level, rank, order)
+        ).sum().astype(jnp.int32)
+    else:
+        order = cam.seg_order(level, rank)
     out = render_paint(
         level, cfg, frame, order, angle, px, py, floor_height,
         interpret=interpret,
+        reuse=None if reuse is None else reuse["paint"],
+        want_reuse=want_reuse,
     )
     ld = out["ld"]
     light = (ld >> 16) & 0xFF
@@ -89,8 +103,11 @@ def _stages_paint(level, cfg, px, py, angle, floor_height, sector_light,
         "midpool": out["midpool"], "cnt_mid": out["cnt_mid"],
         "clippool": out["clippool"], "cnt_clip": out["cnt_clip"],
         "overflow": out["overflow"], "live_dropped": out["live_dropped"],
+        "live_stale": out["live_stale"] + order_stale,
         "light": light, "dist": dist, "is_sky": is_sky,
     }
+    if want_reuse:
+        aux["reuse"] = {"order": order, "paint": out["reuse"]}
     return out["idx"], light, dist, is_sky, out["rgb"], aux
 
 
@@ -153,16 +170,27 @@ def render_frame(
     sector_light,                          # [B, SEC]
     mobj_state,                            # [B, MO]
     timestamp,                             # [B]
+    reuse=None, want_reuse: bool = False,
 ):
     """The full frame: walls, planes, sky, sprites, masked mids.
 
     Batched equivalent of Renderer::render (renderer/mod.rs:118-136).
     Returns (idx [B,H,W] palette indices with -1 = unwritten,
     rgb [B,H,W] packed 0xRRGGBB i32, aux dict).
+
+    reuse/want_reuse (cross-tick live-list reuse, rollouts): only the
+    paint-kernel pipeline supports it; want_reuse returns the pose-
+    derived traversal/compaction metadata in aux["reuse"], and passing
+    it back skips those stages with aux["live_stale"] policing
+    exactness (callers assert it 0 like every drop counter).
     """
     from doomtpu.render import things
 
     B = px.shape[0]
+    if reuse is not None or want_reuse:
+        assert paint_available(level, cfg, B) and not itempass_available(
+            level, cfg, B
+        ), "live-list reuse requires the paint+deferred pipeline"
     if itempass_available(level, cfg, B):
         # walls/planes/sky from the paint kernel, sprites + mids from
         # the item-pass kernel — no [B, N, W] XLA stage anywhere
@@ -204,7 +232,8 @@ def render_frame(
         return idx, rgb, aux
     if paint_available(level, cfg, B):
         idx, light, dist, is_sky, rgb, aux = _stages_paint(
-            level, cfg, px, py, angle, floor_height, sector_light, timestamp
+            level, cfg, px, py, angle, floor_height, sector_light,
+            timestamp, reuse=reuse, want_reuse=want_reuse,
         )
         pools = things.pools_from_paint(aux)
         idx2, light2, dist2, is_sky, daux = things.deferred_pass(

@@ -21,6 +21,25 @@ I32 = jnp.int32
 # is exact in f64, and the explicit f32 demotion blocks contraction.
 _STRICT_FP = False
 
+# Exact-TPU mode (round-5, VERDICT r4 #4): the v5e has no f64, so the
+# strict path cannot run there; the TPU fast path measured 421/512k px
+# off the oracle (probe_tpu_exactness), attributed to the shared XLA
+# fast-path f32 choices (FMA contraction / excess precision), not the
+# kernels.  Exact mode blocks exactly that: every parity-critical
+# product is pinned with lax.reduce_precision(p, 8, 23) — numerically
+# the identity on an IEEE-rounded f32 product, but an explicit bit-level
+# op neither XLA nor Mosaic elides, so the product materializes at f32
+# and cannot contract into a neighboring add.  Levels:
+#   1 = pinned products only (pure device code, kernel-safe)
+#   2 = + cos/sin through host libm via pure_callback (XLA:TPU trig
+#       differs by ULPs) — requires host-callback support on the
+#       backend; cos_sin is only ever called on [B] camera angles
+#       outside the kernels, so the cost is one tiny round trip/frame
+# Residual (documented, measured by the probe): f32 divide/sqrt on TPU
+# are not guaranteed correctly rounded; if the probe still shows
+# boundary flips at level 2, those are the remaining source.
+_EXACT_TPU = 0
+
 
 def set_strict_fp(enabled: bool) -> None:
     global _STRICT_FP
@@ -29,6 +48,15 @@ def set_strict_fp(enabled: bool) -> None:
 
 def strict_fp_enabled() -> bool:
     return _STRICT_FP
+
+
+def set_exact_tpu(level: int) -> None:
+    global _EXACT_TPU
+    _EXACT_TPU = int(level)
+
+
+def exact_tpu_enabled() -> int:
+    return _EXACT_TPU
 
 
 def f32(x):
@@ -43,8 +71,6 @@ def smul(a, b):
     multiply into an FMA with a neighboring add).
     """
     if _STRICT_FP:
-        from jax import lax
-
         # the product of two f32s is exact in f64; reduce_precision then
         # applies true f32 round-to-nearest-even as an explicit bit-level
         # op that no backend elides (plain f64->f32 converts can keep
@@ -52,6 +78,14 @@ def smul(a, b):
         prod = jnp.asarray(a, jnp.float64) * jnp.asarray(b, jnp.float64)
         prod = lax.reduce_precision(prod, exponent_bits=8, mantissa_bits=23)
         return prod.astype(F32)
+    if _EXACT_TPU:
+        # f32 multiply is IEEE-rounded on the VPU; reduce_precision is
+        # numerically the identity here but pins the rounded product so
+        # the compiler cannot contract it into an FMA or keep excess
+        # precision into the consumer (the 421-px divergence class)
+        return lax.reduce_precision(
+            f32(a) * f32(b), exponent_bits=8, mantissa_bits=23
+        )
     return f32(a) * f32(b)
 
 
@@ -102,7 +136,7 @@ def cos_sin(angle):
     bit-identical to the NumPy oracle (XLA's vector trig differs by ULPs,
     which flips truncations at span boundaries)."""
     angle = f32(angle)
-    if _STRICT_FP:
+    if _STRICT_FP or _EXACT_TPU >= 2:
         import jax
         import numpy as np
 

@@ -427,8 +427,30 @@ SPRITE_SHAPES = {
 }
 
 
-def standard_assets(builder: WadBuilder) -> None:
-    """Add palette, flats, textures and sprites shared by all synthetic WADs."""
+# the doom1-asset-scale flat roster (VERDICT r4 #6): every hardcoded
+# animation cycle from the reference (flats.rs:30-75) plus static
+# fillers — ~51 flats total, matching real doom1's ~50+ so the paint
+# kernel's flat windows / per-tile flat strategy is exercised at the
+# asset scale a real IWAD brings (the e1m1-scale fixture has only 8
+# non-sky flats, where a static all-flats loop is nearly free).
+RICH_ANIM_FLATS = [
+    "FWATER1", "FWATER2", "FWATER3", "FWATER4",
+    "SWATER1", "SWATER2", "SWATER3", "SWATER4",
+    "LAVA1", "LAVA2", "LAVA3", "LAVA4",
+    "BLOOD1", "BLOOD2", "BLOOD3",
+    "RROCK05", "RROCK06", "RROCK07", "RROCK08",
+    "SLIME01", "SLIME02", "SLIME03", "SLIME04",
+    "SLIME05", "SLIME06", "SLIME07", "SLIME08",
+    "SLIME09", "SLIME10", "SLIME11", "SLIME12",
+]
+RICH_STATIC_FLATS = [f"MFLR8_{i}" for i in range(1, 12)]
+
+
+def standard_assets(builder: WadBuilder, rich: bool = False) -> None:
+    """Add palette, flats, textures and sprites shared by all synthetic
+    WADs.  rich=True adds the doom1-asset-scale roster: ~51 flats (all
+    9 reference animation cycles + static fillers) and a TEXTURE2 lump
+    (textures.rs:141-148 reads it when present)."""
     pal = default_palette()
     builder.add("PLAYPAL", encode_playpal(pal))
     builder.add("COLORMAP", encode_colormap(pal))
@@ -442,6 +464,11 @@ def standard_assets(builder: WadBuilder) -> None:
         "F_SKY1": make_flat(8, 0),
         "STEP1": make_flat(9, 70),
     }
+    if rich:
+        for i, name in enumerate(RICH_ANIM_FLATS):
+            flats[name] = make_flat(100 + i, 20 + (i * 5) % 200)
+        for i, name in enumerate(RICH_STATIC_FLATS):
+            flats[name] = make_flat(200 + i, 30 + (i * 17) % 190)
     for name, pix in flats.items():
         builder.add(name, encode_flat(pix))
 
@@ -488,6 +515,27 @@ def standard_assets(builder: WadBuilder) -> None:
              "patches": [(0, 0, 0), (64, 0, 4), (128, 0, 4), (192, 0, 0)]},
         ]),
     )
+    if rich:
+        # TEXTURE2 definitions compose from the same PNAMES space
+        # exactly like TEXTURE1 (textures.rs:141-148, 208-255);
+        # T2WIDE differs from WIDE1's half layout so fetching the wrong
+        # list (or skipping TEXTURE2) shows up in parity
+        builder.add(
+            "TEXTURE2",
+            encode_texture1([
+                {"name": "T2WALL", "width": 64, "height": 128,
+                 "patches": [(0, 0, 4)]},
+                # negative-origin overlap like WALL3, but every texel
+                # covered (PWALL spans the right half full-height) so
+                # the texture stays wall-opaque and paint-eligible
+                {"name": "T2COMP", "width": 128, "height": 128,
+                 "patches": [(0, 0, 4), (48, -16, 0), (64, 0, 0),
+                             (96, 64, 1)]},
+                {"name": "T2WIDE", "width": 256, "height": 128,
+                 "patches": [(0, 0, 4), (64, 0, 0), (128, 0, 0),
+                             (192, 0, 4)]},
+            ]),
+        )
 
     # sprites live between S_START and S_END (reference wad.rs:105-106)
     builder.add("S_START")
@@ -640,6 +688,9 @@ def grid_level(
     cell: int = 192,
     brick: bool = True,
     things_per_room: float = 1.0,
+    floor_flats: list[str] | None = None,
+    ceil_flats: list[str] | None = None,
+    wall_texes: list[str] | None = None,
 ) -> tuple[list[RoomSpec], list[ThingSpec]]:
     """A deterministic rows x cols room grid at configurable scale.
 
@@ -654,6 +705,10 @@ def grid_level(
     """
     rng = np.random.default_rng(seed)
     specials = [0, 0, 0, 1, 2, 3, 4, 8, 12, 13, 17]
+    floor_flats = floor_flats or ["FLOOR1", "FLOOR2", "STEP1", "NUKAGE1"]
+    ceil_flats = ceil_flats or ["CEIL1", "CEIL2", "CEIL1",
+                                "F_SKY1", "F_SKY1"]
+    wall_texes = wall_texes or ["WALL1", "WALL2", "STEP1"]
     rooms: list[RoomSpec] = []
     things: list[ThingSpec] = [
         ThingSpec(cell // 2, cell // 2, 0, 1)          # player 1 start
@@ -679,14 +734,12 @@ def grid_level(
                 x0, y0, x1, y1,
                 floor_h=floor_h, ceil_h=ceil_h,
                 light=int(rng.integers(96, 256)),
-                floor_flat=["FLOOR1", "FLOOR2", "STEP1", "NUKAGE1"][
-                    int(rng.integers(0, 4))
+                floor_flat=floor_flats[
+                    int(rng.integers(0, len(floor_flats)))
                 ],
-                ceil_flat=["CEIL1", "CEIL2", "CEIL1", "F_SKY1", "F_SKY1"][
-                    int(rng.integers(0, 5))
-                ],
+                ceil_flat=ceil_flats[int(rng.integers(0, len(ceil_flats)))],
                 special=specials[int(rng.integers(0, len(specials)))],
-                wall_tex=["WALL1", "WALL2", "STEP1"][int(rng.integers(0, 3))],
+                wall_tex=wall_texes[int(rng.integers(0, len(wall_texes)))],
                 mid_tex=["-", "-", "-", "GRATE"][int(rng.integers(0, 4))],
                 peg_flags=[0, DONTPEGBOTTOM, DONTPEGTOP,
                            DONTPEGBOTTOM | DONTPEGTOP][int(rng.integers(0, 4))],
@@ -713,6 +766,25 @@ def e1m1_scale_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
     parity numbers are measured at the scale the north-star metric names.
     """
     return grid_level(10, 13, seed=101, things_per_room=1.2)
+
+
+def doom1_scale_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
+    """The doom1-ASSET-scale fixture (VERDICT r4 #6): e1m1-class
+    geometry (12x14 grid, deeper BSP than the 10x13 e1m1_scale grid)
+    whose rooms draw from the FULL rich-asset roster — ~50 flats (all
+    9 reference animation cycles, flats.rs:30-75), TEXTURE2 walls and
+    256-wide composites — so calibrate/paint/parity run at real-IWAD
+    asset scale, where per-(tile, block) distinct-flat counts exceed
+    the census's KF<=6 and the TEXTURE2 path actually executes."""
+    return grid_level(
+        12, 14, seed=404, things_per_room=1.0,
+        floor_flats=(["FLOOR1", "FLOOR2", "STEP1"] + RICH_ANIM_FLATS
+                     + RICH_STATIC_FLATS),
+        ceil_flats=(["CEIL1", "CEIL2", "F_SKY1", "F_SKY1"]
+                    + RICH_STATIC_FLATS[:6]),
+        wall_texes=["WALL1", "WALL2", "STEP1", "WALL3", "WIDE1",
+                    "T2WALL", "T2COMP", "T2WIDE"],
+    )
 
 
 def big_level() -> tuple[list[RoomSpec], list[ThingSpec]]:
@@ -743,10 +815,11 @@ def deep_wad() -> bytes:
 
 
 def build_wad(
-    rooms, things, map_name: str = "E1M1", unbalanced_bsp: bool = False
+    rooms, things, map_name: str = "E1M1", unbalanced_bsp: bool = False,
+    rich: bool = False,
 ) -> bytes:
     b = WadBuilder("IWAD")
-    standard_assets(b)
+    standard_assets(b, rich=rich)
     lb = LevelBuilder(rooms, things)
     lb.build_walls()
     lb.build_bsp(unbalanced=unbalanced_bsp)
@@ -807,6 +880,10 @@ def decoder_wad() -> bytes:
 
 def e1m1_scale_wad() -> bytes:
     return build_wad(*e1m1_scale_level())
+
+
+def doom1_scale_wad() -> bytes:
+    return build_wad(*doom1_scale_level(), rich=True)
 
 
 def big_wad() -> bytes:

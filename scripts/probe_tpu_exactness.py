@@ -35,6 +35,16 @@ def main():
     import jax.numpy as jnp
 
     assert jax.default_backend() != "cpu", "run on the TPU"
+    exact = int(os.environ.get("DOOMTPU_EXACT", "0"))
+    if exact:
+        # exact-TPU mode (VERDICT r4 #4): pin parity-critical products
+        # (level 1) and optionally host-libm trig (level 2) — see
+        # jmath.set_exact_tpu.  Run the probe at 0/1/2 to attribute the
+        # 421-px fast-path divergence.
+        from doomtpu.render import jmath
+
+        jmath.set_exact_tpu(exact)
+        print(f"DOOMTPU_EXACT={exact}", flush=True)
     from doomtpu.assets.bundle import LevelAssets
     from doomtpu.config import RenderConfig
     from doomtpu.info import load_default_tables

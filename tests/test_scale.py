@@ -100,6 +100,34 @@ def test_e1m1_scale_bit_exact(info):
     _assert_views_bit_exact(mt, assets, level, info, cfg, views)
 
 
+def test_doom1_asset_scale_counts():
+    """The doom1-ASSET-scale fixture (VERDICT r4 #6): ~50 flats (all
+    nine reference animation cycles, flats.rs:30-75), a TEXTURE2 lump
+    (textures.rs:141-148), 256-wide composites, deeper BSP."""
+    wad = WadFile(synth.doom1_scale_wad())
+    mt = MapTables.load(wad, "E1M1")
+    assert wad.has("TEXTURE2")
+    assert len(mt.seg_line) >= 900
+    assert len(mt.sector_floor_h) >= 150
+
+
+def test_doom1_asset_scale_bit_exact(info):
+    """Full-pipeline parity at real-IWAD asset scale: the per-frame
+    flat-animation remap, TEXTURE2 composition and wide-texture path
+    all run with ~48 loaded flats, and every pixel still matches the
+    scalar oracle."""
+    # deeper sightlines than the e1m1-scale grid: span peak > 48
+    cfg = RenderConfig(span_capacity=72)
+    wad = WadFile(synth.doom1_scale_wad())
+    mt = MapTables.load(wad, "E1M1")
+    assets = LevelAssets.load(wad, mt, info.sprite_names)
+    assert assets.flat_pixels.shape[0] >= 40
+    level = DeviceLevel.build(mt, assets, info)
+    assert level.paint_ok and level.items_ok
+    views = [(290.0, 290.0, 0.8), (1600.0, 1100.0, 4.1)]
+    _assert_views_bit_exact(mt, assets, level, info, cfg, views)
+
+
 def test_big_map_over_2047_segs(info):
     mt, assets, level = _load(synth.big_level, info)
     assert level.num_segs > 2047
