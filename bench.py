@@ -222,8 +222,15 @@ def main() -> int:
         # cross-tick live-list reuse (engine.rollout live_reuse): each
         # 16-tick segment reuses its first tick's traversal/compaction
         # metadata; the summed live_stale counter is asserted 0 below,
-        # proving frames bit-identical to the recompute-every-tick path
-        reuse = os.environ.get("DOOMTPU_BENCH_REUSE", "0") != "0"
+        # proving frames bit-identical to the recompute-every-tick path.
+        # Default ON since sweep #13 (rollout 2306.8 vs 2230.6 f/s on
+        # the pre-PCYB tree, stale 0); the JSON records live_reuse.
+        # Requires the paint pipeline: off on CPU smoke runs and in
+        # exact mode (both fall back to the XLA pipeline).
+        reuse = (
+            os.environ.get("DOOMTPU_BENCH_REUSE", "1") != "0"
+            and cfg.use_pallas_paint and not exact
+        )
         seq = jnp.zeros((roll_T, B), jnp.int32)
         rkey = jax.random.PRNGKey(2)
 

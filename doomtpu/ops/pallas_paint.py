@@ -116,8 +116,11 @@ PAINT_SKIP = int(_os.environ.get("DOOMTPU_PAINT_SKIP", "0"))
 # re-stored unchanged values (every rowwork store is cover-masked).
 # The footprint census says per-camera bounds process 5.9x the painted
 # px vs the union's 31x; the mechanism cost is priced by
-# scripts/probe_percam_ybounds.py.
-PAINT_PCYB = _os.environ.get("DOOMTPU_PAINT_PCYB", "0") != "0"
+# scripts/probe_percam_ybounds.py.  DEFAULT ON since sweep #13
+# (2026-08-21): paint stage 61.37 ms vs 71.27, end-to-end 2416.4 f/s
+# vs 2207.4 at calibrated pools, counters 0.  =0 restores union
+# bounds.
+PAINT_PCYB = _os.environ.get("DOOMTPU_PAINT_PCYB", "1") != "0"
 # guard each compacted seg's body with pl.when(seg_live): saves the body
 # on segs dead for the whole tile (closed columns / piece-inactive), but
 # the .any() cross-lane reduction -> SREG -> branch chain measures ~2.4us

@@ -22,8 +22,16 @@ def paint_available(level, cfg, B) -> bool:
     """Static eligibility of the paint-kernel fast path."""
     import jax as _jax
 
+    from doomtpu.render import jmath
+
     return (
         cfg.use_pallas_paint
+        # exact-TPU mode pins products with lax.reduce_precision, which
+        # Mosaic does not lower (sweep #13: "Unimplemented primitive
+        # ... reduce_precision") — exact mode runs the pure XLA
+        # pipeline, which measures the identical 421-px fast-path
+        # divergence, so the attribution experiment loses nothing
+        and not jmath.exact_tpu_enabled()
         and level.paint_ok
         # UNCAPPED, the per-(tile, block) compacted input packs are
         # sized Gp rows per block (static worst case) — bounded at
@@ -121,7 +129,11 @@ def _stages_1_2(level, cfg, px, py, angle, floor_height, sector_light, timestamp
     rank = cam.traversal_rank(level, px, py)
     order = cam.seg_order(level, rank)
     B = px.shape[0]
-    if cfg.use_pallas_scan and B % 8 == 0 and jax.default_backend() != "cpu":
+    from doomtpu.render import jmath as _jm
+
+    if (cfg.use_pallas_scan and B % 8 == 0
+            and not _jm.exact_tpu_enabled()
+            and jax.default_backend() != "cpu"):
         from doomtpu.ops.pallas_scan import wall_scan_pallas
 
         pool, cnt, overflow = wall_scan_pallas(level, cfg, frame, order)

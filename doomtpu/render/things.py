@@ -77,8 +77,12 @@ _DEFER_ONLY = 0
 #     vectorized over KI (KMID x ~9 ops on [B, W, KI], one fused
 #     chain) instead of the KI x KMID nested loop (KI*KMID [B, W]
 #     select rounds + 6*KI [B, W, KI] scatter-selects).
-DEFER_MIDPRES = _os.environ.get("DOOMTPU_DEFER_MIDPRES", "0") != "0"
-DEFER_MIDFILL = _os.environ.get("DOOMTPU_DEFER_MIDFILL", "0") != "0"
+# Both DEFAULT ON since sweep #13 (2026-08-21): together they measure
+# 2468.1 f/s end-to-end vs 2207.4 (rollout 2503.7 vs 2230.6) at
+# calibrated pools, counters 0 — full deferred ladder 33.96 ms vs
+# 38.77.  =0 restores the round-4 formulations.
+DEFER_MIDPRES = _os.environ.get("DOOMTPU_DEFER_MIDPRES", "1") != "0"
+DEFER_MIDFILL = _os.environ.get("DOOMTPU_DEFER_MIDFILL", "1") != "0"
 MID_MARK = 1 << 30  # item-pool word flag: slot is a masked mid (fill pending)
 SPR_MARK = 1 << 29  # item-pool word flag: slot is a sprite (seg-clippable)
 
@@ -687,6 +691,13 @@ def deferred_pass(
     sel, sel_valid = sel_s["sel"], sel_s["sel_valid"]
     is_spr_sel = sel_s["is_spr_sel"]
     items_dropped = sel_s["items_dropped"]
+    if _DEFER_ONLY == 10:
+        # selection machinery only (_select_items: sprite scalars,
+        # painter keys, nearest-N fold) — no presence, no W-scaled work
+        return (idx + sel_valid.sum().astype(I32) + sel.sum(), light,
+                dist, is_sky,
+                dict(zero_aux, **({"rgb": rgb} if rgb is not None
+                                  else {})))
     KI = cfg.item_capacity
     # item-composite kernel path (ops/pallas_items.py): the composite
     # fold AND the per-slot sprite seg-clip run in VMEM; the [B,W,K,N]

@@ -137,6 +137,7 @@ def main():
 
     if os.environ.get("FINE", "0") != "0":
         # sub-decomposition of cut 4 (sweep #11: 16.75 ms — where?)
+        run("cut 10: selection only", 10)
         run("cut 9: sprite presence only", 9)
         run("cut 7: + mid presence (full pres)", 7)
         run("cut 8: + reverse cumsum", 8)

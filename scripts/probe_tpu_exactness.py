@@ -126,6 +126,13 @@ def main():
         "scan+resolve": dataclasses.replace(base, use_pallas_scan=True),
         "xla": base,
     }
+    if exact:
+        # Mosaic cannot lower reduce_precision (sweep #13), so exact
+        # mode forces the pure XLA pipeline regardless of config —
+        # every row would collapse to it; run it once.  (The EXACT=0
+        # table shows all four pipelines diverge identically, so the
+        # xla row is the attribution that matters.)
+        pipelines = {"xla": base}
 
     from functools import partial
 

@@ -137,6 +137,7 @@ def test_paint_pcyb_bit_exact(setup, demo_level, config, monkeypatch):
     frame = cam.build_seg_frame(level, config, px, py, pa, fh, sl, ts)
     order = cam.seg_order(level, cam.traversal_rank(level, px, py))
 
+    monkeypatch.setattr(pp, "PAINT_PCYB", False)
     ref = pp.render_paint(
         level, config, frame, order, pa, px, py, fh, interpret=True,
     )
@@ -417,6 +418,8 @@ def test_deferred_midpres_midfill_bit_exact(setup, demo_level, config,
             out["idx"], light, dist, is_sky, rgb=out["rgb"],
         )
 
+    monkeypatch.setattr(things, "DEFER_MIDPRES", False)
+    monkeypatch.setattr(things, "DEFER_MIDFILL", False)
     ref = run()
     for pres, fill in ((True, False), (False, True), (True, True)):
         monkeypatch.setattr(things, "DEFER_MIDPRES", pres)
