@@ -168,7 +168,7 @@ def is_left_of(px, py, sx, sy, ex, ey):
     return cross(px - sx, py - sy, ex - sx, ey - sy) <= 0.0
 
 
-def stable_positions(key, size_cutoff: int = 768):
+def stable_positions(key, size_cutoff: int | None = None):
     """Ascending stable-sort position of each element along axis 1.
 
     Equals the position a stable argsort on (key, index) would assign.
@@ -176,7 +176,13 @@ def stable_positions(key, size_cutoff: int = 768):
     sorts lower to O(n log^2 n) bitonic passes on TPU, slower at these
     sizes); large axes fall back to the double stable argsort, because
     the compare-reduce's [B, I, I] operand is quadratic in memory
-    (~1 GB of bool at I=2048, B=256).  Both are exact."""
+    (~1 GB of bool at I=2048, B=256).  Both are exact.
+    DOOMTPU_STABLEPOS_CUTOFF overrides the crossover for A/B (0 forces
+    the double argsort everywhere)."""
+    if size_cutoff is None:
+        import os as _os
+
+        size_cutoff = int(_os.environ.get("DOOMTPU_STABLEPOS_CUTOFF", 768))
     B, I = key.shape
     if I <= size_cutoff:
         ii = jnp.arange(I, dtype=I32)

@@ -101,6 +101,20 @@ class Player:
     floor_height: float = 0.0
 
 
+# Trig-injection hook (probe_tpu_exactness EXACT=3 attribution): maps
+# an f32 angle to a precomputed (cos, sin) pair — e.g. XLA:TPU's own
+# values — or None to fall through to host libm.  Rendering the oracle
+# with the TPU's trig isolates how much of the fast-path pixel
+# divergence the transcendental ULP gap explains (the axon runtime has
+# no host callbacks, so the pipeline cannot borrow libm instead).
+_TRIG_OVERRIDE = None
+
+
+def set_trig_override(fn) -> None:
+    global _TRIG_OVERRIDE
+    _TRIG_OVERRIDE = fn
+
+
 def rotate(x: F32, y: F32, angle: F32) -> tuple[F32, F32]:
     """map/vertexes.rs:20-25 (f32 trig).
 
@@ -113,7 +127,11 @@ def rotate(x: F32, y: F32, angle: F32) -> tuple[F32, F32]:
     (covered by test_scale.py's horizon-row view).  np.errstate silences
     the expected "invalid value" warning without changing IEEE results.
     """
-    c, s = f32(np.cos(f32(angle))), f32(np.sin(f32(angle)))
+    cs = _TRIG_OVERRIDE(f32(angle)) if _TRIG_OVERRIDE is not None else None
+    if cs is not None:
+        c, s = f32(cs[0]), f32(cs[1])
+    else:
+        c, s = f32(np.cos(f32(angle))), f32(np.sin(f32(angle)))
     with np.errstate(invalid="ignore"):
         return f32(x * c - y * s), f32(y * c + x * s)
 

@@ -280,11 +280,28 @@ def _select_items(
         else:
             j_first = jnp.full((B, D), 0, I32)
 
-        # traversal position of each drawable-mid seg: a one-hot
-        # weighted sum over the order (fused compare-reduce) for small
-        # G x D, else invert the permutation with one stable argsort —
-        # the one-hot operand is [B, G, D] (quadratic-ish at big maps)
-        if G * D <= 1 << 20:
+        # traversal position of each drawable-mid seg: `order` is a
+        # permutation, so its inverse comes from ONE [B, G] scatter
+        # (unique indices by construction — the same inversion trick as
+        # camera.seg_order's counting path), then a static-column
+        # gather.  Replaces the old [B, G, D] one-hot compare-reduce
+        # (47M-elem operand at e1m1 scale) / stable-argsort fallback —
+        # bit-identical output, O(B*G) work at any map size
+        # (DOOMTPU_SELPOS=0 restores the one-hot form for A/B).
+        if _os.environ.get("DOOMTPU_SELPOS", "1") != "0":
+            positions = (
+                jnp.zeros((B, G), I32)
+                .at[jnp.arange(B, dtype=I32)[:, None], order]
+                .set(
+                    jnp.broadcast_to(
+                        jnp.arange(G, dtype=I32)[None], (B, G)
+                    ),
+                    unique_indices=True,
+                    mode="promise_in_bounds",
+                )
+            )
+            pos_d = positions[:, dsegs_j]                        # [B, D]
+        elif G * D <= 1 << 20:
             g_iota = jnp.arange(G, dtype=I32)
             pos_d = (
                 (order[:, :, None] == dsegs_j[None, None, :])

@@ -36,14 +36,17 @@ def main():
 
     assert jax.default_backend() != "cpu", "run on the TPU"
     exact = int(os.environ.get("DOOMTPU_EXACT", "0"))
-    if exact:
+    if exact in (1, 2):
         # exact-TPU mode (VERDICT r4 #4): pin parity-critical products
         # (level 1) and optionally host-libm trig (level 2) — see
         # jmath.set_exact_tpu.  Run the probe at 0/1/2 to attribute the
-        # 421-px fast-path divergence.
+        # 421-px fast-path divergence.  (Level 2 needs host callbacks,
+        # which the axon runtime lacks — see EXACT=3 below for the
+        # trig attribution that works here.)
         from doomtpu.render import jmath
 
         jmath.set_exact_tpu(exact)
+    if exact:
         print(f"DOOMTPU_EXACT={exact}", flush=True)
     from doomtpu.assets.bundle import LevelAssets
     from doomtpu.config import RenderConfig
@@ -108,6 +111,36 @@ def main():
     print(f"backend={jax.default_backend()} views={B} "
           f"G={level.num_segs} MO={level.num_mobjs}", flush=True)
 
+    if exact == 3:
+        # EXACT=3 (reverse attribution): render the ORACLE with the
+        # TPU's own cos/sin values (fetched per ±angle from the device)
+        # and diff the untouched fast pipelines against it.  Mismatch
+        # counts here are the divergence NOT explained by the
+        # transcendental ULP gap (0 == trig explains everything).
+        import jax.numpy as jnp2
+
+        from doomtpu.render import spec as spec_mod
+
+        angs = np.asarray(
+            [v[2] for v in views] + [-v[2] for v in views], np.float32
+        )
+        c_t = np.asarray(jnp2.cos(jnp2.asarray(angs)))
+        s_t = np.asarray(jnp2.sin(jnp2.asarray(angs)))
+        table = {
+            np.float32(a).tobytes(): (c, s)
+            for a, c, s in zip(angs, c_t, s_t)
+        }
+        n_missing = [0]
+
+        def override(ang):
+            hit = table.get(np.float32(ang).tobytes())
+            if hit is None:
+                n_missing[0] += 1
+            return hit
+
+        spec_mod.set_trig_override(override)
+        print("EXACT=3: oracle renders with XLA:TPU trig", flush=True)
+
     t0 = time.time()
     oracle = []
     for (x, y, a), f in zip(views, np.asarray(fh)):
@@ -116,6 +149,12 @@ def main():
             spec.render(p, mobj_pos=mp, mobj_angle=ma, mobj_state=ms)
         )
     print(f"oracle: {time.time() - t0:.0f}s", flush=True)
+    if exact == 3:
+        from doomtpu.render import spec as spec_mod
+
+        spec_mod.set_trig_override(None)
+        print(f"EXACT=3: angles not in the table: {n_missing[0]}",
+              flush=True)
 
     pipelines = {
         "paint+composite": dataclasses.replace(
@@ -126,13 +165,17 @@ def main():
         "scan+resolve": dataclasses.replace(base, use_pallas_scan=True),
         "xla": base,
     }
-    if exact:
+    if exact in (1, 2):
         # Mosaic cannot lower reduce_precision (sweep #13), so exact
         # mode forces the pure XLA pipeline regardless of config —
         # every row would collapse to it; run it once.  (The EXACT=0
         # table shows all four pipelines diverge identically, so the
         # xla row is the attribution that matters.)
         pipelines = {"xla": base}
+    elif exact == 3:
+        # trig-injected ORACLE vs the untouched fast pipelines: the
+        # bench-default row is the attribution that matters
+        pipelines = {"paint+composite": pipelines["paint+composite"]}
 
     from functools import partial
 
