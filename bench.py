@@ -234,10 +234,16 @@ def main() -> int:
         seq = jnp.zeros((roll_T, B), jnp.int32)
         rkey = jax.random.PRNGKey(2)
 
+        # segment length: 16-tick segments stay far under the relay's
+        # ~100 s single-execution kill; at post-round-5 speeds a
+        # 32-tick segment measures ~27 s, so DOOMTPU_BENCH_SEGTICKS=32
+        # halves the chain overhead AND the live-reuse refresh rate
+        segticks = int(os.environ.get("DOOMTPU_BENCH_SEGTICKS", 16))
+
         def run_rollout():
             r = engine.rollout(
                 state, seq, rkey, return_frames=False,
-                max_ticks_per_jit=16, live_reuse=reuse,
+                max_ticks_per_jit=segticks, live_reuse=reuse,
             )
             if reuse:
                 fstate, cks, stale = r

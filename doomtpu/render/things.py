@@ -280,15 +280,16 @@ def _select_items(
         else:
             j_first = jnp.full((B, D), 0, I32)
 
-        # traversal position of each drawable-mid seg: `order` is a
-        # permutation, so its inverse comes from ONE [B, G] scatter
-        # (unique indices by construction — the same inversion trick as
-        # camera.seg_order's counting path), then a static-column
-        # gather.  Replaces the old [B, G, D] one-hot compare-reduce
-        # (47M-elem operand at e1m1 scale) / stable-argsort fallback —
-        # bit-identical output, O(B*G) work at any map size
-        # (DOOMTPU_SELPOS=0 restores the one-hot form for A/B).
-        if _os.environ.get("DOOMTPU_SELPOS", "1") != "0":
+        # traversal position of each drawable-mid seg.  DOOMTPU_SELPOS=1
+        # inverts the `order` permutation with ONE [B, G] unique-index
+        # scatter — asymptotically better (O(B*G) vs the [B, G, D]
+        # one-hot operand) but measured 3.4x SLOWER on the v5e at e1m1
+        # scale (sweep #15: cut 10 = 25.98 ms vs 7.64 — XLA TPU scatter
+        # again, same lesson as the counting-sort and KIB losses), so
+        # the one-hot compare-reduce stays the default; the scatter
+        # form remains the right pick only for very large maps where
+        # the argsort fallback below would kick in anyway.
+        if _os.environ.get("DOOMTPU_SELPOS", "0") != "0":
             positions = (
                 jnp.zeros((B, G), I32)
                 .at[jnp.arange(B, dtype=I32)[:, None], order]
