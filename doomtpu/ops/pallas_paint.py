@@ -37,9 +37,15 @@ Eligibility is static per level (`DeviceLevel.paint_ok`): wall-piece
 textures <= 256x128 (widths above 128 switch the texel fetch to the
 sky-style two-half lane select, `DeviceLevel.texq_wide`) and fully
 opaque, opaque sky.  Like pallas_scan,
-this is the fast path: plain f32 arithmetic (Mosaic may contract
-mul+add; boundary pixels can differ from the strict-FP oracle).  In
-interpret mode it is bit-identical to the XLA path (tests/test_paint.py).
+this is the fast path: plain f32 arithmetic; boundary pixels can
+differ from the strict-FP oracle by <=0.083% (421/512,000 px measured
+on the v5e, identical across all four pipelines).  Sweep #15's
+attribution: ~46% is XLA:TPU transcendental ULPs (EXACT=3 trig-
+injected-oracle residual 228), ~54% the non-correctly-rounded f32
+divide/sqrt class, and — measured, surprising — 0% product
+contraction (EXACT=1 pinned every smul product via reduce_precision
+and moved zero pixels).  In interpret mode the kernel is bit-identical
+to the XLA path (tests/test_paint.py).
 
 Mosaic layout rules this kernel obeys (scripts/probe_mosaic_layout.py):
 the grid owns one 128-lane column block per step, so no value is ever
