@@ -180,34 +180,29 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    render = engine.render if with_things else engine.render_walls
+    def measure_render(eng, sts, label):
+        """Shared honest-measurement flow: compile+warm on the first
+        state, assert EVERY capacity counter is 0 (an undersized pool
+        would trade wrong pixels for speed), then time renders over all
+        states (they advance, so frames differ)."""
+        render_fn = eng.render if with_things else eng.render_walls
+        t0 = time.time()
+        out = render_fn(sts[0])
+        checksum(out[0])
+        comp_s = time.time() - t0
+        cts = (
+            eng.render_counters(sts[0]) if with_things
+            else eng.render_walls_counters(sts[0])
+        )
+        bad = {k: v for k, v in cts.items() if v != 0}
+        assert not bad, f"{label} bench config drops work: {bad}"
+        t0 = time.time()
+        for st_ in sts:
+            out = render_fn(st_)
+        checksum(out[0])
+        return time.time() - t0, comp_s
 
-    # compile + warm up (checksum also warms the sum/fetch path)
-    t0 = time.time()
-    idx, rgb = render(state)
-    warm_cs = checksum(idx)
-    compile_s = time.time() - t0
-
-    # exactness guard: every capacity counter must be 0 on the bench
-    # workload, or the configured caps (paint_live_capacity above all)
-    # would be trading wrong pixels for speed.  Runs once, outside the
-    # timed loop.  Walls-only runs assert their subset too — the live
-    # cap applies to the walls path regardless of things.
-    counters = (
-        engine.render_counters(state) if with_things
-        else engine.render_walls_counters(state)
-    )
-    bad = {k: v for k, v in counters.items() if v != 0}
-    assert not bad, f"bench config drops work: {bad}"
-
-    # timed loop (state advances so frames differ)
-    t0 = time.time()
-    out = None
-    for st in states:
-        out = render(st)
-    final_cs = checksum(out[0])
-    dt = time.time() - t0
-
+    dt, compile_s = measure_render(engine, states, source)
     fps = B * iters / dt
 
     # ---- rollout workload: step+render under lax.scan (the RL-env
@@ -225,11 +220,18 @@ def main() -> int:
         # proving frames bit-identical to the recompute-every-tick path.
         # Default ON since sweep #13 (rollout 2306.8 vs 2230.6 f/s on
         # the pre-PCYB tree, stale 0); the JSON records live_reuse.
-        # Requires the paint pipeline: off on CPU smoke runs and in
-        # exact mode (both fall back to the XLA pipeline).
+        # Requires the paint pipeline WITH percam compaction: off on
+        # CPU smoke runs, in exact mode (both fall back to the XLA
+        # pipeline), and on union-list A/B runs (render_paint asserts
+        # percam for reuse).  DOOMTPU_PAINT_PERCAM overrides the cfg
+        # flag inside render_paint, so honor it here too.
+        percam_on = cfg.paint_percam_compact
+        _pc = os.environ.get("DOOMTPU_PAINT_PERCAM")
+        if _pc is not None:
+            percam_on = _pc != "0"
         reuse = (
             os.environ.get("DOOMTPU_BENCH_REUSE", "1") != "0"
-            and cfg.use_pallas_paint and not exact
+            and cfg.use_pallas_paint and percam_on and not exact
         )
         seq = jnp.zeros((roll_T, B), jnp.int32)
         rkey = jax.random.PRNGKey(2)
@@ -310,22 +312,7 @@ def main() -> int:
         t0 = time.time()
         eng2 = eng2.calibrate(chain2)
         cal2_s = time.time() - t0
-        render2 = eng2.render if with_things else eng2.render_walls
-        t0 = time.time()
-        out2 = render2(st2)
-        checksum(out2[0])
-        compile2_s = time.time() - t0
-        c2m = (
-            eng2.render_counters(st2) if with_things
-            else eng2.render_walls_counters(st2)
-        )
-        bad2 = {k: v for k, v in c2m.items() if v != 0}
-        assert not bad2, f"map2 bench config drops work: {bad2}"
-        t0 = time.time()
-        for s2 in chain2:
-            out2 = render2(s2)
-        checksum(out2[0])
-        dt2 = time.time() - t0
+        dt2, compile2_s = measure_render(eng2, chain2, "map2")
         map2 = {
             "value": round(B * iters2 / dt2, 1),
             "unit": "frames/sec/chip",

@@ -1625,8 +1625,9 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
     # below is gathered with its camera batch dim ALREADY in output
     # position (no post-gather transpose of the big compacted arrays).
     live_stale = jnp.zeros((), I32)
-    if reuse is not None:
+    if reuse is not None or want_reuse:
         assert percam, "live-list reuse is a percam-compaction feature"
+    if reuse is not None:
         # reuse path: the argsort chain is skipped entirely; this
         # tick's live predicate (cheap compares, computed above) only
         # polices the superset property.  A seg live now but absent
@@ -1679,6 +1680,24 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         comb2, scnt, live_dropped = lax.optimization_barrier(
             (comb2, scnt, live_dropped)
         )
+        if want_reuse:
+            # the reuse["live"] reference set must be the KEPT set, not
+            # the raw predicate: a seg dropped by paint_live_capacity
+            # at this (refresh) tick is NOT in the reused lists, so a
+            # later tick where it is still live must count it stale —
+            # with the raw live_s it would pass silently and the
+            # "stale==0 proves bit-identical" guarantee would be
+            # unsound for capped refresh ticks.  kept = live AND among
+            # the first Gc of its (tile, cam, block) live list (the
+            # list keeps nearest-first prefix order).
+            if Gc < Gp:
+                csum = jnp.cumsum(live_sb.astype(I32), axis=-1)
+                kept_b = live_sb & (csum <= Gc)
+                live_kept = jnp.swapaxes(kept_b, 2, 3).reshape(
+                    B, Gp, NBW
+                )[:, :G]
+            else:
+                live_kept = live_s
         plive = None        # computed post-gather from the packed flags
     else:
         # UNION lists: one list per (tile, block) = positions live for
@@ -2001,7 +2020,7 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         "clippool": clippool, "cnt_clip": cnt_clip,
         "overflow": overflow, "live_dropped": live_dropped,
         "live_stale": live_stale,
-        **({"reuse": {"comb2": comb2, "scnt": scnt, "live": live_s,
+        **({"reuse": {"comb2": comb2, "scnt": scnt, "live": live_kept,
                       "live_dropped": live_dropped}}
            if want_reuse else {}),
         # raw kernel-layout outputs for the standalone item-pass kernel

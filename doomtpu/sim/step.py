@@ -163,7 +163,7 @@ def rollout(
             out = unsort_out(out, loc, B, S)
         return out, extra, loc
 
-    if not live_reuse:
+    if not live_reuse or T == 0:
         def body(st, inp):
             controls, k = inp
             st = tick(level, tkt, st, controls, k)
@@ -171,6 +171,8 @@ def rollout(
             return st, out
 
         final, frames = jax.lax.scan(body, state, (controls_seq, keys))
+        if live_reuse:        # T == 0: nothing to reuse, nothing stale
+            return final, frames, jnp.zeros((), jnp.int32)
         return final, frames
 
     # ---- live-reuse rollout: tick 1 unrolled (computes metadata +

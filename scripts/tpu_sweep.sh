@@ -31,13 +31,22 @@ STEPS=$(readlink -f "${2:?steps file}")
 AFTER=${3:-}
 
 if [ -n "$AFTER" ]; then
+  # the log is append-only and persistent, so the named marker alone
+  # could be satisfied by a PREVIOUS run of that sweep — also require
+  # that no sweep is currently mid-flight (the last '=== ' header line
+  # is a done/ABORT, not a dangling start)
   ok=
   for i in $(seq 1 180); do
-    grep -q "$AFTER" "$LOG" 2>/dev/null && { ok=1; break; }
+    if grep -q "$AFTER" "$LOG" 2>/dev/null; then
+      last=$(grep -E '^=== ' "$LOG" | tail -1)
+      case "$last" in
+        *" done "*|*" ABORT"*) ok=1; break;;
+      esac
+    fi
     sleep 60
   done
   if [ -z "$ok" ]; then
-    echo "=== $NAME ABORT: marker '$AFTER' never appeared $(date)" >> "$LOG"
+    echo "=== $NAME ABORT: marker '$AFTER' never appeared (or a sweep is still mid-flight) $(date)" >> "$LOG"
     exit 1
   fi
 fi

@@ -26,6 +26,11 @@ from doomtpu.render import jmath
 
 jmath.set_strict_fp(True)
 
+# tests must exercise the real census, never a disk-cached result (a
+# census regression would otherwise hide behind entries written by an
+# earlier bench/test run; "0" disables doomtpu.calibrate's cache)
+os.environ["DOOMTPU_CALIB_CACHE"] = "0"
+
 import numpy as np
 import pytest
 

@@ -192,6 +192,24 @@ def test_paint_live_reuse_bit_exact(setup, demo_level, config):
     )
     assert int(np.asarray(out2["live_stale"])) > 0
 
+    # an undersized cap at the REFRESH tick: the dropped segs are
+    # absent from the reused lists, so even a same-pose reuse tick must
+    # count them stale (reuse["live"] is the KEPT set, not the raw
+    # predicate — the capped refresh would otherwise silently violate
+    # the "stale==0 proves bit-identical" guarantee)
+    cfg_cap = dataclasses.replace(cfg, paint_live_capacity=2)
+    ref_cap = render_paint(
+        level, cfg_cap, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2, want_reuse=True,
+    )
+    n_dropped = int(np.asarray(ref_cap["live_dropped"]))
+    assert n_dropped > 0, "cap 2 must force drops on the demo views"
+    out_cap = render_paint(
+        level, cfg_cap, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2, reuse=ref_cap["reuse"],
+    )
+    assert int(np.asarray(out_cap["live_stale"])) >= n_dropped
+
 
 def test_order_matches_rank(setup, demo_level):
     """cam.order_matches_rank is the exact validity predicate of a
