@@ -52,6 +52,13 @@ def main():
     ).astype(jnp.int32)
 
     t0 = time.time()
+    # live_reuse=True (TPU paint pipeline) reuses each segment's
+    # first-tick traversal/compaction metadata for the rest of the
+    # segment and returns a staleness counter — 0 proves frames are
+    # bit-identical to the recompute-every-tick path (~+3% measured);
+    # assert it like the drop counters:
+    #   final_state, out, stale = engine.rollout(..., live_reuse=True)
+    #   assert int(stale) == 0
     final_state, out = engine.rollout(
         state, controls_seq, key,
         # True: frames [T, B, H, W] stay on device (mind HBM at scale);
