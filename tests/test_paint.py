@@ -153,6 +153,38 @@ def test_paint_pcyb_bit_exact(setup, demo_level, config, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_paint_percam_topk_bit_exact(setup, demo_level, config, monkeypatch):
+    """DOOMTPU_PAINT_TOPK: the top_k partial sort must produce the
+    EXACT compacted lists of the full argsort (live ascending, then
+    dead ascending; distinct keys => deterministic), so every output
+    is bit-identical."""
+    import dataclasses
+    import os
+
+    from doomtpu.ops.pallas_paint import render_paint
+
+    level = setup
+    cfg = dataclasses.replace(
+        config, paint_percam_compact=True, paint_live_capacity=16,
+    )
+    px, py, pa, fh, sl, ts = _state(demo_level, VIEWS)
+    frame = cam.build_seg_frame(level, cfg, px, py, pa, fh, sl, ts)
+    order = cam.seg_order(level, cam.traversal_rank(level, px, py))
+
+    ref = render_paint(
+        level, cfg, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    monkeypatch.setenv("DOOMTPU_PAINT_TOPK", "1")
+    out = render_paint(
+        level, cfg, frame, order, pa, px, py, fh, interpret=True,
+        unroll=1, gsub=2,
+    )
+    for k in ("idx", "ld", "rgb", "cnt_mid", "cnt_clip", "overflow",
+              "live_dropped"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+
+
 def test_paint_live_reuse_bit_exact(setup, demo_level, config):
     """Cross-tick live-list reuse (render_paint reuse/want_reuse,
     PERF.md structural alt #3): rendering the SAME pose with reused
