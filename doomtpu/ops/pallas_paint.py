@@ -1659,14 +1659,15 @@ def render_paint(level: DeviceLevel, cfg: RenderConfig, frame: dict, order,
         cnt_b = live_sb.sum(-1).astype(I32)                 # [Bt,TB,NBW]
         scnt = cnt_b.max(1).reshape(Bt, NBW, 1, 1)
         Gc = capped(Gp)
-        if Gc < Gp and _os.environ.get("DOOMTPU_PAINT_TOPK", "0") != "0":
+        if Gc < Gp and _os.environ.get("DOOMTPU_PAINT_TOPK", "1") != "0":
             # partial sort instead of the full [.., Gp] argsort (the
             # compaction chain is 11.3 ms/chunk, sweep #18): top_k on
             # key = live ? Gp-i : -1-i yields EXACTLY the argsort
             # prefix — live positions ascending, then dead ascending
             # (keys are distinct, so the result is deterministic);
-            # vlive falls out of the key sign.  A/B knob until a sweep
-            # flips it.
+            # vlive falls out of the key sign.  DEFAULT ON since sweep
+            # #19: metadata stage 13.39 ms vs 17.84, end-to-end 2815.2
+            # f/s vs 2734.8; =0 restores the full argsort.
             kvals, kidx = lax.top_k(
                 jnp.where(live_sb, Gp - u_iota, -1 - u_iota), Gc
             )

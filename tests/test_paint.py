@@ -171,6 +171,7 @@ def test_paint_percam_topk_bit_exact(setup, demo_level, config, monkeypatch):
     frame = cam.build_seg_frame(level, cfg, px, py, pa, fh, sl, ts)
     order = cam.seg_order(level, cam.traversal_rank(level, px, py))
 
+    monkeypatch.setenv("DOOMTPU_PAINT_TOPK", "0")
     ref = render_paint(
         level, cfg, frame, order, pa, px, py, fh, interpret=True,
         unroll=1, gsub=2,
