@@ -57,7 +57,11 @@ def main() -> int:
     from doomtpu.config import RenderConfig
     from doomtpu.engine import DoomEngine
 
-    B = int(os.environ.get("DOOMTPU_BENCH_B", 2048))
+    # default batch 4096 since sweep #21: the BASELINE metric is
+    # f/s/chip at >= 2048 viewpoints, and denser Morton-sorted tiles at
+    # 4096 cut per-chunk live-seg visits — 3168.4 vs 2814.2 f/s/chip
+    # measured at identical per-chunk shapes, counters 0 at both
+    B = int(os.environ.get("DOOMTPU_BENCH_B", 4096))
     iters = int(os.environ.get("DOOMTPU_BENCH_ITERS", 8))
     with_things = os.environ.get("DOOMTPU_BENCH_THINGS", "1") != "0"
     use_pallas = os.environ.get("DOOMTPU_BENCH_PALLAS", "1") != "0"
