@@ -92,6 +92,11 @@ def _cache_key(engine, states, margin_q) -> str:
     h.update(json.dumps(
         [getattr(cfg, f) for f in _KEY_FIELDS]
         + [cfg.item_block_capacity > 0, list(margin_q)]
+        # the Morton sort-key knobs change tile composition and
+        # therefore the censused live/tile peaks — key them in so an
+        # A/B sweep can never serve stale capacities
+        + [os.environ.get("DOOMTPU_SORT_ABITS"),
+           os.environ.get("DOOMTPU_SORT_FBITS")]
     ).encode())
     for st in states:
         for arr in (st.pos, st.angle, st.floor_height, st.mobj_state,

@@ -23,7 +23,16 @@ import numpy as np
 
 
 def camera_sort_key(pos, angle):
-    """Morton key [B] from pos [B, 2] / angle [B]."""
+    """Morton key [B] from pos [B, 2] / angle [B].
+
+    DOOMTPU_SORT_ABITS / DOOMTPU_SORT_FBITS override the angle-bucket
+    and fine-position bit widths for coherence A/Bs (sweep #23 —
+    the B=4096 scaling win showed tile coherence is still a lever).
+    With both unset the key layout is bit-for-bit the round-2 one, so
+    every measured number stays comparable.  Any key is output-exact
+    (the permutation only affects kernel tile coherence)."""
+    import os as _os
+
     x = jnp.asarray(pos[:, 0], jnp.float32)
     y = jnp.asarray(pos[:, 1], jnp.float32)
 
@@ -39,12 +48,28 @@ def camera_sort_key(pos, angle):
 
     xr = (x * (1.0 / 1024.0)).astype(jnp.int32) & 0x3F
     yr = (y * (1.0 / 1024.0)).astype(jnp.int32) & 0x3F
+    abits = _os.environ.get("DOOMTPU_SORT_ABITS")
+    fbits = _os.environ.get("DOOMTPU_SORT_FBITS")
+    if abits is None and fbits is None:
+        aq = (
+            jnp.asarray(angle, jnp.float32) * (4.0 / np.pi)
+        ).astype(jnp.int32) & 7
+        xf = (x * 0.015625).astype(jnp.int32) & 0xF
+        yf = (y * 0.015625).astype(jnp.int32) & 0xF
+        return (morton(xr, yr) << 16) | (aq << 13) | morton(xf, yf)
+    ab = int(abits) if abits is not None else 3
+    fb = int(fbits) if fbits is not None else 4
     aq = (
-        jnp.asarray(angle, jnp.float32) * (4.0 / np.pi)
-    ).astype(jnp.int32) & 7
-    xf = (x * 0.015625).astype(jnp.int32) & 0xF
-    yf = (y * 0.015625).astype(jnp.int32) & 0xF
-    return (morton(xr, yr) << 16) | (aq << 13) | morton(xf, yf)
+        jnp.asarray(angle, jnp.float32) * ((1 << ab) / (2.0 * np.pi))
+    ).astype(jnp.int32) & ((1 << ab) - 1)
+    # fine cell = 64 world units at fb=4 (matches the default scale)
+    fscale = (1 << fb) / 1024.0
+    xf = (x * fscale).astype(jnp.int32) & ((1 << fb) - 1)
+    yf = (y * fscale).astype(jnp.int32) & ((1 << fb) - 1)
+    return (
+        (morton(xr, yr) << (16 + ab + 2 * fb - 11))
+        | (aq << (2 * fb)) | morton(xf, yf)
+    )
 
 
 def sort_shards(state) -> int:
